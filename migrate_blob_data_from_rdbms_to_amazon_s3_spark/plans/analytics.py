@@ -1,0 +1,428 @@
+"""Analytics generalization — SURVEY.md §7 M2 / BASELINE.json north star.
+
+The reference has no JOIN/GROUP BY/window surface (SURVEY §2 C-D: verified
+absent), so beyond parity the engine exposes standard Spark analytics over
+the TPC-H-shaped fixtures. Shapes follow TPC-H Q1/Q3/Q5 adapted to the
+fixture columns.
+
+Scale notes (100 TB):
+- `region`/`nation` are tiny dims → explicit ``broadcast`` hints; the
+  customer⋈orders⋈lineitem chain shuffles on its join keys and AQE handles
+  skew/strategy switches at runtime.
+- Aggregations are expressed as ``groupBy().agg()`` so Catalyst plans
+  partial (map-side) aggregation before the exchange.
+- All double aggregates are rounded in BOTH engines (driver hash-compares
+  values; cross-engine float summation order differs in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t_impl
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _t_impl(spark, sf_dir, name)
+
+
+# --- TPC-H Q1: pricing summary report ---------------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3: shipping priority (3-way join + agg + top-k) -------------------
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5: local supplier volume (6-way join, broadcast dims) --------------
+def q5_local_supplier_volume(spark, sf_dir):
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --- top-k with deterministic tiebreak ------------------------------------------
+def q_top_orders(spark, sf_dir):
+    """Top-k = sort + limit; Catalyst plans TakeOrdered (per-partition heap +
+    single merge), no global sort materialization."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+# --- window: rank within group -----------------------------------------------------
+def q_window_rank(spark, sf_dir):
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("bal_rank", F.row_number().over(w))
+        .filter(F.col("bal_rank") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "bal_rank",
+        )
+    )
+
+
+# --- window: running sum (frame) -----------------------------------------------------
+def q_window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --- rollup (hierarchical aggregate) ---------------------------------------------------
+def q_rollup_sales(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- distinct / exact cardinalities ------------------------------------------------------
+def q_distinct_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- set operations -------------------------------------------------------------------------
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT over customer key sets: big spenders vs BUILDING
+    segment. Result: keys in both, minus a suppressed subset."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    )
+    building = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    suppressed = orders.filter(F.col("o_custkey") % 7 == 0).select("o_custkey")
+    return big_spenders.intersect(building).exceptAll(suppressed.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+# --- union of reshaped sources ----------------------------------------------------------------
+def q_union_all_sources(spark, sf_dir):
+    """unionByName over heterogeneous sources projected to a common shape
+    (the engine's multi-source ingest pattern)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("entity_id"),
+        F.lit("order").alias("kind"),
+        F.round("o_totalprice", 2).alias("weight"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.round("c_acctbal", 2).alias("weight"),
+    )
+    return orders.unionByName(cust)
+
+
+# --- events: tumbling window aggregation --------------------------------------------------------
+def q_events_tumbling(spark, sf_dir):
+    """5-minute tumbling windows over the event stream (batch form; the
+    streaming twin with watermarks is streaming/events.py). ``F.window``
+    buckets are epoch-aligned, matching floor(epoch/300)*300."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- events: sessionization (gap > 30 min) --------------------------------------------------------
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization via window functions: a new session starts
+    when the gap to the previous event of the same user exceeds 30 minutes.
+    (Streaming twin: applyInPandasWithState / session window.)"""
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("double")).over(by_user)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts) > 1800), 1
+    ).otherwise(0)
+    sessioned = ev.withColumn("session_seq", F.sum(is_new).over(by_user))
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# --- grouped stats (median/stddev) ---------------------------------------------------------------
+def q_events_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "top_orders": q_top_orders,
+    "window_rank": q_window_rank,
+    "window_running_sum": q_window_running_sum,
+    "rollup_sales": q_rollup_sales,
+    "distinct_counts": q_distinct_counts,
+    "set_ops": q_set_ops,
+    "union_all_sources": q_union_all_sources,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_stats": q_events_stats,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "window_rank": """
+        SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal, bal_rank
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rank
+            FROM customer
+        )
+        WHERE bal_rank <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+    """,
+    "rollup_sales": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "distinct_counts": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
+    "set_ops": """
+        SELECT custkey FROM (
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_custkey % 7 = 0
+    """,
+    "union_all_sources": """
+        SELECT o_orderkey AS entity_id, 'order' AS kind, ROUND(o_totalprice, 2) AS weight
+        FROM orders
+        UNION ALL
+        SELECT c_custkey AS entity_id, 'customer' AS kind, ROUND(c_acctbal, 2) AS weight
+        FROM customer
+    """,
+    "events_tumbling": """
+        SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
+                        '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, event_id, ts, value,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+        ),
+        sessions AS (
+            SELECT user_id, event_id, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM seq
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    "events_stats": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+               ROUND(quantile_cont(value, 0.5), 4) AS median_value,
+               ROUND(MIN(value), 4) AS min_value,
+               ROUND(MAX(value), 4) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference opens one MySQL connection per Lambda invocation
+(``order.js:521-588``); our analog is one long-lived SparkSession whose
+configuration encodes the scale decisions:
+
+- AQE on: runtime coalescing, skew-join splitting, and dynamic join-strategy
+  re-planning replace the reference's hand-tuned page caps.
+- shuffle partitions sized to the parallelism actually available (on a real
+  cluster this should be ~2-3x total executor cores; AQE coalesces down).
+- Arrow enabled so the Pandas-UDF slow path is batch-columnar, never row-wise.
+- UTC session timezone so timestamp semantics are engine-independent
+  (matters for the DuckDB oracle comparison).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "rdbms-blob-s3-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    In local mode the driver is the only JVM, so ``spark.driver.memory`` is
+    the single memory knob; on a cluster the same config block applies with
+    ``master`` supplied by the submitter.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
