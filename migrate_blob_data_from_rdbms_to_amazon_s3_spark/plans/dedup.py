@@ -1,4 +1,346 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators for training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Four families, all shuffle-aware and 100 TB-ready:
+
+- exact          — hash-groupBy on a content fingerprint (one shuffle on the
+                   digest, combiner-side partial agg).
+- n-gram Jaccard — word-3-gram shingle sets; candidate pairs blocked by a
+                   cheap key (language) so the pair join is per-block, never
+                   the full cross product.
+- MinHash + LSH  — 16 permutation hashes, 4 bands × 4 rows; candidate pairs
+                   are the band-bucket join (the scale path: cost is
+                   O(docs × bands), not O(docs²)).
+- SimHash        — 32-bit signature via per-bit majority over token hashes;
+                   Hamming-distance pairs blocked on the top-16 bits.
+
+All hash functions derive from md5 (identical across Spark and DuckDB), so
+every operator has a full value-level oracle — no "trust me" checks.
+Expressions are JVM-side built-ins (higher-order array functions); Python
+never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# MinHash parameters (fixed, shared with oracles).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
+MINHASH_B = [3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31, 33]
+N_BANDS, ROWS_PER_BAND = 4, 4
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.2
+
+# --- shared expression builders (Spark SQL strings) -------------------------
+
+# word 3-gram shingle set from a single-space-tokenized text column
+_SHINGLES_SPARK = (
+    "array_distinct(CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+    "ELSE array() END)"
+)
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+# md5-derived 32-bit integer hash of a string expression
+def _h32_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _h32_duck(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def _minhash_sig_spark(j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+
+
+def _minhash_sig_duck(j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+
+
+def _simhash_spark() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        s = f"aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"CASE WHEN {s} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE 0L END")
+    return " + ".join(terms)
+
+
+def _simhash_duck() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        s = f"list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"CASE WHEN {s} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_shingles(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+    )
+
+
+# --- exact dedup --------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group on content digest, keep the smallest doc_id.
+    One shuffle on the digest; at 100 TB pre-hash in the scan projection so
+    only (digest, doc_id) shuffles, never the text."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard near-dup -----------------------------------------------------
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard >= 0.2, blocked by language.
+    The block key bounds the pair join (per-language shuffle partitions);
+    at 100 TB replace/augment the block with an LSH band key (below)."""
+    d = _with_shingles(spark, sf_dir).select("doc_id", "lang", "sh")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+    jac = F.try_divide(
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash signatures ------------------------------------------------------------
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signature table (first 4 of 16 permutations exposed;
+    signature j = min over shingles of (a_j*h + b_j) mod p)."""
+    d = _with_shingles(spark, sf_dir).withColumn(
+        "hs", F.expr(f"transform(sh, s -> {_h32_spark('s')})")
+    )
+    return d.select(
+        "doc_id",
+        *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(4)],
+    )
+
+
+# --- MinHash + LSH candidate pairs ---------------------------------------------------
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding: 16 sigs → 4 bands of 4; docs sharing any band bucket are
+    candidate duplicates. The band-bucket equi-join is the whole point:
+    O(n·bands) shuffle instead of O(n²) compare. Pairs are then verified
+    with the signature-estimated Jaccard (share of matching sigs)."""
+    d = _with_shingles(spark, sf_dir).withColumn(
+        "hs", F.expr(f"transform(sh, s -> {_h32_spark('s')})")
+    )
+    sigs = d.select(
+        "doc_id", *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(16)]
+    )
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"sig_{k}") for k in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", *[F.col(f"sig_{j}") for j in range(16)], *band_cols)
+    exploded = banded.select(
+        "doc_id",
+        *[F.col(f"sig_{j}") for j in range(16)],
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    lhs = exploded.select(
+        F.col("doc_id").alias("doc_a"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"sig_{j}").alias(f"la_{j}") for j in range(16)],
+    )
+    rhs = exploded.select(
+        F.col("doc_id").alias("doc_b"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"sig_{j}").alias(f"lb_{j}") for j in range(16)],
+    )
+    matches = (
+        F.lit(0)
+        + sum((F.col(f"la_{j}") == F.col(f"lb_{j}")).cast("int") for j in range(16))
+    )
+    return (
+        lhs.join(rhs, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", matches.alias("n_matching_sigs"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("n_matching_sigs").alias("n_matching_sigs"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_matching_sigs") / 16.0, 4).alias("est_jaccard"),
+        )
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------------
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document: per-bit majority vote over md5-derived
+    token hashes (with multiplicity). Near-dup docs land within a small
+    Hamming distance; pairing blocks on the top-16 bits."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.split("text", " ")).withColumn(
+        "hs", F.expr(f"transform(toks, t -> {_h32_spark('t')})")
+    )
+    return d.select("doc_id", F.expr(_simhash_spark()).alias("simhash"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Candidate pairs with Hamming(simhash_a, simhash_b) <= 6, blocked on
+    the high 16 bits (near-dups agree there with high probability)."""
+    sh = q_simhash(spark, sf_dir).withColumn(
+        "block", F.expr("shiftright(simhash, 16)")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block"
+    )
+    ham = F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)")
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+_DOCS_SH_DUCK = f"""
+        sh_t AS (
+            SELECT doc_id, lang, {_SHINGLES_DUCK} AS sh
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        )
+"""
+
+_SIGS_DUCK = ",\n".join(
+    f"               {_minhash_sig_duck(j)} AS sig_{j}" for j in range(16)
+)
+
+_SIGS4_DUCK = ",\n".join(
+    f"               {_minhash_sig_duck(j)} AS sig_{j}" for j in range(4)
+)
+
+_BANDS_DUCK = "\n            UNION ALL\n".join(
+    f"            SELECT doc_id, {b} AS band_idx, "
+    + " || '-' || ".join(
+        f"CAST(sig_{k} AS VARCHAR)" for k in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+    )
+    + " AS band_val, "
+    + ", ".join(f"sig_{j}" for j in range(16))
+    + " FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_N_MATCH_DUCK = " + ".join(
+    f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_DOCS_SH_DUCK}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh)) /
+                     len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(a.sh || b.sh)), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": f"""
+        WITH {_DOCS_SH_DUCK},
+        hashed AS (
+            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs FROM sh_t
+        )
+        SELECT doc_id,
+{_SIGS4_DUCK}
+        FROM hashed
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_DOCS_SH_DUCK},
+        hashed AS (
+            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs FROM sh_t
+        ),
+        sigs AS (
+            SELECT doc_id,
+{_SIGS_DUCK}
+            FROM hashed
+        ),
+        bands AS (
+{_BANDS_DUCK}
+        )
+        SELECT doc_a, doc_b, ROUND(MAX(n_match) / 16.0, 4) AS est_jaccard
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {_N_MATCH_DUCK} AS n_match
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        GROUP BY doc_a, doc_b
+    """,
+    "simhash": f"""
+        WITH hashed AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), t -> {_h32_duck('t')}) AS hs
+            FROM documents
+        )
+        SELECT doc_id, {_simhash_duck()} AS simhash
+        FROM hashed
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH hashed AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), t -> {_h32_duck('t')}) AS hs
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, {_simhash_duck()} AS simhash FROM hashed
+        ),
+        blocked AS (
+            SELECT doc_id, simhash, simhash >> 16 AS block FROM sh
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+}

@@ -1,4 +1,64 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal-column queries: binary payload → typed metadata via the
+Arrow-batched ``mapInPandas`` plumbing in operators/multimodal.py.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The payload is derived deterministically (utf-8 bytes of documents.text
+standing in for an image/audio blob, exactly like the reference's LONGBLOB
+fixtures), so the fake-decode output is fully oracle-checkable: n_bytes =
+octet_length, content_md5 = md5 of the same bytes, dims are modular
+functions of the size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_media_meta, sample_frames
+
+FRAME_BYTES = 64  # small stride so fixture docs produce multiple "frames"
+
+
+def _payloads(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return extract_media_meta(_payloads(spark, sf_dir))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    return sample_frames(_payloads(spark, sf_dir), "doc_id", "payload", FRAME_BYTES)
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+ORACLES = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+               CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS height,
+               3 AS channels
+        FROM documents
+    """,
+    # text is pure ASCII (verified: length == octet_length for every row), so
+    # md5 over a substring equals md5 over the corresponding payload bytes.
+    "multimodal_frames": f"""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * {FRAME_BYTES} AS INT) AS frame_offset,
+               md5(substring(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_md5
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(0, CAST(ceil(n / {FRAME_BYTES}.0) AS INT) - 1)) AS i
+        )
+    """,
+}

@@ -1,4 +1,144 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis operators for large-scale training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All computed with JVM-side built-ins (split/regexp/higher-order array
+functions) — no Python in the hot path, so the 100 TB plan is a single
+narrow projection over the documents scan, embarrassingly parallel, no
+shuffle. The DuckDB oracles mirror the exact token/regex semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list (language-ID heuristic: n-gram /
+# stopword-ratio detectors à la langid; shared verbatim with the oracles).
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "it")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+_SW_SPARK = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex token count.
+    (Reference analog: none — LLM-pipeline extension per BASELINE.json.)"""
+    toks = F.split(F.trim("text"), r"\s+")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length, mean word length, stopword ratio, alpha
+    ratio — the standard cheap heuristics used to filter web corpora."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    n_toks = F.size("toks")
+    sw = F.expr(f"size(filter(toks, t -> t in {_SW_SPARK}))")
+    alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(F.try_divide(F.length("text"), n_toks), 4).alias("avg_token_len"),
+        F.round(F.try_divide(sw, n_toks), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(alpha_chars, F.length("text")), 4).alias("alpha_ratio"),
+        (
+            (n_toks >= 5)
+            & (F.try_divide(sw, n_toks) > 0.01)
+            & (F.try_divide(alpha_chars, F.length("text")) > 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio detector): en stopword share
+    of tokens; >= 2% → 'en', else 'unknown'. Reported next to the fixture
+    label for agreement analysis."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    ratio = F.try_divide(
+        F.expr(f"size(filter(toks, t -> t in {_SW_SPARK}))"), F.size("toks")
+    )
+    pred = F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown"))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("en_stopword_ratio"),
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over case/whitespace-normalized text
+    (the exact-dedup key), plus a 64-bit prefix as a compact numeric id."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fingerprint_60bit"),
+    )
+
+
+QUERIES = {
+    "text_token_count": q_token_count,
+    "text_quality_score": q_quality_score,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text_token_count": rf"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+               CAST(length(text) AS INT) AS chars
+        FROM documents
+    """,
+    "text_quality_score": rf"""
+        WITH t AS (
+            SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               ROUND(length(text) / len(toks), 4) AS avg_token_len,
+               ROUND(len(list_filter(toks, t -> t IN {_SW_SQL})) / len(toks), 4) AS stopword_ratio,
+               ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+               (len(toks) >= 5
+                AND len(list_filter(toks, t -> t IN {_SW_SQL})) / len(toks) > 0.01
+                AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) > 0.5
+               ) AS passes_quality
+        FROM t
+    """,
+    "text_lang_id": rf"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, t -> t IN {_SW_SQL})) / len(toks) AS ratio
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(ratio, 4) AS en_stopword_ratio,
+               CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+               lang AS labeled_lang,
+               (CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'unknown' END = lang) AS agrees
+        FROM r
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+               CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fingerprint_60bit
+        FROM documents
+    """,
+}
