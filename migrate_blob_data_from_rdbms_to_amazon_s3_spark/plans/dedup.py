@@ -81,7 +81,12 @@ def _simhash_duck() -> str:
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file fixture → single input split; spread the (CPU-heavy)
+    # shingle/hash expressions across all cores. At real scale the scan
+    # arrives pre-split, making this a no-op-sized shuffle of ids+text.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _with_shingles(spark, sf_dir):
@@ -107,23 +112,56 @@ def q_dedup_exact(spark, sf_dir):
 
 # --- n-gram Jaccard near-dup -----------------------------------------------------
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by word-3-gram Jaccard >= 0.2, blocked by language.
-    The block key bounds the pair join (per-language shuffle partitions);
-    at 100 TB replace/augment the block with an LSH band key (below)."""
-    d = _with_shingles(spark, sf_dir).select("doc_id", "lang", "sh")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a")
+    """Near-dup pairs by word-3-gram Jaccard >= 0.2 via an inverted shingle
+    index: explode (doc, shingle), equi-join on the shingle, count common
+    shingles per pair, then Jaccard = c / (|A| + |B| - c).
+
+    EXACT (a pair needs >= 1 common shingle to have Jaccard > 0, so the
+    index generates every qualifying candidate) yet never quadratic: cost
+    is Σ_shingle |posting|², which stays linear-ish while shingles are
+    near-unique (measured max posting = 14 at sf0.1; a blocked pair join
+    was 160 s at sf0.1 — this plan is ~100x cheaper and is the one that
+    survives 100x data). Hot shingles (stop-phrases) should be dropped by
+    a document-frequency cap at true scale."""
+    # NOTE: explode() must not share a projection with size() over the same
+    # computed array — Catalyst re-evaluates the array expression per output
+    # row (measured 9.4 s vs 1.65 s at sf0.1). Explode narrow; recover the
+    # per-doc set size as a separate tiny aggregate and broadcast it back.
+    ex = _with_shingles(spark, sf_dir).select(
+        "doc_id", "lang", F.explode("sh").alias("s")
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # posting list per (lang, shingle); singleton postings (the vast
+    # majority) are dropped before any pair exists
+    posting = (
+        ex.groupBy("lang", "s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    pairs = a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-    jac = F.try_divide(
-        F.size(F.array_intersect("sh_a", "sh_b")),
-        F.size(F.array_union("sh_a", "sh_b")),
+    # emit pairs inline from each posting list (max observed |posting| = 14
+    # → <= 91 pairs per shingle; no self-join, no recompute of the index)
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x AS doc_a, y AS doc_b))))"
+        )
+    ).alias("p")
+    common = (
+        posting.select(pair)
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
     )
     return (
-        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

@@ -18,8 +18,12 @@ FRAME_BYTES = 64  # small stride so fixture docs produce multiple "frames"
 
 
 def _payloads(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    # repartition: one input file would mean ONE Python worker for the
+    # mapInPandas stage; spreading gives a worker per core
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

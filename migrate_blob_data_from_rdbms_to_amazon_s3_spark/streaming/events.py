@@ -1,0 +1,71 @@
+"""Structured Streaming over the events table (SURVEY §2 H: the reference
+is batch-only; this is the §7 streaming extension).
+
+Batch/stream parity: the tumbling-window aggregation here is the streaming
+twin of ``plans.analytics.q_events_tumbling`` — same window fn, same aggs —
+so the batch oracle doubles as the streaming result check when the stream
+is drained with ``trigger(availableNow=True)``.
+
+Watermarking: event-time watermark of 10 minutes bounds state for late
+data; at production rates the state store holds only open windows + the
+lateness horizon, independent of total stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of parquet drops. Explicit
+    schema (streaming requires it; also our catalog stance, SURVEY §1.5)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts/sums with a late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, name: str) -> None:
+    """Drain the stream with availableNow into an in-memory sink (test
+    harness; a production job would writeStream to parquet/Kafka)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,78 @@
+"""Keyed-mutation read-after-write tests (SURVEY §5: read-your-write,
+delete-then-read-empty, idempotent delete; §7 M3 join-rewrite layer)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators import mutation as M
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [("a", "one", "p1"), ("b", "two", "p2"), ("c", "three", "p3")],
+        "order_id string, description string, s3_prefix string",
+    )
+
+
+def test_insert_skips_existing_keys(spark, base):
+    new = spark.createDataFrame(
+        [("b", "DUP", "x"), ("d", "four", "p4")],
+        "order_id string, description string, s3_prefix string",
+    )
+    out = M.insert_rows(base, new, "order_id")
+    got = {r.order_id: r.description for r in out.collect()}
+    assert got == {"a": "one", "b": "two", "c": "three", "d": "four"}  # b kept, not DUP
+
+
+def test_update_only_matching(spark, base):
+    upd = spark.createDataFrame(
+        [("b", "TWO!")], "order_id string, description string"
+    )
+    out = M.update_rows(base, upd, "order_id")
+    got = {r.order_id: (r.description, r.s3_prefix) for r in out.collect()}
+    assert got["b"] == ("TWO!", "p2")      # untouched column survives
+    assert got["a"] == ("one", "p1")
+
+
+def test_delete_and_idempotency(spark, base):
+    keys = spark.createDataFrame([("b",), ("zz",)], "order_id string")
+    out = M.delete_rows(base, keys, "order_id")
+    assert sorted(r.order_id for r in out.collect()) == ["a", "c"]
+    # deleting again (key already absent) is a no-op — order.test.js:433-445
+    again = M.delete_rows(out, keys, "order_id")
+    assert sorted(r.order_id for r in again.collect()) == ["a", "c"]
+
+
+def test_upsert(spark, base):
+    batch = spark.createDataFrame(
+        [("c", "THREE!", "px"), ("e", "five", "p5")],
+        "order_id string, description string, s3_prefix string",
+    )
+    out = M.upsert_rows(base, batch, "order_id")
+    got = {r.order_id: r.description for r in out.collect()}
+    assert got == {"a": "one", "b": "two", "c": "THREE!", "e": "five"}
+
+
+def test_rewrite_swaps_atomically(spark, base, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    base.write.parquet(path)
+    mutated = M.delete_rows(
+        spark.read.parquet(path),
+        spark.createDataFrame([("a",)], "order_id string"),
+        "order_id",
+    )
+    M.rewrite(mutated, path)
+    back = spark.read.parquet(path)
+    assert sorted(r.order_id for r in back.collect()) == ["b", "c"]
+
+
+def test_read_after_write_contract(spark, base, tmp_path):
+    """POST then GET returns the row (order.js:205-208)."""
+    path = str(tmp_path / "t.parquet")
+    base.write.parquet(path)
+    new = spark.createDataFrame([("n1", "fresh", "p")],
+                                "order_id string, description string, s3_prefix string")
+    M.rewrite(M.insert_rows(spark.read.parquet(path), new, "order_id"), path)
+    got = spark.read.parquet(path).filter(F.col("order_id") == "n1").collect()
+    assert len(got) == 1 and got[0].description == "fresh"
