@@ -46,8 +46,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    # warm the JVM/codegen paths outside the timed region
+    # warm the JVM/codegen paths and the Python (Arrow/pandas) worker pool
+    # outside the timed region — worker spawn is a per-session one-time cost
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(64, numPartitions=64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -89,12 +89,41 @@ def _docs(spark, sf_dir):
     )
 
 
+def _barrier(df, key_cols: list[str], val_cols: list[str]):
+    """Materialization barrier for expensive computed array columns.
+
+    Catalyst's CollapseProject inlines a computed expression into every
+    downstream reference — including explode generators, where it gets
+    re-evaluated per OUTPUT row (measured: the shingle explode at sf0.1 is
+    6.4 s inlined vs 0.6 s materialized), and the 16/64-fold references in
+    the MinHash/SimHash signature expressions. A groupBy on the primary key
+    forces the values through an exchange, so downstream sees plain
+    attributes. Exact because key_cols contain the PK; at scale this is one
+    linear combiner-less shuffle of (key, arrays) — the same bytes the
+    posting-list shuffle moves anyway.
+    """
+    return df.groupBy(*key_cols).agg(*[F.first(c).alias(c) for c in val_cols])
+
+
 def _with_shingles(spark, sf_dir):
-    return (
+    """(doc_id, lang, sh) with sh materialized behind a barrier."""
+    raw = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
     )
+    return _barrier(raw, ["doc_id", "lang"], ["sh"])
+
+
+def _with_shingle_hashes(spark, sf_dir):
+    """(doc_id, lang, hs) — md5-derived 32-bit hash per shingle, materialized."""
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr(f"transform(sh, s -> {_h32_spark('s')})"))
+    )
+    return _barrier(raw, ["doc_id", "lang"], ["hs"])
 
 
 # --- exact dedup --------------------------------------------------------------
@@ -123,19 +152,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     was 160 s at sf0.1 — this plan is ~100x cheaper and is the one that
     survives 100x data). Hot shingles (stop-phrases) should be dropped by
     a document-frequency cap at true scale."""
-    # NOTE: explode() must not share a projection with size() over the same
-    # computed array — Catalyst re-evaluates the array expression per output
-    # row (measured 9.4 s vs 1.65 s at sf0.1). Explode narrow; recover the
-    # per-doc set size as a separate tiny aggregate and broadcast it back.
+    # Single pass: carry each doc's set size through the posting list as a
+    # struct field, so no second subtree and no size-lookup joins exist.
     ex = _with_shingles(spark, sf_dir).select(
-        "doc_id", "lang", F.explode("sh").alias("s")
+        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting list per (lang, shingle); singleton postings (the vast
     # majority) are dropped before any pair exists
     posting = (
         ex.groupBy("lang", "s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     # emit pairs inline from each posting list (max observed |posting| = 14
@@ -144,24 +170,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.expr(
             "flatten(transform(ds, (x, i) -> "
             "transform(slice(ds, i + 2, size(ds)), y -> "
-            "struct(x AS doc_a, y AS doc_b))))"
+            "struct(x.doc_id AS doc_a, x.n_sh AS na, "
+            "y.doc_id AS doc_b, y.n_sh AS nb))))"
         )
     ).alias("p")
     common = (
         posting.select(pair)
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.round(
         F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
     )
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -170,9 +193,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature table (first 4 of 16 permutations exposed;
     signature j = min over shingles of (a_j*h + b_j) mod p)."""
-    d = _with_shingles(spark, sf_dir).withColumn(
-        "hs", F.expr(f"transform(sh, s -> {_h32_spark('s')})")
-    )
+    d = _with_shingle_hashes(spark, sf_dir)
     return d.select(
         "doc_id",
         *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(4)],
@@ -185,9 +206,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     candidate duplicates. The band-bucket equi-join is the whole point:
     O(n·bands) shuffle instead of O(n²) compare. Pairs are then verified
     with the signature-estimated Jaccard (share of matching sigs)."""
-    d = _with_shingles(spark, sf_dir).withColumn(
-        "hs", F.expr(f"transform(sh, s -> {_h32_spark('s')})")
-    )
+    d = _with_shingle_hashes(spark, sf_dir)
     sigs = d.select(
         "doc_id", *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(16)]
     )
@@ -240,9 +259,12 @@ def q_simhash(spark, sf_dir):
     """32-bit SimHash per document: per-bit majority vote over md5-derived
     token hashes (with multiplicity). Near-dup docs land within a small
     Hamming distance; pairing blocks on the top-16 bits."""
-    d = _docs(spark, sf_dir).withColumn("toks", F.split("text", " ")).withColumn(
+    raw = _docs(spark, sf_dir).withColumn("toks", F.split("text", " ")).withColumn(
         "hs", F.expr(f"transform(toks, t -> {_h32_spark('t')})")
     )
+    # barrier: the majority-vote expression references hs 64×; without it
+    # the split+md5 chain is re-evaluated per reference (see _barrier)
+    d = _barrier(raw, ["doc_id"], ["hs"])
     return d.select("doc_id", F.expr(_simhash_spark()).alias("simhash"))
 
 

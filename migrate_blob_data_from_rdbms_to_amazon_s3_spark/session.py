@@ -35,6 +35,11 @@ def get_spark(app_name: str = "rdbms-blob-s3-spark", cpus: str | int | None = No
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Bytes underestimate cost for expression-heavy stages (shingling,
+        # minhash, simhash): don't let AQE coalesce a small-but-CPU-bound
+        # shuffle below 64 KiB chunks, so those stages keep all cores busy.
+        # At production scale partitions are >> this; the knob is inert there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
