@@ -27,6 +27,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
+    "asof_join",
+    "range_join",
+    "grouped_percentiles",
     "window_running_sum",
     "events_sessionize",
     "events_tumbling",
@@ -35,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simhash",
     "ann_bruteforce_topk",
+    "ann_hyperplane_lsh",
     "multimodal_meta",
 ]
 

@@ -13,11 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
-    from . import parity, analytics, text, dedup, similarity, multimodal
+    from . import (
+        parity,
+        analytics,
+        analytics_ext,
+        temporal,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (parity, analytics, text, dedup, similarity, multimodal):
+    for mod in (parity, analytics, analytics_ext, temporal, text, dedup, similarity, multimodal):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})
         dup = set(q) & set(queries)

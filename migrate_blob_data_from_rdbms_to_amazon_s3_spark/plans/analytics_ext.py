@@ -1,0 +1,196 @@
+"""Extended analytics: semi/anti joins, conditional aggregation, pivot,
+cube, and exact grouped percentiles (SURVEY §7 M2 breadth).
+
+Scale notes (100 TB):
+- Semi/anti joins ship only the key columns of the probe side through the
+  shuffle (Catalyst prunes to the join keys) — never materialize the pair.
+- The pivot uses an explicit value list so the plan is a single partial+
+  final hash aggregation (no extra distinct-values job, fixed schema).
+- Percentiles here are exact (sort-based within group); at production
+  scale swap to approx_percentile for one-pass sketching — kept exact so
+  the DuckDB oracle is value-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one late lineitem
+    (l_shipdate > o_orderdate), counted by priority. Left-semi join:
+    the lineitem side never leaves the join as data."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no order since mid-1997 ("churned"),
+    counted per nation (broadcast dim for the name)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    ).select("o_custkey")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        inactive.join(nation, inactive.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_inactive"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a join — share of
+    revenue from PROMO parts in one month. Single pass, no second scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.try_divide(F.sum(promo), F.sum(rev)), 4
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event counts, one column per event type. Explicit
+    value list keeps it a single aggregation with a fixed output schema."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority) — all four grouping sets in one pass
+    (partial agg per set, single shuffle). NULL grouping slots are labeled
+    'ALL' so the envelope is join-safe downstream."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_grouped_percentiles(spark, sf_dir):
+    """Exact grouped quartiles of extended price per return flag (linear
+    interpolation — identical semantics to DuckDB quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "customers_without_orders": q_customers_without_orders,
+    "q14_promo_revenue": q14_promo_revenue,
+    "pivot_events": q_pivot_events,
+    "cube_orders": q_cube_orders,
+    "grouped_percentiles": q_grouped_percentiles,
+}
+
+_PIVOT_COLS = ",\n               ".join(
+    f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+)
+
+ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT n_name,
+               COUNT(*) AS n_inactive,
+               ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+        )
+        GROUP BY n_name
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "pivot_events": f"""
+        SELECT user_id,
+               {_PIVOT_COLS}
+        FROM events
+        GROUP BY user_id
+    """,
+    "cube_orders": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "grouped_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

@@ -21,10 +21,25 @@ cross-engine float summation ulp never flips a comparison.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 NEARDUP_COSINE = 0.45
 N_CENTROIDS = 8  # seed centroids = vec_id < 8 (deterministic stand-in for k-means)
+
+# Random-hyperplane LSH: N_PLANES ±1 hyperplanes derived from md5 so both
+# engines (and every run) see the identical matrix. sign(dot(v, P_j))
+# approximates angular locality; equal 16-bit signatures => candidates.
+N_PLANES = 16
+EMB_DIM = 64
+_PLANES = [
+    [
+        1.0 if int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for i in range(EMB_DIM)
+    ]
+    for j in range(N_PLANES)
+]
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
 def _cos_spark(a: str, b: str) -> str:
@@ -128,10 +143,74 @@ def q_neardup_embedding(spark, sf_dir):
     )
 
 
+def _hyperplane_sig_spark() -> str:
+    """16-bit LSH signature as one Spark SQL expression. Left-fold double
+    accumulation — bit-identical to the DuckDB twin, so an ulp can never
+    flip a sign at the bucket boundary."""
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        arr = ", ".join(f"{v:.1f}D" for v in plane)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0D THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _hyperplane_sig_duck() -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        arr = ", ".join(f"{v:.1f}" for v in plane)
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> embedding[i]::DOUBLE * ([{arr}])[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+LSH_COSINE = 0.3  # verification threshold for hyperplane-LSH candidates
+
+
+def q_ann_hyperplane_lsh(spark, sf_dir):
+    """LSH-banded near-dup pairs: the 16-bit hyperplane signature splits
+    into 2 bands of 8 bits; vectors sharing ANY band are candidates
+    (equi-join on (band_idx, band_val) — the plan that replaces the
+    quadratic pair join at scale: O(n·bands) shuffle), then the exact
+    cosine threshold verifies and pairs found in both bands dedup."""
+    sigs = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", F.expr(_hyperplane_sig_spark()).alias("sig")
+    )
+    banded = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(F.col("sig") % 256, F.floor(F.col("sig") / 256))
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score"))
+        .filter(F.col("score") >= LSH_COSINE)
+        .distinct()
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_ivf_topk": q_ann_ivf,
     "neardup_embedding": q_neardup_embedding,
+    "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
 }
 
 ORACLES = {
@@ -174,5 +253,22 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+    """,
+    "ann_hyperplane_lsh": f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {_hyperplane_sig_duck()} AS sig
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding, 0 AS band_idx, sig % 256 AS band_val FROM sigs
+            UNION ALL
+            SELECT vec_id, embedding, 1 AS band_idx, sig // 256 AS band_val FROM sigs
+        )
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos_duck('a.embedding', 'b.embedding')} AS score
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+        WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {LSH_COSINE}
     """,
 }

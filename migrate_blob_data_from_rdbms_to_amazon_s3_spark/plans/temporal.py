@@ -1,0 +1,155 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range join, expressed as compositions of existing DataFrame ops (the
+SURVEY §7 "custom operators" path (a) — no Python in the hot path).
+
+Reference analog: none (the reference is batch CRUD; SURVEY §2 D records
+zero joins). These are the time-series operators a training-data /
+event-pipeline engine needs, built scale-first:
+
+- As-of join: union + running last_value over a single shuffle on the
+  join key. No range explosion, no per-row probe: cost is one sort-shuffle
+  of both inputs — the plan that survives 100 TB of events.
+- Range join: epoch bucketing turns the inequality join into an equi-join
+  on (key, bucket) with a bounded 2x candidate fan-out, then the exact
+  range predicate filters. Never O(n^2); skew on hot users is handled by
+  AQE skew-join splitting.
+
+Oracles: DuckDB has native ASOF JOIN and inequality joins, so both are
+fully value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+RANGE_SECONDS = 300  # range-join lookback window (5 minutes)
+
+
+def asof_join(left, right, on, ts_col, value_cols):
+    """Generic as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` and equal keys.
+
+    Implementation: tag sides, union, and take a running ``last(...,
+    ignorenulls)`` over a window partitioned by the key, ordered by
+    ``(ts, side)`` with the right side first so an equal-timestamp right
+    row is visible to the left row ("at or before" semantics). One shuffle
+    on the key; state per row is O(1).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side")
+
+
+def q_asof_join(spark, sf_dir):
+    """For every click event, the user's most recent purchase at or before
+    the click (event-time as-of). Purchases are pre-aggregated per
+    (user, ts) so the match value is deterministic on ties."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["purchase_ts", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """For every error event, how many clicks the same user made in the
+    5 minutes before it (exclusive). Equi-join on (user, epoch-bucket)
+    with 2x candidate fan-out on the build side, exact predicate after."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("e_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("double").alias("c_ts"),
+        F.floor(F.col("ts").cast("double") / RANGE_SECONDS).alias("c_bucket"),
+    )
+    # an in-range click lives in the error's bucket or the one before it
+    cand = err.select(
+        "event_id",
+        "user_id",
+        "e_ts",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_ts") / RANGE_SECONDS) - 1,
+                F.floor(F.col("e_ts") / RANGE_SECONDS),
+            )
+        ).alias("c_bucket"),
+    )
+    joined = cand.join(
+        clk,
+        (cand.user_id == clk.c_user)
+        & (cand.c_bucket == clk.c_bucket)
+        & (clk.c_ts >= cand.e_ts - RANGE_SECONDS)
+        & (clk.c_ts < cand.e_ts),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_ts").alias("n_clicks_before")
+    )
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+}
+
+ORACLES = {
+    "asof_join": """
+        WITH p AS (
+            SELECT user_id, ts AS purchase_ts,
+                   ROUND(MAX(value), 4) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        c AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               p.purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    """,
+    "range_join": f"""
+        SELECT e.event_id, e.user_id, COUNT(c.ts) AS n_clicks_before
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts - INTERVAL {RANGE_SECONDS} SECOND
+         AND c.ts < e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
+}

@@ -58,6 +58,18 @@ def windowed_counts(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def run_to_memory_append(result: DataFrame, name: str) -> None:
+    """Drain an append-mode stream (stateful operators emit incrementally)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(result: DataFrame, name: str) -> None:
     """Drain the stream with availableNow into an in-memory sink (test
     harness; a production job would writeStream to parquet/Kafka)."""

@@ -29,3 +29,63 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization == batch sessions minus each
+    user's final (still-open) session, which stays in state when the
+    stream drains."""
+    import pyspark.sql.functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    load_events(spark, sf_dir).repartition(4).write.parquet(src)
+
+    result = sessionize_stream(SE.read_event_stream(spark, src))
+    SE.run_to_memory_append(result, "sessions_stateful")
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in spark.sql("SELECT * FROM sessions_stateful").collect()
+    }
+
+    # expected: every batch session except those still open when the
+    # stream drains — i.e. each user's final session UNLESS its gap had
+    # already elapsed at the final watermark (max ts - 2h delay).
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("double")).over(by_user)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts) > 1800), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("session_seq", F.sum(is_new).over(by_user))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.max(F.col("ts").cast("double")).alias("end_ts"),
+        )
+    )
+    wm_final = (
+        ev.agg(F.max(F.col("ts").cast("double"))).collect()[0][0] - 7200.0
+    )
+    last_seq = F.max("session_seq").over(Window.partitionBy("user_id"))
+    expected = (
+        sess.withColumn("last_seq", last_seq)
+        .filter(
+            (F.col("session_seq") < F.col("last_seq"))
+            | (F.col("end_ts") + 1800.0 < F.lit(wm_final))
+        )
+        .collect()
+    )
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value) for r in expected
+    }
+    assert got == want
+    assert len(got) > 0
+    shutil.rmtree(src, ignore_errors=True)
