@@ -155,3 +155,23 @@ class Catalog:
         """`CREATE TABLE IF NOT EXISTS` analog (order.sql:2): write only when
         the target does not already exist — idempotent, like the DDL."""
         df.write.mode("ignore").parquet(path)
+
+
+def parse_sql_script(text: str) -> list[str]:
+    """SQL-script source parser — SURVEY §2 A11 (db_setup.js:71-92): drop
+    ``--`` comment lines and blanks, concatenate the rest, split on ``;``.
+    Feed each statement to ``spark.sql`` (db_setup.js runs one statement per
+    file; we generalize to many)."""
+    kept = []
+    for line in text.splitlines():
+        stripped = line.strip()
+        if not stripped or stripped.startswith("--"):
+            continue
+        kept.append(stripped)
+    joined = " ".join(kept)
+    return [s.strip() for s in joined.split(";") if s.strip()]
+
+
+def run_sql_script(spark: SparkSession, text: str) -> list[DataFrame]:
+    """Execute every statement of a DDL/DML script (db_setup.js:170-186)."""
+    return [spark.sql(stmt) for stmt in parse_sql_script(text)]
