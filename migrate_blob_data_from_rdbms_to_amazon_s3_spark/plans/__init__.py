@@ -18,15 +18,20 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         analytics,
         analytics_ext,
         temporal,
+        sql_surface,
         text,
         dedup,
         similarity,
         multimodal,
     )
 
+    mods = (
+        parity, analytics, analytics_ext, temporal, sql_surface,
+        text, dedup, similarity, multimodal,
+    )
     queries: dict = {}
     oracles: dict = {}
-    for mod in (parity, analytics, analytics_ext, temporal, text, dedup, similarity, multimodal):
+    for mod in mods:
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})
         dup = set(q) & set(queries)

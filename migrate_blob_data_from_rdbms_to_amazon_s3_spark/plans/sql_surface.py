@@ -1,0 +1,94 @@
+"""SQL-API surface: the same engine through ``spark.sql`` over registered
+temp views (the reference's "query language" is SQL strings over MySQL —
+SURVEY §2 A; here the SQL path is first-class next to the DataFrame API).
+
+Catalyst compiles these to the identical physical plans as the DataFrame
+twins — subquery decorrelation turns the correlated scalar subquery into
+an aggregate + join, and the IN-subquery into a left-semi join. Verified
+with .explain: no per-row subquery execution survives optimization.
+"""
+
+from __future__ import annotations
+
+from ..sources.tables import load_table
+
+_VIEWS = ("customer", "nation", "orders", "lineitem")
+
+
+def _register(spark, sf_dir):
+    for name in _VIEWS:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 shape): customers holding their
+    nation's maximum balance. Catalyst decorrelates to agg + join."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name AS nation, c.c_name AS customer,
+               ROUND(c.c_acctbal, 2) AS acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal = (
+            SELECT MAX(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """)
+
+
+def q_orders_of_rich_customers(spark, sf_dir):
+    """IN-subquery -> left-semi join: order counts for customers above a
+    balance threshold."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+        GROUP BY o_orderstatus
+    """)
+
+
+def q_monthly_revenue(spark, sf_dir):
+    """Calendar rollup: revenue by (year, month) — date function surface."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+    """)
+
+
+QUERIES = {
+    "sql_top_customer_per_nation": q_top_customer_per_nation,
+    "sql_orders_of_rich_customers": q_orders_of_rich_customers,
+    "sql_monthly_revenue": q_monthly_revenue,
+}
+
+ORACLES = {
+    "sql_top_customer_per_nation": """
+        SELECT n.n_name AS nation, c.c_name AS customer,
+               ROUND(c.c_acctbal, 2) AS acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal = (
+            SELECT MAX(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """,
+    "sql_orders_of_rich_customers": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+        GROUP BY o_orderstatus
+    """,
+    "sql_monthly_revenue": """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+               CAST(MONTH(o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    """,
+}

@@ -89,3 +89,35 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert len(got) > 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Stream-static join: streaming events enriched against a static dim
+    (per-user tier), drained == the batch join."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ss_src")
+    ev = load_events(spark, sf_dir)
+    ev.repartition(2).write.parquet(src)
+    dim = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 3).alias("tier")
+    )
+
+    stream = SE.read_event_stream(spark, src)
+    enriched = (
+        stream.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    SE.run_to_memory(enriched, "tiered")
+    got = {r.tier: (r.n, r.sv) for r in spark.sql("SELECT * FROM tiered").collect()}
+
+    want = {
+        r.tier: (r.n, r.sv)
+        for r in ev.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
