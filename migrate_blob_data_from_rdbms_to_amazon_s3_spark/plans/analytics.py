@@ -176,6 +176,19 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketch distinct (one pass, mergeable, no distinct-shuffle —
+    the 100 TB path where exact countDistinct is a full re-shuffle).
+    No DuckDB oracle: sketch estimates are engine-specific; the driver
+    records a rows-only check and tests/test_analytics_extras.py bounds
+    the estimate against the exact count (rsd 0.01 => ~1%)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # --- set operations -------------------------------------------------------------------------
 def q_set_ops(spark, sf_dir):
     """INTERSECT/EXCEPT over customer key sets: big spenders vs BUILDING
@@ -276,6 +289,7 @@ QUERIES = {
     "window_running_sum": q_window_running_sum,
     "rollup_sales": q_rollup_sales,
     "distinct_counts": q_distinct_counts,
+    "approx_distinct": q_approx_distinct,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
     "events_tumbling": q_events_tumbling,

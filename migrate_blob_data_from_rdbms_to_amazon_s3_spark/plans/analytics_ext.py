@@ -113,11 +113,18 @@ def q_grouped_percentiles(spark, sf_dir):
     """Exact grouped quartiles of extended price per return flag (linear
     interpolation — identical semantics to DuckDB quantile_cont)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+    # one array-percentile call = one value buffer per group (three separate
+    # percentile() aggs would buffer the column three times)
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"),
         F.count("*").alias("n"),
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.col("q")[0], 4).alias("p25"),
+        F.round(F.col("q")[1], 4).alias("p50"),
+        F.round(F.col("q")[2], 4).alias("p75"),
+        "n",
     )
 
 

@@ -54,6 +54,17 @@ def _h32_duck(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+# 60-bit variant: posting-list keys (collision odds ~n^2/2^61 — negligible
+# even at 10^12 shingles; and both engines hash identically, so the oracle
+# match is exact regardless)
+def _h60_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h60_duck(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def _minhash_sig_spark(j: int) -> str:
     a, b = MINHASH_A[j], MINHASH_B[j]
     return f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
@@ -154,8 +165,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     a document-frequency cap at true scale."""
     # Single pass: carry each doc's set size through the posting list as a
     # struct field, so no second subtree and no size-lookup joins exist.
-    ex = _with_shingles(spark, sf_dir).select(
-        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    # Shingles shuffle as 60-bit hashes, not strings: the posting exchange
+    # moves 8-byte ints (~3x smaller), and both engines hash identically.
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .withColumn("sh60", F.expr(f"transform(sh, s -> {_h60_spark('s')})"))
+    )
+    ex = _barrier(raw, ["doc_id", "lang"], ["sh60"]).select(
+        "doc_id", "lang", F.size("sh60").alias("n_sh"), F.explode("sh60").alias("s")
     )
     # posting list per (lang, shingle); singleton postings (the vast
     # majority) are dropped before any pair exists

@@ -27,6 +27,19 @@ def _docs(spark, sf_dir):
     )
 
 
+def _docs_with_toks(spark, sf_dir, extra_cols: tuple[str, ...] = ()):
+    """(doc_id [, extra], toks) with toks materialized behind a groupBy-on-PK
+    barrier: CollapseProject otherwise inlines the split() into every
+    downstream reference (quality score reads toks 6x -> 6 splits per row,
+    interpreted because higher-order lambdas don't codegen). One linear
+    exchange of the token arrays instead (see plans/dedup._barrier)."""
+    raw = _docs(spark, sf_dir).withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    keep = ["doc_id", *extra_cols]
+    return raw.groupBy(*keep).agg(
+        F.first("toks").alias("toks"), F.first("text").alias("text")
+    )
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + a BPE-ish regex token count.
     (Reference analog: none — LLM-pipeline extension per BASELINE.json.)"""
@@ -42,7 +55,7 @@ def q_token_count(spark, sf_dir):
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length, mean word length, stopword ratio, alpha
     ratio — the standard cheap heuristics used to filter web corpora."""
-    d = _docs(spark, sf_dir).withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    d = _docs_with_toks(spark, sf_dir)
     n_toks = F.size("toks")
     sw = F.expr(f"size(filter(toks, t -> t in {_SW_SPARK}))")
     alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
@@ -64,7 +77,7 @@ def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (stopword-ratio detector): en stopword share
     of tokens; >= 2% → 'en', else 'unknown'. Reported next to the fixture
     label for agreement analysis."""
-    d = _docs(spark, sf_dir).withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    d = _docs_with_toks(spark, sf_dir, extra_cols=("lang",))
     ratio = F.try_divide(
         F.expr(f"size(filter(toks, t -> t in {_SW_SPARK}))"), F.size("toks")
     )
