@@ -128,8 +128,82 @@ def q_grouped_percentiles(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + agg, no join — the scan-bound query.
+    All three predicates push to the Parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join over returned items, top-20 customers
+    by lost revenue (TakeOrdered after partial+final agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped fact, then join back up the
+    hierarchy. The having-filter runs before the joins, so only qualifying
+    orders ship through the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "customers_without_orders": q_customers_without_orders,
     "q14_promo_revenue": q14_promo_revenue,
     "pivot_events": q_pivot_events,
@@ -143,6 +217,45 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o

@@ -1,0 +1,52 @@
+"""Physical-plan regression guards: the properties that make these queries
+scale must survive refactors — filters reach the Parquet scan, projections
+prune columns, small dims broadcast, LSH pair joins stay equi-joins (no
+cartesian), top-k plans TakeOrdered (no global sort)."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import __spark_entry__ as E
+
+
+def _plan(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1)
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "page_scan_projection")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 3 for s in schemas), schemas
+
+
+def test_dims_broadcast_in_q5(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_planned_for_q4(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_lsh_pair_join_is_equi_join(spark, sf_dir):
+    for q in ("dedup_minhash_lsh", "ann_hyperplane_lsh"):
+        plan = _plan(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_orders")
+    assert "TakeOrderedAndProject" in plan
