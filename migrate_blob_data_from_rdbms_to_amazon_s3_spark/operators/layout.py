@@ -1,0 +1,59 @@
+"""Storage-layout operators: partitioned writes and small-file compaction.
+
+At 100 TB, layout is the optimizer's biggest lever:
+
+- **Hive-style partitioning** (``partitionBy`` on a low-cardinality derived
+  column, e.g. order month) turns date-range predicates into directory
+  pruning — the scan never opens non-matching files. The reference's
+  row-store analog is the indexed ``ORDER BY order_id LIMIT`` scan; here
+  pruning happens at the file listing.
+- **Compaction** re-coalesces a table into target-sized files. Streaming
+  sinks and keyed-mutation rewrites accrete small files; scans then pay
+  per-file open cost and lose vectorized-read efficiency. Size targets:
+  ~128 MB parquet files (one row-group) so one file ≈ one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_month(
+    df: DataFrame, path: str, ts_col: str = "o_orderdate"
+) -> None:
+    """Write Hive-partitioned by (year, month) of `ts_col`."""
+    (
+        df.withColumn("yr", F.year(ts_col))
+        .withColumn("mo", F.month(ts_col))
+        .write.mode("overwrite")
+        .partitionBy("yr", "mo")
+        .parquet(path)
+    )
+
+
+def read_month(spark: SparkSession, path: str, yr: int, mo: int) -> DataFrame:
+    """Partition-pruned read: the (yr, mo) predicate resolves at file
+    listing — check PartitionFilters in the scan node."""
+    return spark.read.parquet(path).filter((F.col("yr") == yr) & (F.col("mo") == mo))
+
+
+def compact(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
+    """Rewrite `path` with files sized ~`target_file_mb`. Returns the new
+    file count. Uses the table's on-disk byte size to pick the partition
+    count (cheap: file-listing metadata only, no data scan)."""
+    from pathlib import Path
+
+    local = path.removeprefix("file:")
+    total_bytes = sum(p.stat().st_size for p in Path(local).rglob("*.parquet"))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}_compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (same filesystem)
+    import shutil
+
+    tmp_local = tmp.removeprefix("file:")
+    shutil.rmtree(local)
+    shutil.move(tmp_local, local)
+    return n_files

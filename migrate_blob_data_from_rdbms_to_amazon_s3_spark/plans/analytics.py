@@ -267,6 +267,35 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+# --- window-function breadth: lead/lag/ntile/percent_rank -------------------------------------------
+def q_window_navigation(spark, sf_dir):
+    """Navigation + distribution windows over each customer's order
+    history: previous/next order gap and price quartile within customer.
+    One shuffle on the partition key serves all four functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_dt = F.lag("o_orderdate").over(w)
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.datediff("o_orderdate", prev_dt).alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.ntile(4).over(
+                Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+            ).alias("price_quartile"),
+            F.round(
+                F.percent_rank().over(
+                    Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+                ),
+                4,
+            ).alias("price_pct_rank"),
+        )
+    )
+
+
 # --- grouped stats (median/stddev) ---------------------------------------------------------------
 def q_events_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -287,6 +316,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
+    "window_navigation": q_window_navigation,
     "rollup_sales": q_rollup_sales,
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
@@ -356,6 +386,22 @@ ORACLES = {
             FROM customer
         )
         WHERE bal_rank <= 3
+    """,
+    "window_navigation": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(date_diff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS INT) AS days_since_prev,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+               CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice, o_orderkey), 4) AS price_pct_rank
+        FROM orders
+        WHERE o_custkey < 200
     """,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,

@@ -42,6 +42,17 @@ def q_page_scan(spark, sf_dir):
     return pagination.page(df, "order_id", limit=5, offset=10)
 
 
+# --- A2 scale variant: keyset pagination ----------------------------------
+def q_keyset_page(spark, sf_dir):
+    """Keyset (seek-method) pagination: `WHERE order_id > ? ORDER BY
+    order_id LIMIT 5`. The reference pages by OFFSET (order.js:621), which
+    is O(offset) per page; the range predicate pushes to the scan and makes
+    every page O(page) — the variant that survives deep pagination at
+    100 TB."""
+    df = ref_orders(spark, sf_dir).select(*REF)
+    return pagination.keyset_page(df, "order_id", limit=5, after="110")
+
+
 # --- A3: paginated scan with blob-excluding projection --------------------
 def q_page_scan_projection(spark, sf_dir):
     """A3 projection that keeps the LONGBLOB out of list queries
@@ -276,6 +287,7 @@ def q_json_envelope(spark, sf_dir):
 QUERIES = {
     "count_orders": q_count_orders,
     "page_scan": q_page_scan,
+    "keyset_page": q_keyset_page,
     "page_scan_projection": q_page_scan_projection,
     "point_lookup": q_point_lookup,
     "blob_lookup_b64": q_blob_lookup_b64,
@@ -306,6 +318,12 @@ ORACLES = {
         WITH {_REF}
         SELECT order_id, description, s3_prefix FROM ref_orders
         ORDER BY order_id LIMIT 5 OFFSET 10
+    """,
+    "keyset_page": f"""
+        WITH {_REF}
+        SELECT order_id, description, s3_prefix FROM ref_orders
+        WHERE order_id > '110'
+        ORDER BY order_id LIMIT 5
     """,
     "page_scan_projection": f"""
         WITH {_BLOB}

@@ -121,3 +121,29 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     }
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: dropDuplicates on the event key with a
+    watermark bounding the dedup state. A source with every event written
+    twice drains to exactly the distinct set."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "dup_src")
+    ev = load_events(spark, sf_dir)
+    ev.union(ev).repartition(4).write.parquet(src)
+
+    stream = SE.read_event_stream(spark, src)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    SE.run_to_memory(deduped, "dedup_counts")
+    got = spark.sql("SELECT * FROM dedup_counts").collect()[0]
+
+    want = ev.agg(F.count("*").alias("n"), F.sum("value").alias("sv")).collect()[0]
+    assert got.n == want.n
+    assert abs(got.sv - want.sv) < 1e-6
+    shutil.rmtree(src, ignore_errors=True)
