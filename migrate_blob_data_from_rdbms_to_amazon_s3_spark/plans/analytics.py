@@ -296,6 +296,28 @@ def q_window_navigation(spark, sf_dir):
     )
 
 
+# --- top-k per group ------------------------------------------------------------------------------
+def q_top3_orders_per_segment(spark, sf_dir):
+    """Top-3 orders by price within each market segment: rank window +
+    filter. One shuffle on the group key; the per-group heap stays small."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rk").alias("rank_in_segment"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
 # --- grouped stats (median/stddev) ---------------------------------------------------------------
 def q_events_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -317,6 +339,7 @@ QUERIES = {
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
     "window_navigation": q_window_navigation,
+    "top3_orders_per_segment": q_top3_orders_per_segment,
     "rollup_sales": q_rollup_sales,
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
@@ -386,6 +409,16 @@ ORACLES = {
             FROM customer
         )
         WHERE bal_rank <= 3
+    """,
+    "top3_orders_per_segment": """
+        SELECT c_mktsegment, CAST(rk AS INT) AS rank_in_segment,
+               o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
     """,
     "window_navigation": """
         SELECT o_custkey, o_orderkey,

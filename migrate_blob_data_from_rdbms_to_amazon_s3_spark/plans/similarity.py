@@ -206,11 +206,121 @@ def q_ann_hyperplane_lsh(spark, sf_dir):
     )
 
 
+def _sq_dist_spark(a: str, b: str) -> str:
+    """Squared L2 distance, left-fold accumulation (bit-identical twin of
+    the DuckDB expression below, so argmin ties can't diverge)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_dist_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+KMEANS_ITERS = 2
+KMEANS_K = N_CENTROIDS  # seed centroids = vec_id < 8, same as IVF
+
+
+def q_kmeans(spark, sf_dir):
+    """K-means, KMEANS_ITERS Lloyd iterations unrolled into one DAG — the
+    iterative-algorithm pattern: each round is (broadcast centroids ->
+    argmin assign -> posexplode -> per-(cluster,dim) mean). Centroid means
+    round to 4 decimals after every round so cross-engine float summation
+    can't drift into the next iteration; distances use bit-identical
+    left-fold accumulation. At scale: vectors never move — only the k×dim
+    centroid table shuffles; assignment is a broadcast map-side pass."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            F.expr(_sq_dist_spark("embedding", "cv")).alias("d"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cluster")
+        )
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 4).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("cv")
+            )
+        )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    norms = cents.select(
+        "cluster",
+        F.round(
+            F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"), 4
+        ).alias("centroid_norm"),
+    )
+    return sizes.join(norms, "cluster").select("cluster", "n_vecs", "centroid_norm")
+
+
+def _kmeans_oracle() -> str:
+    k, iters = KMEANS_K, KMEANS_ITERS
+    sql = [
+        f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(iters):
+        d = _sq_dist_duck("e.embedding", "c.cv")
+        sql.append(f"""
+        , assigned_{i} AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d}, c.cluster) AS rn
+                FROM embeddings e, cents_{i} c
+            ) WHERE rn = 1
+        )
+        , cents_{i + 1} AS (
+            SELECT cluster, array_agg(m ORDER BY pos) AS cv FROM (
+                SELECT cluster, pos, ROUND(AVG(v), 4) AS m
+                FROM (
+                    SELECT cluster, u.v AS v, u.pos AS pos
+                    FROM assigned_{i},
+                         LATERAL (SELECT UNNEST(embedding) AS v,
+                                         generate_subscripts(embedding, 1) AS pos) u
+                ) GROUP BY cluster, pos
+            ) GROUP BY cluster
+        )""")
+    sql.append(f"""
+        SELECT a.cluster, COUNT(*) AS n_vecs,
+               ROUND(sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)), 4) AS centroid_norm
+        FROM assigned_{iters - 1} a
+        JOIN cents_{iters} c ON a.cluster = c.cluster
+        GROUP BY a.cluster, c.cv
+    """)
+    return "\n".join(sql)
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_ivf_topk": q_ann_ivf,
     "neardup_embedding": q_neardup_embedding,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
+    "kmeans_clusters": q_kmeans,
 }
 
 ORACLES = {
@@ -271,4 +381,5 @@ ORACLES = {
          AND a.vec_id < b.vec_id
         WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {LSH_COSINE}
     """,
+    "kmeans_clusters": _kmeans_oracle(),
 }
