@@ -1,0 +1,26 @@
+"""Python UDTF surface (SURVEY §2 I: the reference has no user-extensible
+functions; Spark 4's table functions are the §7 extension point for
+one-row-to-many transforms that aren't a built-in generator).
+
+UDTFs are constructed lazily (inside a function) because return-type DDL
+parsing needs an active session. Register with
+``spark.udtf.register("tokenize", tokenize_udtf())`` and use laterally:
+``SELECT d.doc_id, t.* FROM documents d, LATERAL tokenize(d.text) t``.
+"""
+
+from __future__ import annotations
+
+
+def tokenize_udtf():
+    """(text) -> rows of (pos, token): whitespace tokenizer as a lateral
+    table function. The built-in twin is posexplode(split(...)) — which is
+    what the hot path should use; the UDTF exists for tokenizers with
+    real logic (BPE merges, offsets, byte spans)."""
+    from pyspark.sql.functions import udtf
+
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    return udtf(Tokenize, returnType="pos int, token string")

@@ -67,5 +67,7 @@ def rewrite(df: DataFrame, path: str) -> None:
 
     tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(tmp, path)
+    # Spark accepts file: URIs; shutil needs bare paths
+    local_tmp, local_path = tmp.removeprefix("file:"), path.removeprefix("file:")
+    shutil.rmtree(local_path, ignore_errors=True)
+    shutil.move(local_tmp, local_path)

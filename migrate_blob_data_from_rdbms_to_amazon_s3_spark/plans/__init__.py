@@ -19,6 +19,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         analytics_ext,
         temporal,
         sql_surface,
+        grouped_map,
         text,
         dedup,
         similarity,
@@ -27,7 +28,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, temporal, sql_surface,
-        text, dedup, similarity, multimodal,
+        grouped_map, text, dedup, similarity, multimodal,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -147,3 +147,48 @@ def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
     assert got.n == want.n
     assert abs(got.sv - want.sv) < 1e-6
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_merge_sink(spark, sf_dir, tmp_path):
+    """foreachBatch merge sink: each micro-batch merges into a keyed
+    parquet table keeping the max-(ts,event_id) row per user. After the
+    drain, the table equals the batch 'latest event per user' query,
+    regardless of batch/file order."""
+    import pyspark.sql.functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.mutation import (
+        rewrite,
+    )
+
+    src = str(tmp_path / "fb_src")
+    tgt = f"file:{tmp_path}/latest_per_user"
+    ev = load_events(spark, sf_dir)
+    ev.repartition(4).write.parquet(src)
+
+    def latest(df):
+        w = F.struct("ts", "event_id")
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(w).alias("m"))
+            .select("user_id", F.col("m.ts").alias("ts"), F.col("m.event_id").alias("event_id"))
+        )
+
+    def merge_batch(batch_df, batch_id):
+        incoming = latest(batch_df)
+        try:
+            existing = batch_df.sparkSession.read.parquet(tgt)
+            merged = latest(existing.unionByName(incoming))
+        except Exception:
+            merged = incoming
+        rewrite(merged, tgt)
+
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {(r.user_id, r.ts, r.event_id) for r in spark.read.parquet(tgt).collect()}
+    want = {(r.user_id, r.ts, r.event_id) for r in latest(ev).collect()}
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
