@@ -28,6 +28,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
+    "q10_returned_items",
     "asof_join",
     "range_join",
     "grouped_percentiles",
@@ -40,6 +41,8 @@ HEADLINE = [
     "simhash",
     "ann_bruteforce_topk",
     "ann_hyperplane_lsh",
+    "kmeans_clusters",
+    "grouped_zscore",
     "multimodal_meta",
 ]
 

@@ -103,14 +103,48 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string matching: supplier-name pairs within Levenshtein
+    distance 3, blocked on the nation key so the pair join is per-block
+    (the same never-quadratic discipline as the dedup family; at scale
+    the block key would be a cheap canonical-form hash)."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    a = sup.select(
+        F.col("s_suppkey").alias("sup_a"), F.col("s_name").alias("name_a"),
+        "s_nationkey",
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("sup_b"), F.col("s_name").alias("name_b"),
+        "s_nationkey",
+    )
+    return (
+        a.join(b, "s_nationkey")
+        .filter(F.col("sup_a") < F.col("sup_b"))
+        .select(
+            "sup_a",
+            "sup_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
 }
 
 ORACLES = {
+    "fuzzy_name_pairs": """
+        SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 3
+    """,
     "text_token_count": rf"""
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
