@@ -24,11 +24,12 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         dedup,
         similarity,
         multimodal,
+        streaming_entries,
     )
 
     mods = (
         parity, analytics, analytics_ext, temporal, sql_surface,
-        grouped_map, text, dedup, similarity, multimodal,
+        grouped_map, text, dedup, similarity, multimodal, streaming_entries,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -159,14 +159,15 @@ def _hyperplane_sig_spark() -> str:
 
 
 def _hyperplane_sig_duck() -> str:
+    # unrolled dot product: plain + is left-associative, so the fold order
+    # (and therefore every IEEE rounding step) matches Spark's aggregate()
+    # left fold exactly; avoids per-row literal-list construction in DuckDB
     terms = []
     for j, plane in enumerate(_PLANES):
-        arr = ", ".join(f"{v:.1f}" for v in plane)
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
-            f"i -> embedding[i]::DOUBLE * ([{arr}])[i]), (a, b) -> a + b)"
+        prods = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
         )
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << j} ELSE 0 END")
     return " + ".join(terms)
 
 
@@ -365,7 +366,7 @@ ORACLES = {
         WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
     """,
     "ann_hyperplane_lsh": f"""
-        WITH sigs AS (
+        WITH sigs AS MATERIALIZED (
             SELECT vec_id, embedding, {_hyperplane_sig_duck()} AS sig
             FROM embeddings
         ),
@@ -373,13 +374,17 @@ ORACLES = {
             SELECT vec_id, embedding, 0 AS band_idx, sig % 256 AS band_val FROM sigs
             UNION ALL
             SELECT vec_id, embedding, 1 AS band_idx, sig // 256 AS band_val FROM sigs
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id
         )
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cos_duck('a.embedding', 'b.embedding')} AS score
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.vec_id < b.vec_id
-        WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {LSH_COSINE}
+        SELECT vec_a, vec_b, score FROM (
+            SELECT vec_a, vec_b, {_cos_duck('ea', 'eb')} AS score FROM pairs
+        ) WHERE score >= {LSH_COSINE}
     """,
     "kmeans_clusters": _kmeans_oracle(),
 }
