@@ -24,12 +24,14 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         dedup,
         similarity,
         multimodal,
+        quality,
         streaming_entries,
     )
 
     mods = (
         parity, analytics, analytics_ext, temporal, sql_surface,
-        grouped_map, text, dedup, similarity, multimodal, streaming_entries,
+        grouped_map, text, dedup, similarity, multimodal, quality,
+        streaming_entries,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -1,0 +1,137 @@
+"""Data-quality / pipeline-maintenance operators: column profiling,
+snapshot diffing (CDC-style), and contribution-share filters.
+
+These are the operational queries a migration pipeline (the reference's
+whole domain) runs around the data movement itself: profile the source,
+diff two snapshots to find what changed, find the heavy hitters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+
+def q_profile_orders(spark, sf_dir):
+    """Column profile in ONE pass (single partial+final aggregate, no
+    per-column scans): null counts, distinct, min/max, mean."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style diff of two table snapshots (old = orders minus a key
+    slice with some prices shifted; derived deterministically so the
+    oracle can rebuild it). Full-outer join on the PK classifies every key
+    as inserted / deleted / updated / unchanged; one shuffle.
+
+    At 100 TB this is the reconciliation pass of the migration pipeline
+    (validate_migration's big sibling): hash-partition both snapshots on
+    the PK and the diff never materializes matched-unchanged rows."""
+    new = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 != 0)  # rows "inserted" since old
+        .select(
+            "o_orderkey",
+            # every 7th key's price "changed" since the old snapshot
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.5, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    # rows "deleted" since old: present in old only
+    new = new.filter(F.col("o_orderkey") % 13 != 0)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("deleted"))
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+def q11_top_suppliers_by_share(spark, sf_dir):
+    """TPC-H Q11 shape: suppliers whose revenue share exceeds a global
+    fraction — grouped agg HAVING > scalar subquery over the same fact.
+    Catalyst computes the total once (scalar subquery, broadcast as a
+    literal); the fact shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.round(rev, 2).alias("supp_revenue"))
+    total = li.agg(rev.alias("t"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("supp_revenue") > 0.0015 * F.col("t"))
+        .select("l_suppkey", "supp_revenue")
+    )
+
+
+QUERIES = {
+    "profile_orders": q_profile_orders,
+    "snapshot_diff": q_snapshot_diff,
+    "q11_top_suppliers_by_share": q11_top_suppliers_by_share,
+}
+
+ORACLES = {
+    "profile_orders": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+               COUNT(DISTINCT o_custkey) AS distinct_custkey,
+               COUNT(DISTINCT o_orderstatus) AS distinct_status,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price,
+               ROUND(AVG(o_totalprice), 4) AS avg_price,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+        FROM orders
+    """,
+    "snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN ROUND(o_totalprice + 1.5, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 11 != 0
+        ),
+        new AS (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 13 != 0
+        )
+        SELECT change, COUNT(*) AS n_keys FROM (
+            SELECT CASE
+                WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_totalprice != n.o_totalprice THEN 'updated'
+                ELSE 'unchanged' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        ) GROUP BY change
+    """,
+    "q11_top_suppliers_by_share": """
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS supp_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) >
+               0.0015 * (SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+    """,
+}
