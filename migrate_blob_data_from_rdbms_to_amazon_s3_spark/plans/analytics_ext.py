@@ -199,9 +199,81 @@ def q18_large_volume_customers(spark, sf_dir):
     )
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue flow between two nation pairs — the
+    disjunctive join predicate ((s=A and c=B) or (s=B and c=A)) stays in
+    the join condition; both dim sides broadcast."""
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: three OR-branches mixing join-side and scan-side
+    predicates. The shared conjuncts (brand/size bounds) are what Catalyst
+    can factor out and push to the scans; the per-branch quantity windows
+    evaluate post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q10_returned_items": q10_returned_items,
     "q18_large_volume_customers": q18_large_volume_customers,
     "customers_without_orders": q_customers_without_orders,
@@ -217,6 +289,31 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS yr,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q19_disjunctive_predicates": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "q6_forecast_revenue": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
                COUNT(*) AS n_items
