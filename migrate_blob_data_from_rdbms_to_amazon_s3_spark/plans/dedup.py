@@ -308,8 +308,53 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+CC_ITERS = 6  # label-propagation rounds; exact while component diameter <= 6
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH candidate-pair graph via iterative min-label propagation
+    (the alternating small-star/large-star idea specialized to tiny
+    dedup clusters). Each round: every node takes the min label among
+    itself and its neighbors — one join + one groupBy per round, unrolled
+    CC_ITERS times. Exact whenever the component diameter <= CC_ITERS
+    (duplicate clusters are near-cliques from the band join, diameter
+    ~2). Output: per-cluster size and canonical (min) doc, the table a
+    dedup pipeline keeps."""
+    # materialize the pair list once: the unrolled rounds reference the
+    # edge set 2x per round, and recomputing the whole LSH DAG each time
+    # measured 12x slower. (At scale: persist() / a checkpoint table.)
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_doc"))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -346,6 +391,32 @@ _BANDS_DUCK = "\n            UNION ALL\n".join(
 _N_MATCH_DUCK = " + ".join(
     f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END" for j in range(16)
 )
+
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure over the same LSH pair graph:
+    component id = min reachable doc id (what label propagation converges
+    to)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({{lsh}}) lsh_pairs
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.doc_b, r.label
+            FROM reach r JOIN edges e ON e.doc_a = r.id
+        ),
+        comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+        SELECT component, COUNT(*) AS n_docs, MIN(id) AS canonical_doc
+        FROM comp GROUP BY component
+    """
+
 
 ORACLES = {
     "dedup_exact": """
@@ -423,3 +494,7 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
 }
+
+ORACLES["dedup_components"] = _components_oracle().format(
+    lsh=ORACLES["dedup_minhash_lsh"]
+)
