@@ -77,6 +77,47 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "p
     return df.select(id_col, blob_col).mapInPandas(kernel, MEDIA_META_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "payload",
+    width: int = 64, height: int = 64,
+) -> DataFrame:
+    """Resize plumbing: binary in → (smaller) binary out with target dims.
+    A real implementation decodes with a codec and interpolates; this
+    container has no codec (see decode_image), so the STUB emits a
+    deterministic byte subsample of length width*height — preserving the
+    real pipeline shape (binary→binary map, output strictly smaller,
+    per-batch vectorizable) so schema/partitioning/testing are honest."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                stride = max(1, len(data) // n_out) if data else 1
+                out = data[::stride][:n_out]
+                rows.append(
+                    (doc_id, width, height, out, hashlib.md5(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_width", "out_height", "resized", "resized_md5"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int = 4096) -> DataFrame:
     """Frame-sampling plumbing: emits one row per sampled "frame" offset
     (a real video decoder would emit decoded frames; the stub emits the

@@ -35,3 +35,25 @@ def test_sample_frames_counts(spark):
     assert rows[0].frame_md5 == hashlib.md5(b"x" * 32).hexdigest() or True
     first = [r for r in rows if r.frame_idx == 0][0]
     assert first.frame_md5 == hashlib.md5(b"x" * 32).hexdigest()
+
+
+def test_resize_stub_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    payloads = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .limit(100)
+    )
+    out = resize_images(payloads, width=8, height=8).collect()
+    assert len(out) == 100
+    for r in out:
+        assert r.out_width == 8 and r.out_height == 8
+        assert 0 < len(r.resized) <= 64
+        import hashlib
+
+        assert hashlib.md5(bytes(r.resized)).hexdigest() == r.resized_md5
