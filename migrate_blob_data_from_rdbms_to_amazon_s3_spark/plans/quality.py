@@ -87,13 +87,46 @@ def q11_top_suppliers_by_share(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    document key — reproducible across runs, engines, and cluster sizes
+    (no RNG, no sampleBy), the property a training pipeline needs so
+    examples never migrate between splits. Report: per-(split, lang)
+    counts — the stratification audit."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
+    "dataset_split": q_dataset_split,
     "snapshot_diff": q_snapshot_diff,
     "q11_top_suppliers_by_share": q11_top_suppliers_by_share,
 }
 
 ORACLES = {
+    "dataset_split": """
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM (
+            SELECT lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """,
     "profile_orders": """
         SELECT COUNT(*) AS n_rows,
                SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
