@@ -129,15 +129,67 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+PACK_CONTEXT_TOKENS = 4096
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: documents are concatenated in a
+    deterministic order and chunked into fixed context windows; a doc's
+    window = its start offset // context_len (streaming concat-and-chunk
+    semantics — docs may straddle a boundary, exactly like a real packer).
+    One window-cumsum over the deterministic order; at scale, partition
+    the cumsum by a shard key (e.g. split/lang) so no global sort exists.
+    Output: per-window doc count + token fill (the packing-efficiency
+    audit)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    with_off = docs.select(
+        "lang",
+        "doc_id",
+        toks.alias("n_toks"),
+        (F.sum(toks).over(w) - toks).alias("start_off"),
+    )
+    win = F.floor(F.col("start_off") / PACK_CONTEXT_TOKENS)
+    return (
+        with_off.groupBy("lang", win.alias("window_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "pack_sequences": q_pack_sequences,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
 }
 
 ORACLES = {
+    "pack_sequences": rf"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_toks
+            FROM documents
+        ),
+        off AS (
+            SELECT lang, doc_id, n_toks,
+                   SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) - n_toks AS start_off
+            FROM t
+        )
+        SELECT lang,
+               CAST(start_off // {PACK_CONTEXT_TOKENS} AS BIGINT) AS window_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM off
+        GROUP BY 1, 2
+    """,
     "fuzzy_name_pairs": """
         SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b,
                CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
