@@ -31,20 +31,30 @@ def _stage_stream_source(spark, sf_dir: str) -> str:
 def q_stream_tumbling(spark, sf_dir):
     """Watermarked tumbling-window counts, drained with availableNow.
     Batch twin (and oracle): analytics.q_events_tumbling."""
+    import shutil
+
     src = _stage_stream_source(spark, sf_dir)
-    result = SE.windowed_counts(SE.read_event_stream(spark, src))
-    SE.run_to_memory(result, "q_stream_tumbling")
+    try:
+        result = SE.windowed_counts(SE.read_event_stream(spark, src))
+        SE.run_to_memory(result, "q_stream_tumbling")  # awaits full drain
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table("q_stream_tumbling")
 
 
 def q_stream_sessionize(spark, sf_dir):
     """applyInPandasWithState gap sessionization (closed sessions only —
     each user's final session stays open in the state store at drain)."""
+    import shutil
+
     from ..streaming.stateful import sessionize_stream
 
     src = _stage_stream_source(spark, sf_dir)
-    result = sessionize_stream(SE.read_event_stream(spark, src))
-    SE.run_to_memory_append(result, "q_stream_sessionize")
+    try:
+        result = sessionize_stream(SE.read_event_stream(spark, src))
+        SE.run_to_memory_append(result, "q_stream_sessionize")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table("q_stream_sessionize").orderBy("user_id", "session_seq")
 
 
