@@ -12,11 +12,25 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_events
 from ..streaming import events as SE
+
+
+@contextmanager
+def _bounded_state_partitions(spark, n: int = 16):
+    """Streaming state-store partition count is frozen from
+    spark.sql.shuffle.partitions at query start; a vanilla session's 200
+    is pure overhead for a fixture-sized drain. Pin, then restore."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stage_stream_source(spark, sf_dir: str) -> str:
@@ -35,8 +49,9 @@ def q_stream_tumbling(spark, sf_dir):
 
     src = _stage_stream_source(spark, sf_dir)
     try:
-        result = SE.windowed_counts(SE.read_event_stream(spark, src))
-        SE.run_to_memory(result, "q_stream_tumbling")  # awaits full drain
+        with _bounded_state_partitions(spark):
+            result = SE.windowed_counts(SE.read_event_stream(spark, src))
+            SE.run_to_memory(result, "q_stream_tumbling")  # awaits full drain
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table("q_stream_tumbling")
@@ -51,8 +66,9 @@ def q_stream_sessionize(spark, sf_dir):
 
     src = _stage_stream_source(spark, sf_dir)
     try:
-        result = sessionize_stream(SE.read_event_stream(spark, src))
-        SE.run_to_memory_append(result, "q_stream_sessionize")
+        with _bounded_state_partitions(spark):
+            result = sessionize_stream(SE.read_event_stream(spark, src))
+            SE.run_to_memory_append(result, "q_stream_sessionize")
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table("q_stream_sessionize").orderBy("user_id", "session_seq")
