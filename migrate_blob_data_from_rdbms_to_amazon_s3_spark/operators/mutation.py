@@ -25,8 +25,16 @@ from pyspark.sql import functions as F
 def insert_rows(existing: DataFrame, new_rows: DataFrame, pk: str) -> DataFrame:
     """A6 PK-safe insert: append only rows whose key is not already present
     (the reference relies on the MySQL PRIMARY KEY constraint; we enforce it
-    with a left-anti join). New-row side is typically small → broadcast."""
-    fresh = new_rows.join(F.broadcast(existing.select(pk)), pk, "left_anti")
+    with a left-anti join).
+
+    The anti-join's right side is the existing table's key set — potentially
+    the full 100 TB table — so it must NEVER carry a broadcast hint: the
+    small new-row side is the stream side of a left-anti and cannot be the
+    build side. No hint here; AQE picks a shuffled hash join keyed on pk,
+    which at scale shuffles only (pk) off the big side plus the tiny new-row
+    set. tests/test_plan_shapes.py asserts no BroadcastExchange appears on
+    the existing-keys subtree."""
+    fresh = new_rows.join(existing.select(pk), pk, "left_anti")
     return existing.unionByName(fresh)
 
 
@@ -61,13 +69,77 @@ def upsert_rows(existing: DataFrame, rows: DataFrame, pk: str) -> DataFrame:
 def rewrite(df: DataFrame, path: str) -> None:
     """Materialize a mutation atomically: write to a temp dir, then swap.
     (Plain-Parquet analog of a transactional commit; with a table format
-    like Delta/Iceberg this becomes a real MERGE.)"""
+    like Delta/Iceberg this becomes a real MERGE.)
+
+    Swap order is crash-safe: the old table is renamed *aside* first, the
+    new one moved in, and only then is the old copy deleted. If the move-in
+    fails (cross-device, permissions, crash) the original is restored — the
+    table is never lost, matching the reference's read-after-write contract
+    (order.js:205-208)."""
+    import os
     import shutil
     import uuid
 
-    tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex}"
+    token = uuid.uuid4().hex
+    tmp = f"{path.rstrip('/')}.__tmp_{token}"
     df.write.mode("overwrite").parquet(tmp)
     # Spark accepts file: URIs; shutil needs bare paths
     local_tmp, local_path = tmp.removeprefix("file:"), path.removeprefix("file:")
-    shutil.rmtree(local_path, ignore_errors=True)
-    shutil.move(local_tmp, local_path)
+    old_aside = f"{local_path.rstrip('/')}.__old_{token}"
+    had_old = os.path.exists(local_path)
+    if had_old:
+        os.rename(local_path, old_aside)
+    try:
+        shutil.move(local_tmp, local_path)
+    except BaseException:
+        if had_old and not os.path.exists(local_path):
+            os.rename(old_aside, local_path)
+        raise
+    if had_old:
+        shutil.rmtree(old_aside, ignore_errors=True)
+
+
+def rewrite_partitions(
+    existing: DataFrame,
+    mutated: DataFrame,
+    path: str,
+    partition_col: str,
+    touched_keys: DataFrame,
+) -> None:
+    """Partition-scoped mutation rewrite: only partitions containing a
+    touched key are rewritten; every other partition's files are left
+    byte-identical on disk.
+
+    At 100 TB a keyed update touching 0.01% of rows must not rewrite 100%
+    of files (the whole-table ``rewrite`` above). The scale plan:
+
+    1. semi-join the partition spec to the touched keys → the (small) set
+       of affected partition values — one shuffle of (pk, partition_col);
+    2. filter the mutated table to those partitions (partition pruning
+       makes the re-read cheap on a partitioned source);
+    3. write with ``partitionOverwriteMode=dynamic`` so Spark replaces
+       exactly the partitions present in the written DataFrame.
+
+    ``existing`` must be a Hive-partitioned table at ``path`` partitioned by
+    ``partition_col``; ``touched_keys`` carries the PK column(s) shared with
+    ``existing``. Mirrors UPDATE ... WHERE order_id = ? (order.js:707-718)
+    touching only the row's page, not the table."""
+    spark = existing.sparkSession
+    pk_cols = [c for c in touched_keys.columns if c in existing.columns]
+    affected = (
+        existing.select(partition_col, *pk_cols)
+        .join(F.broadcast(touched_keys.select(*pk_cols)), pk_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    to_write = mutated.join(F.broadcast(affected), partition_col, "left_semi")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            to_write.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

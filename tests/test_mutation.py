@@ -67,6 +67,67 @@ def test_rewrite_swaps_atomically(spark, base, tmp_path):
     assert sorted(r.order_id for r in back.collect()) == ["b", "c"]
 
 
+def test_rewrite_restores_original_on_failed_swap(spark, base, tmp_path, monkeypatch):
+    """If the move-in fails mid-swap, the original table must survive
+    (rename-aside, not delete-first)."""
+    import shutil
+
+    path = str(tmp_path / "t.parquet")
+    base.write.parquet(path)
+
+    def boom(src, dst):
+        raise OSError("simulated cross-device failure")
+
+    monkeypatch.setattr(shutil, "move", boom)
+    with pytest.raises(OSError):
+        M.rewrite(base.limit(1), path)
+    monkeypatch.undo()
+    back = spark.read.parquet(path)
+    assert sorted(r.order_id for r in back.collect()) == ["a", "b", "c"]
+
+
+def test_partition_scoped_rewrite_leaves_untouched_partitions(spark, tmp_path):
+    """A keyed update must rewrite only the partitions holding touched keys;
+    every other partition's files stay byte-identical (mtime + content) —
+    the 100 TB contract (docstring of rewrite_partitions; order.js:205-208
+    read-after-write honored on the touched row)."""
+    import os
+
+    path = str(tmp_path / "orders_part")
+    rows = [(f"k{i}", f"d{i}", f"seg{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "order_id string, description string, segment string")
+    df.write.partitionBy("segment").parquet(path)
+
+    def file_state(part):
+        d = os.path.join(path, f"segment={part}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = {p: file_state(p) for p in ("seg0", "seg1", "seg2", "seg3")}
+
+    existing = spark.read.parquet(path)
+    # touch only keys living in seg1 (k1, k5 → i % 4 == 1)
+    upd = spark.createDataFrame(
+        [("k1", "UPDATED"), ("k5", "UPDATED")], "order_id string, description string"
+    )
+    mutated = M.update_rows(existing, upd, "order_id")
+    touched = upd.select("order_id")
+    M.rewrite_partitions(existing, mutated, path, "segment", touched)
+
+    after = {p: file_state(p) for p in ("seg0", "seg1", "seg2", "seg3")}
+    for p in ("seg0", "seg2", "seg3"):
+        assert after[p] == before[p], f"partition {p} was rewritten"
+    assert after["seg1"] != before["seg1"]
+
+    back = spark.read.parquet(path)
+    got = {r.order_id: r.description for r in back.collect()}
+    assert got["k1"] == "UPDATED" and got["k5"] == "UPDATED"
+    assert got["k0"] == "d0" and len(got) == 40
+
+
 def test_read_after_write_contract(spark, base, tmp_path):
     """POST then GET returns the row (order.js:205-208)."""
     path = str(tmp_path / "t.parquet")

@@ -50,3 +50,17 @@ def test_lsh_pair_join_is_equi_join(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "top_orders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_insert_anti_join_never_broadcasts_existing(spark, sf_dir):
+    """insert_rows' left-anti right side is the existing (100 TB) table's
+    key set — a broadcast there OOMs the driver at scale. With the
+    auto-broadcast threshold disabled, any BroadcastExchange left in the
+    plan could only come from a hint, so the plan must contain none."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "insert_append")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan, plan
