@@ -50,7 +50,15 @@ def _sessionize_kernel(
 ) -> Iterator[pd.DataFrame]:
     """Per-user kernel: folds event batches into the open session, emitting
     a row whenever a >30 min gap closes one. Events arrive unsorted within
-    a micro-batch → sort by (ts, event_id), exactly the batch twin's order."""
+    a micro-batch, and one group's micro-batch may be delivered as SEVERAL
+    Arrow chunks with no cross-chunk ordering — so all chunks are
+    concatenated and sorted ONCE by (ts, event_id) before folding (sorting
+    each chunk independently would mis-split sessions and let an older
+    event rewind last_ts). Cross-MICRO-BATCH reordering remains bounded by
+    the watermark: the engine drops events older than it before the kernel
+    runs, so a session already folded can only be perturbed by events
+    within the watermark delay — the same guarantee Spark's own
+    session_window offers."""
     (user_id,) = key
 
     if state.hasTimedOut:
@@ -71,9 +79,10 @@ def _sessionize_kernel(
         next_seq, last_ts, n_events, sum_value = 1, None, 0, 0.0
 
     closed: list[tuple[int, int, int, float]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, value in zip(pdf["ts"], pdf["value"]):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        for ts, value in zip(batch["ts"], batch["value"]):
             ts_epoch = ts.timestamp()
             if last_ts is not None and ts_epoch - last_ts > SESSION_GAP_SECONDS:
                 closed.append((user_id, next_seq, n_events, round(sum_value, 2)))
