@@ -39,12 +39,19 @@ from pyspark.sql import types as T
 from ..functions.scalars import DEFAULT_S3_PREFIX, s3_object_key
 from ..sources.object_store import make_store
 
+# Ingestion contract: the reference's presigned POST enforces
+# content-length-range 0..10485760 (order.js:388) — oversize payloads are
+# rejected by the store, so the engine rejects them at externalization time
+# (flagged in the manifest, never written).
+MAX_OBJECT_BYTES = 10 * 1024 * 1024
+
 WRITE_MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("order_id", T.StringType()),
         T.StructField("object_key", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_md5", T.StringType()),
+        T.StructField("status", T.StringType()),  # written | rejected_oversize
     ]
 )
 
@@ -66,13 +73,18 @@ def externalize_blobs(
             out = []
             for oid, blob in zip(pdf[pk], pdf[blob_col]):
                 payload = bytes(blob)
+                if len(payload) > MAX_OBJECT_BYTES:
+                    # order.js:388 content-length-range rejection: flag, skip
+                    out.append((oid, None, len(payload), None, "rejected_oversize"))
+                    continue
                 key = f"orders/{oid}/{s3_prefix}"
                 store.put(key, payload)
                 out.append(
-                    (oid, key, len(payload), hashlib.md5(payload).hexdigest())
+                    (oid, key, len(payload), hashlib.md5(payload).hexdigest(), "written")
                 )
             yield pd.DataFrame(
-                out, columns=["order_id", "object_key", "n_bytes", "content_md5"]
+                out,
+                columns=["order_id", "object_key", "n_bytes", "content_md5", "status"],
             )
 
     return legacy.select(pk, blob_col).mapInPandas(kernel, WRITE_MANIFEST_SCHEMA)
@@ -94,18 +106,31 @@ def validate_migration(
     blob_col: str = "order_blob",
 ) -> dict:
     """Stage 3: reconciliation. Re-derive (n_bytes, md5) from the source
-    blobs, join to the manifest, and existence-check every key (A14).
-    Returns counters; all three mismatch counts must be zero."""
+    blobs, full-outer join to the manifest, and existence-check every key
+    (A14). Both join directions are audited: a source row with no written
+    object is a ``missing_write`` (unless deliberately ``rejected``), and a
+    manifest row with no source row is an ``orphan_manifest`` (phantom
+    write). Mismatch flags are null-safe (``<=>``) so a NULL on either side
+    reads as a mismatch, never as a silent pass. All counters except
+    ``n_rows`` must be zero for a clean migration."""
     source_sums = legacy.select(
         F.col(pk).alias("order_id"),
         F.length(blob_col).cast("long").alias("src_bytes"),
         F.md5(blob_col).alias("src_md5"),
     )
+    rejected = F.col("status") == "rejected_oversize"
+    src_present = F.col("src_bytes").isNotNull()
+    written = F.col("object_key").isNotNull()
     joined = source_sums.join(manifest, "order_id", "full_outer").select(
         "order_id",
-        (F.col("src_bytes") != F.col("n_bytes")).alias("size_mismatch"),
-        (F.col("src_md5") != F.col("content_md5")).alias("md5_mismatch"),
-        F.col("object_key").isNull().alias("missing_write"),
+        (written & src_present & ~F.col("src_bytes").eqNullSafe(F.col("n_bytes")))
+        .alias("size_mismatch"),
+        (written & src_present & ~F.col("src_md5").eqNullSafe(F.col("content_md5")))
+        .alias("md5_mismatch"),
+        (src_present & ~written & ~F.coalesce(rejected, F.lit(False)))
+        .alias("missing_write"),
+        (~src_present).alias("orphan_manifest"),
+        F.coalesce(src_present & rejected, F.lit(False)).alias("rejected"),
         "object_key",
     )
     exists_schema = T.StructType(
@@ -130,7 +155,10 @@ def validate_migration(
         F.sum(F.col("size_mismatch").cast("int")).alias("size_mismatches"),
         F.sum(F.col("md5_mismatch").cast("int")).alias("md5_mismatches"),
         F.sum(F.col("missing_write").cast("int")).alias("missing_writes"),
-        F.sum((~F.col("exists")).cast("int")).alias("missing_objects"),
+        F.sum(F.col("orphan_manifest").cast("int")).alias("orphan_manifests"),
+        F.sum(F.col("rejected").cast("int")).alias("rejected_oversize"),
+        F.sum((F.col("object_key").isNotNull() & ~F.col("exists")).cast("int"))
+        .alias("missing_objects"),
     )
     return report.collect()[0].asDict()
 

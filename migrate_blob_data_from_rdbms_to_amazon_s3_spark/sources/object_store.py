@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 
 class LocalFSObjectStore:
     """File-tree object store: key → <root>/<key>."""
@@ -83,6 +86,47 @@ class S3ObjectStore:
             return True
         except Exception:
             return True
+
+
+def read_objects(
+    spark: SparkSession, root_url: str, glob: str | None = None
+) -> DataFrame:
+    """A13 bulk object source (sites/js/app.js:519-576 reads migrated
+    objects back over HTTP; the engine's analog is Spark's ``binaryFile``
+    format over the store tree). Returns one row per object:
+
+        object_key   key relative to ``root_url`` (orders/<id>/<prefix>)
+        n_bytes      object size
+        content      the payload (BinaryType)
+        mod_time     store mtime
+
+    ``binaryFile`` is a real FileFormat: listing is distributed, each
+    object is one task input split, and column pruning applies — a query
+    that never touches ``content`` reads only file metadata, so a
+    100 TB-tree audit (keys + sizes) costs no payload I/O. Use ``glob``
+    (e.g. ``*.png``) as a pathGlobFilter to prune the listing itself.
+
+    Known Spark behavior: the split planner emits no task for zero-byte
+    files, so empty objects (a valid blob per order_rdbms_blob.js:210) do
+    not appear here. Audit them from the write manifest (``n_bytes = 0``)
+    or ``store.head`` — content-level checks are unaffected since they
+    carry no payload."""
+    root = root_url.removeprefix("file://").rstrip("/")
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(root_url if "://" in root_url else f"file://{root}")
+    # path comes back scheme-qualified (file:/abs/...); recover the key as
+    # everything after "<root>/" regardless of how the scheme normalized
+    marker = root + "/"
+    return df.select(
+        F.expr(
+            f"substring(path, instr(path, '{marker}') + {len(marker)})"
+        ).alias("object_key"),
+        F.col("length").alias("n_bytes"),
+        "content",
+        F.col("modificationTime").alias("mod_time"),
+    )
 
 
 def make_store(url: str):
