@@ -31,6 +31,15 @@ N_BANDS, ROWS_PER_BAND = 4, 4
 SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.2
 
+# Document-frequency cap on posting lists: shingles appearing in more than
+# this many documents (stop-phrases — "of the and", boilerplate headers) are
+# dropped before pair emission. This bounds the Σ|posting|² pair-explosion
+# at cap²·n_hot on adversarial corpora while staying a no-op on natural text
+# (fixture max |posting| = 14 at sf0.1). Near-dups sharing ONLY stop-phrases
+# are below any useful Jaccard threshold anyway, so the cap costs ~nothing
+# in recall and is what makes the inverted index safe at 100 TB.
+MAX_POSTING_DF = 64
+
 # --- shared expression builders (Spark SQL strings) -------------------------
 
 # word 3-gram shingle set from a single-space-tokenized text column
@@ -151,18 +160,19 @@ def q_dedup_exact(spark, sf_dir):
 
 
 # --- n-gram Jaccard near-dup -----------------------------------------------------
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     """Near-dup pairs by word-3-gram Jaccard >= 0.2 via an inverted shingle
     index: explode (doc, shingle), equi-join on the shingle, count common
     shingles per pair, then Jaccard = c / (|A| + |B| - c).
 
-    EXACT (a pair needs >= 1 common shingle to have Jaccard > 0, so the
-    index generates every qualifying candidate) yet never quadratic: cost
-    is Σ_shingle |posting|², which stays linear-ish while shingles are
-    near-unique (measured max posting = 14 at sf0.1; a blocked pair join
-    was 160 s at sf0.1 — this plan is ~100x cheaper and is the one that
-    survives 100x data). Hot shingles (stop-phrases) should be dropped by
-    a document-frequency cap at true scale."""
+    EXACT on natural text (a pair needs >= 1 common shingle to have
+    Jaccard > 0, so the index generates every qualifying candidate) yet
+    never quadratic: cost is Σ_shingle |posting|², which stays linear-ish
+    while shingles are near-unique (measured max posting = 14 at sf0.1; a
+    blocked pair join was 160 s at sf0.1 — this plan is ~100x cheaper and
+    is the one that survives 100x data). Postings hotter than
+    ``max_posting_df`` docs (stop-phrases) are dropped before pair
+    emission — see MAX_POSTING_DF."""
     # Single pass: carry each doc's set size through the posting list as a
     # struct field, so no second subtree and no size-lookup joins exist.
     # Shingles shuffle as 60-bit hashes, not strings: the posting exchange
@@ -177,11 +187,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", "lang", F.size("sh60").alias("n_sh"), F.explode("sh60").alias("s")
     )
     # posting list per (lang, shingle); singleton postings (the vast
-    # majority) are dropped before any pair exists
+    # majority) and hot stop-phrase postings (> max_posting_df docs) are
+    # dropped before any pair exists. (If a corpus were so degenerate that
+    # even collecting a hot posting is a memory risk, detect hot keys with
+    # a count-only pre-agg and anti-join them out before the collect — the
+    # barrier exchange is reused across both branches.)
     posting = (
         ex.groupBy("lang", "s")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_posting_df))
     )
     # emit pairs inline from each posting list (max observed |posting| = 14
     # → <= 91 pairs per shingle; no self-join, no recompute of the index)
@@ -224,8 +238,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """LSH banding: 16 sigs → 4 bands of 4; docs sharing any band bucket are
     candidate duplicates. The band-bucket equi-join is the whole point:
     O(n·bands) shuffle instead of O(n²) compare. Pairs are then verified
-    with the signature-estimated Jaccard (share of matching sigs)."""
-    d = _with_shingle_hashes(spark, sf_dir)
+    with the signature-estimated Jaccard (share of matching sigs).
+
+    Docs with < 3 tokens have no shingles → all-NULL signatures; they are
+    excluded before banding (size(hs) > 0). Without the guard Spark's
+    concat_ws skips NULLs, landing every such doc in one '' bucket, while
+    the SQL twin's || yields NULL band_val that never joins — a
+    cross-engine divergence and an all-pairs bucket of empty docs."""
+    d = _with_shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
     sigs = d.select(
         "doc_id", *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(16)]
     )
@@ -447,7 +467,8 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH {_DOCS_SH_DUCK},
         hashed AS (
-            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs FROM sh_t
+            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs
+            FROM sh_t WHERE len(sh) > 0
         ),
         sigs AS (
             SELECT doc_id,

@@ -1,0 +1,104 @@
+"""Adversarial-corpus guards on the dedup operators: the hot-shingle
+document-frequency cap (stop-phrase postings) and the empty-shingle
+banding guard (docs too short to shingle)."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans import dedup
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text). Writes a documents.parquet fixture."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["test"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def stop_phrase_corpus(tmp_path):
+    """10 docs sharing a 6-token stop-phrase prefix (every prefix shingle
+    has document frequency 10) plus a unique 2-token tail (so pairwise
+    Jaccard = 4/8 = 0.5 via the hot shingles alone)."""
+    prefix = "terms of service apply to all"
+    rows = [(i, f"{prefix} tail{i} end{i}") for i in range(10)]
+    return _write_docs(tmp_path, rows)
+
+
+def test_hot_shingle_cap_drops_stop_phrase_pairs(spark, stop_phrase_corpus):
+    # uncapped (cap above DF=10): every pair qualifies via the shared prefix
+    uncapped = dedup.q_dedup_ngram_jaccard(
+        spark, stop_phrase_corpus, max_posting_df=64
+    ).collect()
+    assert len(uncapped) == 45  # C(10,2)
+    assert all(abs(r.jaccard - 0.5) < 1e-9 for r in uncapped)
+
+    # capped below the stop-phrase DF: the hot postings vanish before pair
+    # emission, and with them every pair whose overlap was only boilerplate
+    capped = dedup.q_dedup_ngram_jaccard(
+        spark, stop_phrase_corpus, max_posting_df=4
+    ).collect()
+    assert capped == []
+
+
+def test_hot_shingle_cap_keeps_genuine_neardups(spark, tmp_path):
+    """A true near-dup pair (unique shared content) must survive a cap that
+    kills the stop-phrase block around it."""
+    prefix = "terms of service apply to all"
+    rows = [(i, f"{prefix} tail{i} end{i}") for i in range(10)]
+    # docs 100/101: same unique 8-token body, differing tail — their common
+    # shingles have DF=2, far below the cap
+    body = "quick brown foxes jump over the lazy dog"
+    rows += [(100, f"{body} alpha"), (101, f"{body} beta")]
+    sf = _write_docs(tmp_path, rows)
+    got = dedup.q_dedup_ngram_jaccard(spark, sf, max_posting_df=4).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(100, 101)]
+    # 9 tokens -> 7 shingles each, 6 shared: 6/(7+7-6)
+    assert abs(got[0].jaccard - round(6 / 8, 4)) < 1e-9
+
+
+def test_default_cap_is_noop_on_fixture(spark, sf_dir):
+    """MAX_POSTING_DF sits above the fixture's max posting size, so the cap
+    must not change results on natural text."""
+    capped = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    uncapped = dedup.q_dedup_ngram_jaccard(
+        spark, sf_dir, max_posting_df=1 << 30
+    ).collect()
+    key = lambda r: (r.doc_a, r.doc_b)
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+    assert len(capped) > 0
+
+
+def test_minhash_lsh_excludes_shingleless_docs(spark, tmp_path):
+    """Docs with < 3 tokens have no shingles → NULL signatures. They must
+    not band (pre-guard they all landed in one '' bucket in Spark while the
+    SQL twin's NULL band_val never joined — cross-engine divergence)."""
+    rows = [
+        (1, "hi"),
+        (2, "a b"),
+        (3, ""),
+        (4, "the quick brown fox jumps high"),
+        (5, "the quick brown fox jumps high"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = dedup.q_dedup_minhash_lsh(spark, sf).collect()
+    # the two real duplicates pair; the shingleless docs pair with nothing
+    assert [(r.doc_a, r.doc_b, r.est_jaccard) for r in got] == [(4, 5, 1.0)]
+
+    # cross-engine: the DuckDB twin agrees on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = con.execute(dedup.ORACLES["dedup_minhash_lsh"]).fetchall()
+    assert [(a, b, float(j)) for a, b, j in oracle] == [(4, 5, 1.0)]
