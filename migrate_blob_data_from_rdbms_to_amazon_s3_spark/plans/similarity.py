@@ -5,11 +5,11 @@ Three operators:
 - brute-force cosine top-k — the exactness baseline: broadcast the query
   vector, one narrow projection computes the score, TakeOrdered top-k.
   At 100 TB this is a single pass, no shuffle except the final k-merge.
-- IVF top-k — the scale path: a coarse quantizer (deterministic seed
-  centroids here; k-means in production) assigns every vector to a
-  cluster; queries search only their cluster's inverted list. Assignment
-  is a broadcast cross-score + argmax window; at 1000 executors the probe
-  touches 1/n_clusters of the data.
+- IVF top-k — the scale path: the coarse quantizer is the TRAINED
+  k-means (Lloyd rounds, `_kmeans_fit`); every vector is assigned to its
+  nearest centroid and queries search only their cluster's inverted
+  list. Assignment is a broadcast cross-score + argmin window; at 1000
+  executors the probe touches 1/n_clusters of the data.
 - embedding near-dup pairs — multi-table multi-probe hyperplane-LSH
   candidate join with an exact cosine verification (the "semantic dedup"
   primitive). Candidates come from 8 independent 6-bit sign-LSH tables
@@ -28,7 +28,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 NEARDUP_COSINE = 0.45
-N_CENTROIDS = 8  # seed centroids = vec_id < 8 (deterministic stand-in for k-means)
+N_CENTROIDS = 8  # quantizer size k; k-means seeds from vec_id < k
 
 # Random-hyperplane LSH: N_PLANES ±1 hyperplanes derived from md5 so both
 # engines (and every run) see the identical matrix. sign(dot(v, P_j))
@@ -100,30 +100,30 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF probe: assign all vectors to their nearest seed centroid
-    (argmax cosine, centroid-id tiebreak), then search the query's cluster
-    only. Returns that cluster's top-5 for the vec_id-0 query."""
+    """IVF probe against the TRAINED quantizer: the coarse centroids are
+    the k-means output (`_kmeans_fit`, KMEANS_ITERS Lloyd rounds), not raw
+    seed vectors — the honest IVF contract. Every vector is assigned to
+    its nearest trained centroid (sq-L2 argmin, the quantizer's own
+    metric, cluster-id tiebreak); the probe then ranks the query's cluster
+    only, by exact cosine. At scale the centroid table is k x dim and
+    broadcast; assignment is a map-side pass and the probe touches
+    ~1/k of the data."""
     emb = _emb(spark, sf_dir)
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
-        )
-    )
-    scored = emb.crossJoin(cents).select(
+    _, cents = _kmeans_fit(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
-        "centroid_id",
-        F.expr(_cos_spark("embedding", "cv")).alias("c_score"),
+        "cluster",
+        F.expr(_sq_dist_spark("embedding", "cv")).alias("d"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), "centroid_id")
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster"))
+        .select("vec_id", "embedding", "cluster")
     )
-    # vec 0 is itself centroid 0 → its cluster is centroid 0's cluster
     query = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("cluster").alias("q_cluster")
@@ -304,17 +304,17 @@ KMEANS_ITERS = 2
 KMEANS_K = N_CENTROIDS  # seed centroids = vec_id < 8, same as IVF
 
 
-def q_kmeans(spark, sf_dir):
-    """K-means, KMEANS_ITERS Lloyd iterations unrolled into one DAG — the
+def _kmeans_fit(emb):
+    """KMEANS_ITERS Lloyd iterations unrolled into one DAG — the
     iterative-algorithm pattern: each round is (broadcast centroids ->
     argmin assign -> posexplode -> per-(cluster,dim) mean). Centroid means
     round to 4 decimals after every round so cross-engine float summation
     can't drift into the next iteration; distances use bit-identical
     left-fold accumulation. At scale: vectors never move — only the k×dim
-    centroid table shuffles; assignment is a broadcast map-side pass."""
+    centroid table shuffles; assignment is a broadcast map-side pass.
+    Returns (last-round assignment, trained centroids)."""
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("cv")
     )
@@ -344,6 +344,13 @@ def q_kmeans(spark, sf_dir):
                 ).alias("cv")
             )
         )
+    return assigned, cents
+
+
+def q_kmeans(spark, sf_dir):
+    """K-means cluster audit: per-cluster size (last-round assignment) and
+    trained-centroid norm. See _kmeans_fit for the Lloyd-round plan."""
+    assigned, cents = _kmeans_fit(_emb(spark, sf_dir))
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
     norms = cents.select(
         "cluster",
@@ -354,7 +361,10 @@ def q_kmeans(spark, sf_dir):
     return sizes.join(norms, "cluster").select("cluster", "n_vecs", "centroid_norm")
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """The shared Lloyd-round CTE chain (WITH ... cents_{KMEANS_ITERS}),
+    the twin of `_kmeans_fit` — used by both the kmeans audit oracle and
+    the IVF oracle (which probes against the trained centroids)."""
     k, iters = KMEANS_K, KMEANS_ITERS
     sql = [
         f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {k})"
@@ -381,14 +391,39 @@ def _kmeans_oracle() -> str:
                 ) GROUP BY cluster, pos
             ) GROUP BY cluster
         )""")
-    sql.append(f"""
+    return "\n".join(sql)
+
+
+def _kmeans_oracle() -> str:
+    iters = KMEANS_ITERS
+    return f"""{_kmeans_ctes()}
         SELECT a.cluster, COUNT(*) AS n_vecs,
                ROUND(sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)), 4) AS centroid_norm
         FROM assigned_{iters - 1} a
         JOIN cents_{iters} c ON a.cluster = c.cluster
         GROUP BY a.cluster, c.cv
-    """)
-    return "\n".join(sql)
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    iters = KMEANS_ITERS
+    d = _sq_dist_duck("e.embedding", "c.cv")
+    return f"""{_kmeans_ctes()}
+        , assigned_f AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d}, c.cluster) AS rn
+                FROM embeddings e, cents_{iters} c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv, cluster AS q_cluster FROM assigned_f WHERE vec_id = 0)
+        SELECT a.vec_id, a.cluster, {_cos_duck('a.embedding', 'q.qv')} AS score
+        FROM assigned_f a, q
+        WHERE a.cluster = q.q_cluster AND a.vec_id != 0
+        ORDER BY score DESC, a.vec_id
+        LIMIT 5
+    """
 
 
 QUERIES = {
@@ -408,31 +443,7 @@ ORACLES = {
         ORDER BY score DESC, vec_id
         LIMIT 10
     """,
-    "ann_ivf_topk": f"""
-        WITH cents AS (
-            SELECT vec_id AS centroid_id, embedding AS cv
-            FROM embeddings WHERE vec_id < {N_CENTROIDS}
-        ),
-        scored AS (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   {_cos_duck('e.embedding', 'c.cv')} AS c_score
-            FROM embeddings e, cents c
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, centroid_id AS cluster
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY vec_id ORDER BY c_score DESC, centroid_id) AS rn
-                FROM scored
-            ) WHERE rn = 1
-        ),
-        q AS (SELECT embedding AS qv, cluster AS q_cluster FROM assigned WHERE vec_id = 0)
-        SELECT a.vec_id, a.cluster, {_cos_duck('a.embedding', 'q.qv')} AS score
-        FROM assigned a, q
-        WHERE a.cluster = q.q_cluster AND a.vec_id != 0
-        ORDER BY score DESC, a.vec_id
-        LIMIT 5
-    """,
+    "ann_ivf_topk": _ann_ivf_oracle(),
     "neardup_embedding": f"""
         WITH sigs AS MATERIALIZED (
             SELECT vec_id, label, embedding,

@@ -130,31 +130,46 @@ def q_fuzzy_name_pairs(spark, sf_dir):
 
 
 PACK_CONTEXT_TOKENS = 4096
+# Packing parallelism: each (lang, doc_id % PACK_SHARDS) is an independent
+# packing stream with its own window numbering, so the cumsum window sorts
+# n_lang x PACK_SHARDS partitions instead of one-per-language — a single
+# dominant language can never become one global sort partition. Dial
+# PACK_SHARDS so each shard's token mass fits an executor's sort budget
+# (shard token mass ~ corpus_tokens / (n_lang x shards)); packing quality
+# is unaffected since windows never span shards by construction.
+PACK_SHARDS = 8
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Sequence packing for pretraining: documents are concatenated in a
-    deterministic order and chunked into fixed context windows; a doc's
-    window = its start offset // context_len (streaming concat-and-chunk
-    semantics — docs may straddle a boundary, exactly like a real packer).
-    One window-cumsum over the deterministic order; at scale, partition
-    the cumsum by a shard key (e.g. split/lang) so no global sort exists.
-    Output: per-window doc count + token fill (the packing-efficiency
-    audit)."""
+    """Sequence packing for pretraining: within each (lang, shard) stream,
+    documents are concatenated in deterministic doc_id order and chunked
+    into fixed context windows; a doc's window = its start offset //
+    context_len (streaming concat-and-chunk semantics — docs may straddle
+    a boundary, exactly like a real packer). One window-cumsum per
+    (lang, shard) partition — see PACK_SHARDS. Output: per-window doc
+    count + token fill (the packing-efficiency audit), keyed by
+    (lang, shard_id, window_id)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    with_off = docs.select(
+    w = Window.partitionBy("lang", "shard_id").orderBy("doc_id")
+    sharded = docs.select(
         "lang",
         "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard_id"),
         toks.alias("n_toks"),
-        (F.sum(toks).over(w) - toks).alias("start_off"),
+    )
+    with_off = sharded.select(
+        "lang",
+        "shard_id",
+        "doc_id",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_off"),
     )
     win = F.floor(F.col("start_off") / PACK_CONTEXT_TOKENS)
     return (
-        with_off.groupBy("lang", win.alias("window_id"))
+        with_off.groupBy("lang", "shard_id", win.alias("window_id"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
@@ -174,21 +189,22 @@ QUERIES = {
 ORACLES = {
     "pack_sequences": rf"""
         WITH t AS (
-            SELECT lang, doc_id,
+            SELECT lang, doc_id, doc_id % {PACK_SHARDS} AS shard_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_toks
             FROM documents
         ),
         off AS (
-            SELECT lang, doc_id, n_toks,
-                   SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) - n_toks AS start_off
+            SELECT lang, shard_id, doc_id, n_toks,
+                   SUM(n_toks) OVER (PARTITION BY lang, shard_id ORDER BY doc_id)
+                     - n_toks AS start_off
             FROM t
         )
-        SELECT lang,
+        SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
                CAST(start_off // {PACK_CONTEXT_TOKENS} AS BIGINT) AS window_id,
                COUNT(*) AS n_docs,
                CAST(SUM(n_toks) AS BIGINT) AS n_tokens
         FROM off
-        GROUP BY 1, 2
+        GROUP BY 1, 2, 3
     """,
     "fuzzy_name_pairs": """
         SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b,
