@@ -22,6 +22,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         grouped_map,
         text,
         dedup,
+        contamination,
         similarity,
         multimodal,
         quality,
@@ -30,8 +31,8 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, temporal, sql_surface,
-        grouped_map, text, dedup, similarity, multimodal, quality,
-        streaming_entries,
+        grouped_map, text, dedup, contamination, similarity, multimodal,
+        quality, streaming_entries,
     )
     queries: dict = {}
     oracles: dict = {}

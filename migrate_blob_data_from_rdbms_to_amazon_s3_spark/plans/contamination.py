@@ -1,0 +1,148 @@
+"""Benchmark decontamination + boilerplate detection — the two n-gram
+audits every pretraining corpus runs before training.
+
+- ``decontaminate_ngram`` — flag training documents that share any word
+  3-gram with a held-out benchmark corpus (the classic eval-leakage
+  check). The benchmark here is the ``src0`` slice of ``documents``; in
+  production it is the eval sets themselves.
+- ``ngram_topk`` — per-language document-frequency top-k n-grams: the
+  boilerplate/stop-phrase detector that feeds MAX_POSTING_DF-style caps
+  (see plans/dedup.py) and cleaning rules.
+
+Both reuse the dedup family's shingle machinery (identical tokenization,
+md5-derived 60-bit hashes) so all four n-gram operators agree on what an
+n-gram is. Shuffle shape:
+
+- decontaminate: the benchmark's distinct shingle-hash set is tiny
+  relative to the corpus (eval sets are MBs, corpora are TBs) — Catalyst/
+  AQE broadcasts it, making contamination a map-side semi-join over the
+  exploded training shingles followed by one (doc_id) count shuffle. No
+  pair join exists anywhere.
+- ngram_topk: one (lang, shingle) count shuffle with map-side partial
+  aggregation, then a per-lang top-k window over the already-aggregated
+  (distinct-ngram-sized) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _SHINGLES_DUCK,
+    _SHINGLES_SPARK,
+    _barrier,
+    _docs,
+    _h60_duck,
+    _h60_spark,
+)
+
+BENCH_SOURCE = "src0"  # fixture stand-in for the held-out eval corpus
+NGRAM_TOPK = 5
+
+
+def _shingled(spark, sf_dir):
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .withColumn("sh60", F.expr(f"transform(sh, s -> {_h60_spark('s')})"))
+    )
+    # doc_id is the PK, so widening the barrier key with (lang, source) is
+    # exact and saves a join back for the source column
+    return _barrier(raw, ["doc_id", "lang", "source"], ["sh", "sh60"])
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """Training docs (source != BENCH_SOURCE) sharing >= 1 word-3-gram
+    with the benchmark slice; n_hits = distinct contaminated 3-grams.
+    A doc with no overlap is absent (clean)."""
+    d = _shingled(spark, sf_dir)
+    bench = (
+        d.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("sh60").alias("s"))
+        .distinct()
+    )
+    train = d.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.explode("sh60").alias("s")
+    )
+    # semi-join against the (small) benchmark shingle set; per-doc shingles
+    # are already distinct (array_distinct inside the shingle expression)
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Per-language top-NGRAM_TOPK word 3-grams by document frequency
+    (ties broken lexicographically) — the boilerplate detector."""
+    from pyspark.sql import Window
+
+    d = _shingled(spark, sf_dir)
+    df_counts = (
+        d.select("lang", F.explode("sh").alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), "ngram")
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_TOPK)
+        .select("lang", "ngram", "df", "rank")
+    )
+
+
+QUERIES = {
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "ngram_topk": q_ngram_topk,
+}
+
+_SH_T = f"""
+        sh_t AS (
+            SELECT doc_id, lang, source, {_SHINGLES_DUCK} AS sh
+            FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                  FROM documents)
+        )
+"""
+
+ORACLES = {
+    "decontaminate_ngram": f"""
+        WITH {_SH_T},
+        hashed AS (
+            SELECT doc_id, source,
+                   list_transform(sh, s -> {_h60_duck('s')}) AS hs
+            FROM sh_t
+        ),
+        bench AS (
+            SELECT DISTINCT u.s FROM hashed,
+                   LATERAL (SELECT UNNEST(hs) AS s) u
+            WHERE source = '{BENCH_SOURCE}'
+        ),
+        train AS (
+            SELECT doc_id, u.s FROM hashed,
+                   LATERAL (SELECT UNNEST(hs) AS s) u
+            WHERE source != '{BENCH_SOURCE}'
+        )
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+    """,
+    "ngram_topk": f"""
+        WITH {_SH_T},
+        exploded AS (
+            SELECT lang, u.ngram FROM sh_t,
+                   LATERAL (SELECT UNNEST(sh) AS ngram) u
+        ),
+        counted AS (
+            SELECT lang, ngram, COUNT(*) AS df
+            FROM exploded GROUP BY lang, ngram
+        )
+        SELECT lang, ngram, df, CAST(rank AS INT) AS rank FROM (
+            SELECT lang, ngram, df,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY df DESC, ngram) AS rank
+            FROM counted
+        ) WHERE rank <= {NGRAM_TOPK}
+    """,
+}

@@ -107,14 +107,52 @@ def q_dataset_split(spark, sf_dir):
     )
 
 
+def q_data_mix_audit(spark, sf_dir):
+    """Data-mixing audit: tokens and documents per (source, lang) with
+    each cell's share of the total token mass — the table that sets (and
+    later verifies) corpus mixing weights. One combiner-friendly shuffle
+    to the (source, lang) grain; the global total is a window over the
+    already-aggregated (tiny) mix table, not a second scan."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    mix = (
+        docs.select("source", "lang", toks.alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return mix.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "dataset_split": q_dataset_split,
+    "data_mix_audit": q_data_mix_audit,
     "snapshot_diff": q_snapshot_diff,
     "q11_top_suppliers_by_share": q11_top_suppliers_by_share,
 }
 
 ORACLES = {
+    "data_mix_audit": r"""
+        WITH mix AS (
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+            GROUP BY 1, 2
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS token_share
+        FROM mix
+    """,
     "dataset_split": """
         SELECT CASE WHEN b < 80 THEN 'train'
                     WHEN b < 90 THEN 'val'

@@ -426,8 +426,48 @@ def _ann_ivf_oracle() -> str:
     """
 
 
+def _q8_spark() -> dict[str, str]:
+    """Symmetric per-vector int8 quantization expressions. scale =
+    max|x| / 127; code = floor(x/scale + 0.5) clamped to [-127, 127]
+    (floor(+0.5) instead of round(): identical half-up semantics in both
+    engines, no banker's-rounding divergence). All-zero vectors take
+    scale 0 and code 0 (no division)."""
+    maxabs = "aggregate(embedding, 0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    scale = f"({maxabs} / 127.0D)"
+    code = (
+        f"transform(embedding, x -> CASE WHEN {scale} = 0D THEN 0 ELSE "
+        f"CAST(greatest(-127D, least(127D, floor(CAST(x AS DOUBLE) / {scale} + 0.5D))) AS INT) END)"
+    )
+    err = (
+        f"zip_with({code}, embedding, (c, x) -> "
+        f"abs(CAST(c AS DOUBLE) * {scale} - CAST(x AS DOUBLE)))"
+    )
+    return {
+        "scale": f"round({scale}, 6)",
+        "max_err": f"round(aggregate({err}, 0D, (acc, v) -> greatest(acc, v)), 6)",
+        "mean_err": f"round(aggregate({err}, 0D, (acc, v) -> acc + v) / {EMB_DIM}, 6)",
+    }
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization audit: per-vector scale plus max/mean
+    absolute reconstruction error — the compression-loss report a vector
+    store produces before switching ANN search to int8. Pure narrow
+    projection (higher-order functions, no shuffle, no Python); at 100 TB
+    this runs at scan speed and the int8 codes are 4x smaller on the
+    wire."""
+    e = _q8_spark()
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(e["scale"]).alias("scale"),
+        F.expr(e["max_err"]).alias("max_abs_err"),
+        F.expr(e["mean_err"]).alias("mean_abs_err"),
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "embedding_quantize_int8": q_embedding_quantize,
     "ann_ivf_topk": q_ann_ivf,
     "neardup_embedding": q_neardup_embedding,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -489,4 +529,33 @@ ORACLES = {
         ) WHERE score >= {LSH_COSINE}
     """,
     "kmeans_clusters": _kmeans_oracle(),
+    "embedding_quantize_int8": f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+                               (x, y) -> CASE WHEN x > y THEN x ELSE y END) / 127.0
+                     AS scale
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, embedding, scale,
+                   list_transform(embedding, x ->
+                       CASE WHEN scale = 0 THEN 0.0
+                            ELSE greatest(-127.0, least(127.0,
+                                 floor(x::DOUBLE / scale + 0.5))) END) AS code
+            FROM s
+        ),
+        e AS (
+            SELECT vec_id, scale,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> abs(code[i] * scale - embedding[i]::DOUBLE))
+                     AS errs
+            FROM c
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               ROUND(list_reduce(errs, (x, y) -> CASE WHEN x > y THEN x ELSE y END), 6)
+                 AS max_abs_err,
+               ROUND(list_reduce(errs, (x, y) -> x + y) / {EMB_DIM}, 6) AS mean_abs_err
+        FROM e
+    """,
 }
