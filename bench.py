@@ -41,9 +41,15 @@ HEADLINE = [
     "simhash",
     "ann_bruteforce_topk",
     "ann_hyperplane_lsh",
+    "ann_ivf_topk",
+    "neardup_embedding",
+    "embedding_quantize_int8",
     "kmeans_clusters",
     "grouped_zscore",
     "multimodal_meta",
+    "decontaminate_ngram",
+    "data_mix_audit",
+    "pack_sequences",
 ]
 
 

@@ -178,44 +178,49 @@ def q_neardup_embedding(spark, sf_dir):
     buckets; candidates dedup before the exact-cosine verification.
     Same-label remains a semantic filter on the pair, not a join block."""
     emb = _emb(spark, sf_dir)
+    # candidate generation carries ONLY (ids, label, band keys) — the
+    # embedding arrays would multiply the candidate shuffle ~30x; they are
+    # re-attached by two linear equi-joins after the pair dedup. label is a
+    # join key (the oracle's cand constrains it too), cutting the bucket
+    # join by the label cardinality before any row exists.
     sigs = emb.select(
         "vec_id",
         "label",
-        "embedding",
         *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
     )
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lab_b"),
-        F.col("embedding").alias("eb"),
+        "label",
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
     )
-    probes = (
-        sigs.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("label").alias("lab_a"),
-            F.col("embedding").alias("ea"),
-            F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
-        )
-        .select(
-            "vec_a",
-            "lab_a",
-            "ea",
-            "tab",
-            F.explode(
-                F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
-            ).alias("bv"),
-        )
+    probes = sigs.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
+    ).select(
+        "vec_a",
+        "label",
+        "tab",
+        F.explode(
+            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
+        ).alias("bv"),
     )
     cand = (
-        probes.join(exact, ["tab", "bv"])
-        .filter((F.col("vec_a") < F.col("vec_b")) & (F.col("lab_a") == F.col("lab_b")))
-        .select(F.col("lab_a").alias("label"), "vec_a", "vec_b", "ea", "eb")
+        probes.join(exact, ["tab", "bv", "label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b")
         .distinct()
     )
-    return cand.select(
-        "label", "vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score")
-    ).filter(F.col("score") >= NEARDUP_COSINE)
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "label", "vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score")
+        )
+        .filter(F.col("score") >= NEARDUP_COSINE)
+    )
 
 
 def _hyperplane_sig_spark() -> str:
@@ -426,27 +431,33 @@ def _ann_ivf_oracle() -> str:
     """
 
 
-def _q8_spark() -> dict[str, str]:
-    """Symmetric per-vector int8 quantization expressions. scale =
+def _q8_spark() -> str:
+    """Symmetric per-vector int8 quantization as ONE expression. scale =
     max|x| / 127; code = floor(x/scale + 0.5) clamped to [-127, 127]
     (floor(+0.5) instead of round(): identical half-up semantics in both
     engines, no banker's-rounding divergence). All-zero vectors take
-    scale 0 and code 0 (no division)."""
+    scale 0 and code 0 (no division).
+
+    The scale is bound as a LAMBDA VARIABLE (``transform(array(scale),
+    s -> ...)`` — a poor man's let-binding): a plain column alias would be
+    re-inlined by CollapseProject into all 64 element lambdas, re-running
+    the max-abs fold per element (measured ~25k ops/row vs ~800 here).
+    Max and mean errors fold in one struct-accumulator pass."""
     maxabs = "aggregate(embedding, 0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
-    scale = f"({maxabs} / 127.0D)"
-    code = (
-        f"transform(embedding, x -> CASE WHEN {scale} = 0D THEN 0 ELSE "
-        f"CAST(greatest(-127D, least(127D, floor(CAST(x AS DOUBLE) / {scale} + 0.5D))) AS INT) END)"
-    )
-    err = (
-        f"zip_with({code}, embedding, (c, x) -> "
-        f"abs(CAST(c AS DOUBLE) * {scale} - CAST(x AS DOUBLE)))"
-    )
-    return {
-        "scale": f"round({scale}, 6)",
-        "max_err": f"round(aggregate({err}, 0D, (acc, v) -> greatest(acc, v)), 6)",
-        "mean_err": f"round(aggregate({err}, 0D, (acc, v) -> acc + v) / {EMB_DIM}, 6)",
-    }
+    return f"""
+    transform(array({maxabs} / 127.0D), s -> named_struct(
+      'scale', round(s, 6),
+      'e', aggregate(
+        zip_with(
+          transform(embedding, x -> CASE WHEN s = 0D THEN 0D
+            ELSE greatest(-127D, least(127D, floor(CAST(x AS DOUBLE) / s + 0.5D))) END),
+          embedding,
+          (c, x) -> abs(c * s - CAST(x AS DOUBLE))),
+        named_struct('mx', 0D, 'sm', 0D),
+        (acc, v) -> named_struct('mx', greatest(acc.mx, v), 'sm', acc.sm + v),
+        acc -> named_struct('mx', round(acc.mx, 6), 'sm', round(acc.sm / {EMB_DIM}, 6))
+      )))[0]
+    """
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -456,12 +467,15 @@ def q_embedding_quantize(spark, sf_dir):
     projection (higher-order functions, no shuffle, no Python); at 100 TB
     this runs at scan speed and the int8 codes are 4x smaller on the
     wire."""
-    e = _q8_spark()
-    return _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr(e["scale"]).alias("scale"),
-        F.expr(e["max_err"]).alias("max_abs_err"),
-        F.expr(e["mean_err"]).alias("mean_abs_err"),
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.expr(_q8_spark()).alias("q"))
+        .select(
+            "vec_id",
+            F.col("q.scale").alias("scale"),
+            F.col("q.e.mx").alias("max_abs_err"),
+            F.col("q.e.sm").alias("mean_abs_err"),
+        )
     )
 
 

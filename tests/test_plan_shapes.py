@@ -64,3 +64,25 @@ def test_insert_anti_join_never_broadcasts_existing(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_neardup_lsh_join_is_equi_join(spark, sf_dir):
+    """The reworked neardup candidate join must stay a (table, bucket)
+    equi-join — never a cartesian/label block."""
+    plan = _plan(spark, sf_dir, "neardup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_is_equi_join_no_pairs(spark, sf_dir):
+    """Decontamination joins exploded training shingles against the
+    benchmark set on the hash — an equi-join; no pair join may exist."""
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_narrow_no_shuffle(spark, sf_dir):
+    """Int8 quantization is a pure projection: no exchange in the plan."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan
