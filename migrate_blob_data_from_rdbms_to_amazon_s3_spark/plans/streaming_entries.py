@@ -96,10 +96,29 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table("q_stream_dedup")
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (purchase↔click attribution within a
+    10-minute horizon). Deterministic under a full drain → full value
+    oracle (the SQL range join over the same events)."""
+    import shutil
+
+    src = _stage_stream_source(spark, sf_dir)
+    try:
+        with _bounded_state_partitions(spark):
+            result = SE.interval_join_streams(
+                SE.read_event_stream(spark, src), SE.read_event_stream(spark, src)
+            )
+            SE.run_to_memory_append(result, "q_stream_interval_join")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_interval_join")
+
+
 QUERIES = {
     "stream_tumbling_windows": q_stream_tumbling,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_dedup_exact": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES = {
@@ -107,5 +126,16 @@ ORACLES = {
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                user_id, event_type, value
         FROM events
+    """,
+    "stream_interval_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               p.value AS value
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
     """,
 }

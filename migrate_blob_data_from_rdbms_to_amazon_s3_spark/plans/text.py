@@ -129,6 +129,67 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 shapes):
+# corpora drop docs dominated by repeated tokens / one hot bigram.
+REP_MAX_DUP_TOKEN_FRAC = 0.85
+REP_MAX_TOP_BIGRAM_FRAC = 0.2
+
+# PII scrubbing patterns — shared verbatim with the oracle; both Java
+# regex and RE2 interpret these identically (char classes, \d, \b, {2,}).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Repetition filter: duplicate-token fraction and hottest-bigram
+    fraction per document, with the Gopher-style pass flag. The bigram
+    list is bound as a lambda variable (the `transform(array(...))`
+    let-binding — see similarity._q8_spark) so CollapseProject can't
+    re-inline its construction into every reference; the mode count is
+    O(distinct x n) per doc, all JVM-side, no shuffle beyond the token
+    barrier."""
+    d = _docs_with_toks(spark, sf_dir)
+    n = F.size("toks")
+    dup_frac = F.round(
+        F.lit(1.0) - F.try_divide(F.size(F.array_distinct("toks")), n), 4
+    )
+    bigrams = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', toks[i-1], toks[i])) ELSE array() END"
+    )
+    top_bigram = F.expr(
+        f"transform(array({bigrams}), g -> CASE WHEN size(g) = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE round(array_max(transform(array_distinct(g), x -> size(filter(g, y -> y = x)))) "
+        "/ CAST(size(g) AS DOUBLE), 4) END)[0]"
+    )
+    return d.select(
+        "doc_id",
+        dup_frac.alias("dup_token_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        (
+            (dup_frac < REP_MAX_DUP_TOKEN_FRAC)
+            & (top_bigram < REP_MAX_TOP_BIGRAM_FRAC)
+        ).alias("passes_repetition"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails/phone numbers, report match counts and
+    the md5 of the scrubbed text (proves byte-identical scrubbing without
+    shipping documents around). Narrow projection, no shuffle; the fixture
+    corpus contains no PII (all counts 0 — the positive cases are proven
+    in tests/test_text_guards.py on constructed rows)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
 PACK_CONTEXT_TOKENS = 4096
 # Packing parallelism: each (lang, doc_id % PACK_SHARDS) is an independent
 # packing stream with its own window numbering, so the cumsum window sorts
@@ -184,9 +245,50 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
+    "text_repetition_filter": q_repetition_filter,
+    "text_pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
+    "text_repetition_filter": rf"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [] END AS bg
+            FROM t
+        ),
+        fr AS (
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(toks)) / len(toks), 4)
+                     AS dup_token_frac,
+                   CASE WHEN len(bg) = 0 THEN NULL
+                        ELSE ROUND(list_max(list_transform(list_distinct(bg),
+                                 x -> len(list_filter(bg, y -> y = x))))
+                             / CAST(len(bg) AS DOUBLE), 4)
+                   END AS top_bigram_frac
+            FROM g
+        )
+        SELECT doc_id, dup_token_frac, top_bigram_frac,
+               (dup_token_frac < {REP_MAX_DUP_TOKEN_FRAC}
+                AND top_bigram_frac < {REP_MAX_TOP_BIGRAM_FRAC})
+                 AS passes_repetition
+        FROM fr
+    """,
+    "text_pii_scrub": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM documents
+    """,
     "pack_sequences": rf"""
         WITH t AS (
             SELECT lang, doc_id, doc_id % {PACK_SHARDS} AS shard_id,

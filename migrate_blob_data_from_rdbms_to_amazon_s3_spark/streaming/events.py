@@ -79,6 +79,54 @@ def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def interval_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (attribution shape): each purchase
+    matched to the same user's clicks in the preceding ``horizon``. Both
+    sides carry event-time watermarks and the join condition bounds
+    click_ts relative to purchase_ts, so Spark can evict click state once
+    the purchase-side watermark passes the horizon — bounded state at any
+    stream length. A full availableNow drain emits exactly the batch
+    interval-join result, so this streaming query has a plain-SQL
+    oracle."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "value",
+    )
+
+
 def run_to_memory_append(result: DataFrame, name: str) -> None:
     """Drain an append-mode stream (stateful operators emit incrementally)."""
     q = (

@@ -1,0 +1,51 @@
+"""Positive cases for the repetition filter and PII scrubber (the fixture
+corpus has no PII and fairly uniform repetition, so the interesting
+behavior is proven here on constructed rows)."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans import text as TX
+
+
+def _write_docs(tmp_path, rows):
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["test"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_pii_scrub_redacts_and_counts(spark, tmp_path):
+    dirty = "contact bob@example.com or sue@test.org call 555-123 4567 now"
+    clean = "plain text with no contact info at all"
+    sf = _write_docs(tmp_path, [(1, dirty), (2, clean)])
+    rows = {r.doc_id: r for r in TX.q_pii_scrub(spark, sf).collect()}
+    assert rows[1].n_emails == 2
+    assert rows[1].n_phones == 1
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+
+    expected = "contact <EMAIL> or <EMAIL> call <PHONE> now"
+    assert rows[1].scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert rows[2].scrubbed_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_repetition_filter_flags_spam(spark, tmp_path):
+    spam = "buy now " * 30  # one bigram dominates, tokens all duplicates
+    prose = "the quick brown fox jumps over a lazy dog near the old river bank"
+    sf = _write_docs(tmp_path, [(1, spam.strip()), (2, prose)])
+    rows = {r.doc_id: r for r in TX.q_repetition_filter(spark, sf).collect()}
+    assert rows[1].dup_token_frac > 0.9
+    assert rows[1].top_bigram_frac > 0.4
+    assert rows[1].passes_repetition is False
+    assert rows[2].dup_token_frac < 0.2
+    assert rows[2].top_bigram_frac < 0.1
+    assert rows[2].passes_repetition is True
