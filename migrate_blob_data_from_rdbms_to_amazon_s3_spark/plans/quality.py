@@ -132,10 +132,58 @@ def q_data_mix_audit(spark, sf_dir):
     )
 
 
+def q_corpus_clean_funnel(spark, sf_dir):
+    """The corpus-cleaning FUNNEL — the whole training-data pipeline as
+    one composed plan: quality filter → repetition filter → exact dedup →
+    benchmark decontamination, reported as cumulative survivor counts
+    over the non-benchmark corpus. Composes the engine's own operators
+    (text.q_quality_score, text.q_repetition_filter, exact-dedup
+    canonicalization, contamination.q_decontaminate_ngram) — each flag is
+    computed independently and the funnel is the cumulative AND, so
+    stages can be audited or re-ordered without recomputation."""
+    from pyspark.sql import Window
+
+    from . import contamination as CM
+    from . import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != CM.BENCH_SOURCE).select("doc_id", "text")
+    quality = TX.q_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    rep = TX.q_repetition_filter(spark, sf_dir).select("doc_id", "passes_repetition")
+    w = Window.partitionBy("text_hash")
+    canon = (
+        corpus.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "is_canonical")
+    )
+    cont = CM.q_decontaminate_ngram(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    flags = (
+        corpus.select("doc_id")
+        .join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .join(canon, "doc_id")
+        .join(cont, "doc_id", "left")
+    )
+    q = F.col("passes_quality")
+    r = F.col("passes_repetition")
+    u = F.col("is_canonical")
+    c = F.coalesce(F.col("contaminated"), F.lit(False))
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(q.cast("long")).alias("n_quality"),
+        F.sum((q & r).cast("long")).alias("n_nonrepetitive"),
+        F.sum((q & r & u).cast("long")).alias("n_unique"),
+        F.sum((q & r & u & ~c).cast("long")).alias("n_clean"),
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "dataset_split": q_dataset_split,
     "data_mix_audit": q_data_mix_audit,
+    "corpus_clean_funnel": q_corpus_clean_funnel,
     "snapshot_diff": q_snapshot_diff,
     "q11_top_suppliers_by_share": q11_top_suppliers_by_share,
 }
@@ -206,3 +254,75 @@ ORACLES = {
                0.0015 * (SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
     """,
 }
+
+
+def _funnel_oracle() -> str:
+    """Assembled from the same flag expressions the per-stage oracles use
+    (text_quality_score, text_repetition_filter, dedup_exact,
+    decontaminate_ngram), cumulative-AND'd over the non-benchmark corpus."""
+    from . import contamination as CM
+    from . import text as TX
+
+    sw = TX._SW_SQL
+    return rf"""
+        WITH corpus AS (
+            SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE source != '{CM.BENCH_SOURCE}'
+        ),
+        qf AS (
+            SELECT doc_id,
+                   (len(toks) >= 5
+                    AND len(list_filter(toks, t -> t IN {sw})) / len(toks) > 0.01
+                    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / length(text) > 0.5) AS q
+            FROM corpus
+        ),
+        rf AS (
+            SELECT doc_id,
+                   (dup < {TX.REP_MAX_DUP_TOKEN_FRAC}
+                    AND topb < {TX.REP_MAX_TOP_BIGRAM_FRAC}) AS r
+            FROM (
+                SELECT doc_id,
+                       ROUND(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup,
+                       CASE WHEN len(bg) = 0 THEN NULL
+                            ELSE ROUND(list_max(list_transform(list_distinct(bg),
+                                     x -> len(list_filter(bg, y -> y = x))))
+                                 / CAST(len(bg) AS DOUBLE), 4)
+                       END AS topb
+                FROM (
+                    SELECT doc_id, toks,
+                           CASE WHEN len(toks) >= 2 THEN
+                             list_transform(generate_series(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                           ELSE [] END AS bg
+                    FROM corpus
+                )
+            )
+        ),
+        uf AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS u
+            FROM corpus
+        ),
+        cont AS (
+            SELECT doc_id FROM ({CM.ORACLES['decontaminate_ngram']})
+        ),
+        flags AS (
+            SELECT corpus.doc_id, q, r, u,
+                   (cont.doc_id IS NOT NULL) AS c
+            FROM corpus
+            JOIN qf USING (doc_id)
+            JOIN rf USING (doc_id)
+            JOIN uf USING (doc_id)
+            LEFT JOIN cont ON corpus.doc_id = cont.doc_id
+        )
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN q THEN 1 ELSE 0 END) AS n_quality,
+               SUM(CASE WHEN q AND r THEN 1 ELSE 0 END) AS n_nonrepetitive,
+               SUM(CASE WHEN q AND r AND u THEN 1 ELSE 0 END) AS n_unique,
+               SUM(CASE WHEN q AND r AND u AND NOT c THEN 1 ELSE 0 END) AS n_clean
+        FROM flags
+    """
+
+
+ORACLES["corpus_clean_funnel"] = _funnel_oracle()

@@ -61,3 +61,39 @@ def test_dedup_on_empty_documents(spark, tmp_path):
     )
     assert q_dedup_exact(spark, sf).count() == 0
     assert q_dedup_ngram_jaccard(spark, sf).count() == 0
+
+
+def test_round2_ops_on_empty_documents(spark, tmp_path):
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.contamination import (
+        q_decontaminate_ngram,
+        q_ngram_topk,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.text import (
+        q_pack_sequences,
+        q_pii_scrub,
+        q_repetition_filter,
+    )
+
+    sf = f"file:{tmp_path}"
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    assert q_decontaminate_ngram(spark, sf).count() == 0
+    assert q_ngram_topk(spark, sf).count() == 0
+    assert q_repetition_filter(spark, sf).count() == 0
+    assert q_pii_scrub(spark, sf).count() == 0
+    assert q_pack_sequences(spark, sf).count() == 0
+
+
+def test_quantize_on_empty_embeddings(spark, tmp_path):
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        q_embedding_quantize,
+        q_neardup_embedding,
+    )
+
+    sf = f"file:{tmp_path}"
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label long"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    assert q_embedding_quantize(spark, sf).count() == 0
+    assert q_neardup_embedding(spark, sf).count() == 0
