@@ -17,6 +17,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         parity,
         analytics,
         analytics_ext,
+        analytics_tpch2,
         temporal,
         sql_surface,
         grouped_map,
@@ -30,7 +31,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
     )
 
     mods = (
-        parity, analytics, analytics_ext, temporal, sql_surface,
+        parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, multimodal,
         quality, streaming_entries,
     )
