@@ -1,7 +1,7 @@
 """TPC-H breadth, second tranche: the remaining classic query shapes
-(Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q21/Q22) adapted to the fixture's reduced
-schemas (no partsupp/shipmode/comment columns — each adaptation keeps the
-shape's defining plan feature, noted per query).
+(Q2/Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22) adapted to the fixture's
+reduced schemas (no partsupp/shipmode/comment columns — each adaptation
+keeps the shape's defining plan feature, noted per query).
 
 Scale notes (100 TB):
 - Dims (part/supplier/nation/region/customer) broadcast explicitly; the
@@ -48,7 +48,7 @@ def q8_market_share(spark, sf_dir):
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(reg.select("r_regionkey"), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    focal = F.when(F.col("n_name") == "CHINA", REV).otherwise(F.lit(0.0))
+    focal = F.when(F.col("n_name") == "NATION_7", REV).otherwise(F.lit(0.0))
     return (
         j.select(F.year("o_orderdate").alias("o_year"), REV.alias("rev"),
                  focal.alias("focal_rev"))
@@ -257,7 +257,76 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (minimum-cost supplier): for each part sold in a region,
+    the supplier(s) achieving the minimum unit price — the correlated
+    min-subquery-per-part feature, decorrelated to an aggregate + rejoin.
+    Adaptation: offer price = the supplier's minimum lineitem
+    extendedprice for the part (no partsupp.ps_supplycost); raw column
+    values only — no derived arithmetic — so the equality join on the
+    floor price is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                              "l_extendedprice")
+    sup = _dim(spark, sf_dir, "supplier")
+    nat = _dim(spark, sf_dir, "nation")
+    reg = _dim(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("unit_price"))
+        .join(sup.select("s_suppkey", "s_name", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat.select("n_nationkey", "n_name", "n_regionkey"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg.select("r_regionkey"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min("unit_price").alias("best_offer"))
+    )
+    floor_ = offers.groupBy(F.col("l_partkey").alias("f_partkey")).agg(
+        F.min("best_offer").alias("floor_price")
+    )
+    return (
+        offers.join(
+            floor_,
+            (offers.l_partkey == floor_.f_partkey)
+            & (offers.best_offer == floor_.floor_price),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey", "s_name", "n_name",
+            F.col("best_offer").alias("min_unit_price"),
+        )
+    )
+
+
+def q20_part_share_suppliers(spark, sf_dir):
+    """Q20 shape (suppliers holding significant part share): suppliers in
+    one nation who supplied more than a 20% share of a part's total quantity for
+    some part — the nested semi-join chain (supplier ← qualifying
+    (part, supplier) ← per-part totals). Quantities are exact sums of
+    fixture integers, so the > comparison is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    qualifying = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.t_partkey)
+        .filter(F.col("supp_qty") > 0.2 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _dim(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        sup.join(nat.select("n_nationkey"), sup.s_nationkey == F.col("n_nationkey"))
+        .join(qualifying, sup.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q12_delay_buckets": q12_delay_buckets,
@@ -272,9 +341,44 @@ QUERIES = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT l_partkey, s_suppkey, s_name, n_name,
+                   MIN(l_extendedprice) AS best_offer
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT o.l_partkey AS p_partkey, o.s_suppkey, o.s_name, o.n_name,
+               o.best_offer AS min_unit_price
+        FROM offers o
+        WHERE o.best_offer = (
+            SELECT MIN(best_offer) FROM offers i WHERE i.l_partkey = o.l_partkey
+        )
+    """,
+    "q20_part_share_suppliers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        per_p AS (
+            SELECT l_partkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        WHERE s_suppkey IN (
+            SELECT ps.l_suppkey FROM per_ps ps
+            JOIN per_p p ON ps.l_partkey = p.l_partkey
+            WHERE ps.supp_qty > 0.2 * p.total_qty
+        )
+    """,
     "q8_market_share": f"""
         SELECT year(o_orderdate) AS o_year,
-               ROUND(SUM(CASE WHEN n_name = 'CHINA' THEN {_REV} ELSE 0 END)
+               ROUND(SUM(CASE WHEN n_name = 'NATION_7' THEN {_REV} ELSE 0 END)
                      / SUM({_REV}), 4) AS mkt_share,
                ROUND(SUM({_REV}), 2) AS total_rev
         FROM lineitem
