@@ -50,6 +50,9 @@ HEADLINE = [
     "decontaminate_ngram",
     "data_mix_audit",
     "pack_sequences",
+    "corpus_clean_funnel",
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 

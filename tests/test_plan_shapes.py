@@ -86,3 +86,14 @@ def test_quantize_is_narrow_no_shuffle(spark, sf_dir):
     """Int8 quantization is a pure projection: no exchange in the plan."""
     plan = _plan(spark, sf_dir, "embedding_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_tpch2_plans(spark, sf_dir):
+    """Tranche-2 guards: Q8's dims broadcast; Q21's exists/not-exists
+    plan as semi + anti joins; Q13 keeps the outer join."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
