@@ -238,7 +238,37 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Per-language token-length distribution: exact p25/p50/p75/p95 plus
+    mean — the corpus-shape audit that sizes context windows and packing
+    (see PACK_CONTEXT_TOKENS). Exact sort-based percentiles within each
+    (small) language group so the DuckDB twin is value-checkable; at
+    production scale swap percentile() for approx_percentile's one-pass
+    sketch."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    ps = [0.25, 0.5, 0.75, 0.95]
+    # one array-percentile call = one value buffer per group (four separate
+    # percentile() aggs would buffer the column four times)
+    agged = (
+        docs.select("lang", toks.alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile("n_toks", F.array(*[F.lit(p) for p in ps])).alias("q"),
+            F.round(F.avg("n_toks"), 2).alias("mean_toks"),
+        )
+    )
+    return agged.select(
+        "lang",
+        "n_docs",
+        *[F.round(F.col("q")[i], 2).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
+        "mean_toks",
+    )
+
+
 QUERIES = {
+    "text_length_percentiles": q_length_percentiles,
     "text_token_count": q_token_count,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "pack_sequences": q_pack_sequences,
@@ -250,6 +280,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_length_percentiles": r"""
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(quantile_cont(n_toks, 0.25), 2) AS p25,
+               ROUND(quantile_cont(n_toks, 0.5), 2) AS p50,
+               ROUND(quantile_cont(n_toks, 0.75), 2) AS p75,
+               ROUND(quantile_cont(n_toks, 0.95), 2) AS p95,
+               ROUND(AVG(n_toks), 2) AS mean_toks
+        FROM (
+            SELECT lang,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_toks
+            FROM documents
+        )
+        GROUP BY lang
+    """,
     "text_repetition_filter": rf"""
         WITH t AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

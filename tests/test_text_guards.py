@@ -49,3 +49,21 @@ def test_repetition_filter_flags_spam(spark, tmp_path):
     assert rows[2].dup_token_frac < 0.2
     assert rows[2].top_bigram_frac < 0.1
     assert rows[2].passes_repetition is True
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Int8 quantization invariant: with a symmetric scale = max|x|/127,
+    no element clamps, so every reconstruction error is <= scale/2 — up
+    to the 1e-6 output rounding (both scale and err round to 6 decimals,
+    so the reported bound can be off by half a quantum on each side)."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        q_embedding_quantize,
+    )
+    import pyspark.sql.functions as F
+
+    q = q_embedding_quantize(spark, sf_dir)
+    bad = q.filter(
+        (F.col("scale") > 0) & (F.col("max_abs_err") > F.col("scale") / 2 + 1e-6)
+    )
+    assert bad.count() == 0
+    assert q.count() > 0
