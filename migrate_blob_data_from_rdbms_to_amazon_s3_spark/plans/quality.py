@@ -136,39 +136,38 @@ def q_corpus_clean_funnel(spark, sf_dir):
     """The corpus-cleaning FUNNEL — the whole training-data pipeline as
     one composed plan: quality filter → repetition filter → exact dedup →
     benchmark decontamination, reported as cumulative survivor counts
-    over the non-benchmark corpus. Composes the engine's own operators
-    (text.q_quality_score, text.q_repetition_filter, exact-dedup
-    canonicalization, contamination.q_decontaminate_ngram) — each flag is
-    computed independently and the funnel is the cumulative AND, so
-    stages can be audited or re-ordered without recomputation."""
+    over the non-benchmark corpus. Composes the engine's own flag
+    builders (text.quality_flag, text.repetition_flag — the exact
+    predicates q_quality_score / q_repetition_filter expose) over ONE
+    shared token barrier, plus exact-dedup canonicalization and
+    contamination.q_decontaminate_ngram; the funnel is the cumulative
+    AND. One token pass + one shingle pass over the corpus — not one
+    scan per stage."""
     from pyspark.sql import Window
 
     from . import contamination as CM
     from . import text as TX
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("source") != CM.BENCH_SOURCE).select("doc_id", "text")
-    quality = TX.q_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
-    rep = TX.q_repetition_filter(spark, sf_dir).select("doc_id", "passes_repetition")
-    w = Window.partitionBy("text_hash")
-    canon = (
-        corpus.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
-        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
-        .select("doc_id", "is_canonical")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = (
+        TX._docs_with_toks(spark, sf_dir)
+        .join(src, "doc_id")
+        .filter(F.col("source") != CM.BENCH_SOURCE)
     )
+    w = Window.partitionBy("text_hash")
+    flags = base.select(
+        "doc_id",
+        TX.quality_flag().alias("q"),
+        TX.repetition_flag().alias("r"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+    ).withColumn("u", F.col("doc_id") == F.min("doc_id").over(w))
     cont = CM.q_decontaminate_ngram(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("contaminated")
     )
-    flags = (
-        corpus.select("doc_id")
-        .join(quality, "doc_id")
-        .join(rep, "doc_id")
-        .join(canon, "doc_id")
-        .join(cont, "doc_id", "left")
-    )
-    q = F.col("passes_quality")
-    r = F.col("passes_repetition")
-    u = F.col("is_canonical")
+    flags = flags.join(cont, "doc_id", "left")
+    q = F.col("q")
+    r = F.col("r")
+    u = F.col("u")
     c = F.coalesce(F.col("contaminated"), F.lit(False))
     return flags.agg(
         F.count("*").alias("n_total"),

@@ -52,6 +52,20 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def quality_flag():
+    """The pass/fail quality Column over a (toks, text) row — shared by
+    q_quality_score and the corpus_clean_funnel so both see the exact
+    same predicate."""
+    n_toks = F.size("toks")
+    sw = F.expr(f"size(filter(toks, t -> t in {_SW_SPARK}))")
+    alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return (
+        (n_toks >= 5)
+        & (F.try_divide(sw, n_toks) > 0.01)
+        & (F.try_divide(alpha_chars, F.length("text")) > 0.5)
+    )
+
+
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length, mean word length, stopword ratio, alpha
     ratio — the standard cheap heuristics used to filter web corpora."""
@@ -65,11 +79,7 @@ def q_quality_score(spark, sf_dir):
         F.round(F.try_divide(F.length("text"), n_toks), 4).alias("avg_token_len"),
         F.round(F.try_divide(sw, n_toks), 4).alias("stopword_ratio"),
         F.round(F.try_divide(alpha_chars, F.length("text")), 4).alias("alpha_ratio"),
-        (
-            (n_toks >= 5)
-            & (F.try_divide(sw, n_toks) > 0.01)
-            & (F.try_divide(alpha_chars, F.length("text")) > 0.5)
-        ).alias("passes_quality"),
+        quality_flag().alias("passes_quality"),
     )
 
 
@@ -140,15 +150,13 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 
-def q_repetition_filter(spark, sf_dir):
-    """Repetition filter: duplicate-token fraction and hottest-bigram
-    fraction per document, with the Gopher-style pass flag. The bigram
+def repetition_cols():
+    """(dup_token_frac, top_bigram_frac) Columns over a (toks,) row —
+    shared by q_repetition_filter and the corpus_clean_funnel. The bigram
     list is bound as a lambda variable (the `transform(array(...))`
     let-binding — see similarity._q8_spark) so CollapseProject can't
     re-inline its construction into every reference; the mode count is
-    O(distinct x n) per doc, all JVM-side, no shuffle beyond the token
-    barrier."""
-    d = _docs_with_toks(spark, sf_dir)
+    O(distinct x n) per doc, all JVM-side."""
     n = F.size("toks")
     dup_frac = F.round(
         F.lit(1.0) - F.try_divide(F.size(F.array_distinct("toks")), n), 4
@@ -162,14 +170,28 @@ def q_repetition_filter(spark, sf_dir):
         "ELSE round(array_max(transform(array_distinct(g), x -> size(filter(g, y -> y = x)))) "
         "/ CAST(size(g) AS DOUBLE), 4) END)[0]"
     )
+    return dup_frac, top_bigram
+
+
+def repetition_flag():
+    dup_frac, top_bigram = repetition_cols()
+    return (dup_frac < REP_MAX_DUP_TOKEN_FRAC) & (
+        top_bigram < REP_MAX_TOP_BIGRAM_FRAC
+    )
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Repetition filter: duplicate-token fraction and hottest-bigram
+    fraction per document, with the Gopher-style pass flag. No shuffle
+    beyond the token barrier; see repetition_cols for the expression
+    shape."""
+    d = _docs_with_toks(spark, sf_dir)
+    dup_frac, top_bigram = repetition_cols()
     return d.select(
         "doc_id",
         dup_frac.alias("dup_token_frac"),
         top_bigram.alias("top_bigram_frac"),
-        (
-            (dup_frac < REP_MAX_DUP_TOKEN_FRAC)
-            & (top_bigram < REP_MAX_TOP_BIGRAM_FRAC)
-        ).alias("passes_repetition"),
+        repetition_flag().alias("passes_repetition"),
     )
 
 
