@@ -331,16 +331,15 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 CC_ITERS = 6  # label-propagation rounds; exact while component diameter <= 6
 
 
-def q_dedup_components(spark, sf_dir):
-    """Duplicate-cluster assignment: connected components over the
-    MinHash-LSH candidate-pair graph via iterative min-label propagation
-    (the alternating small-star/large-star idea specialized to tiny
-    dedup clusters). Each round: every node takes the min label among
-    itself and its neighbors — one join + one groupBy per round, unrolled
+def _component_labels(spark, sf_dir):
+    """(id, label) connected-component assignment over the MinHash-LSH
+    candidate-pair graph via iterative min-label propagation (the
+    alternating small-star/large-star idea specialized to tiny dedup
+    clusters). Each round: every node takes the min label among itself
+    and its neighbors — one join + one groupBy per round, unrolled
     CC_ITERS times. Exact whenever the component diameter <= CC_ITERS
     (duplicate clusters are near-cliques from the band join, diameter
-    ~2). Output: per-cluster size and canonical (min) doc, the table a
-    dedup pipeline keeps."""
+    ~2)."""
     # materialize the pair list once: the unrolled rounds reference the
     # edge set 2x per round, and recomputing the whole LSH DAG each time
     # measured 12x slower. (At scale: persist() / a checkpoint table.)
@@ -366,15 +365,50 @@ def q_dedup_components(spark, sf_dir):
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
         )
+    return labels
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster table: per-cluster size and canonical (min) doc,
+    the table a dedup pipeline keeps. See _component_labels."""
     return (
-        labels.groupBy(F.col("label").alias("component"))
+        _component_labels(spark, sf_dir)
+        .groupBy(F.col("label").alias("component"))
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_doc"))
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical SELECTION (not just min-id): within each near-dup
+    cluster, keep the doc with the most tokens (ties → smallest doc_id) —
+    the policy real pipelines want ("keep the longest copy"). Labels come
+    from the same propagation as dedup_components; the quality signal is
+    a narrow second scan joined on the (tiny) clustered-doc id set; the
+    argmax is a per-component window over cluster-sized groups."""
+    from pyspark.sql import Window
+
+    labels = _component_labels(spark, sf_dir)
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("n_toks"), "id")
+    return (
+        labels.join(toks, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").alias("component"),
+            F.col("id").alias("keep_doc"),
+            F.col("n_toks").alias("keep_n_toks"),
+        )
     )
 
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_components": q_dedup_components,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -517,5 +551,45 @@ ORACLES = {
 }
 
 ORACLES["dedup_components"] = _components_oracle().format(
+    lsh=ORACLES["dedup_minhash_lsh"]
+)
+
+
+def _keep_best_oracle() -> str:
+    """Transitive-closure components (same as dedup_components) joined to
+    token counts; per-component argmax by (n_toks DESC, id)."""
+    return r"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({lsh}) lsh_pairs
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.doc_b, r.label
+            FROM reach r JOIN edges e ON e.doc_a = r.id
+        ),
+        comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+        t AS (
+            SELECT doc_id AS id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_toks
+            FROM documents
+        )
+        SELECT component, keep_doc, keep_n_toks FROM (
+            SELECT c.component, c.id AS keep_doc, t.n_toks AS keep_n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                                      ORDER BY t.n_toks DESC, c.id) AS rn
+            FROM comp c JOIN t ON c.id = t.id
+        ) WHERE rn = 1
+    """
+
+
+ORACLES["dedup_keep_best"] = _keep_best_oracle().format(
     lsh=ORACLES["dedup_minhash_lsh"]
 )
