@@ -88,6 +88,45 @@ class S3ObjectStore:
             return True
 
 
+class RetryingStore:
+    """Bounded-retry decorator for any store: transient put/get/delete
+    failures (throttling, connection resets — the errors S3 surfaces
+    under load) retry up to ``attempts`` times with deterministic
+    backoff; ``head`` is not retried (a false negative is re-checked by
+    the caller's validation pass, A14). Used inside executor tasks, so
+    the sleep is per-task, never on the driver."""
+
+    def __init__(self, inner, attempts: int = 3, backoff_s: float = 0.05):
+        self.inner = inner
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+
+    def _retry(self, fn, *args):
+        import time
+
+        last: Exception | None = None
+        for i in range(self.attempts):
+            try:
+                return fn(*args)
+            except Exception as e:  # transient classes only in real S3 use
+                last = e
+                if i + 1 < self.attempts:
+                    time.sleep(self.backoff_s * (2**i))
+        raise last  # type: ignore[misc]
+
+    def put(self, key: str, payload: bytes) -> None:
+        self._retry(self.inner.put, key, payload)
+
+    def get(self, key: str) -> bytes:
+        return self._retry(self.inner.get, key)
+
+    def delete(self, key: str) -> bool:
+        return self._retry(self.inner.delete, key)
+
+    def head(self, key: str) -> bool:
+        return self.inner.head(key)
+
+
 def read_objects(
     spark: SparkSession, root_url: str, glob: str | None = None
 ) -> DataFrame:
