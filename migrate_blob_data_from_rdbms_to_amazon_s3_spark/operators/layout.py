@@ -57,3 +57,30 @@ def compact(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
     shutil.rmtree(local)
     shutil.move(tmp_local, local)
     return n_files
+
+
+def read_evolved(
+    spark: SparkSession, path: str, target_schema, fill_defaults: dict | None = None
+) -> DataFrame:
+    """Schema-evolution read: a table whose files were written under
+    DIFFERENT schema versions (columns added over time) reads back as one
+    DataFrame under ``target_schema``.
+
+    ``mergeSchema`` makes the parquet footer union the file schemas (off
+    by default — a per-file footer read, so only pay it on evolved
+    tables); columns absent from old files surface as NULL and are then
+    coalesced to ``fill_defaults``. Columns are also re-ordered/pruned to
+    the target schema, so downstream code sees one stable shape no matter
+    which era of files a partition pruned down to."""
+    fill = fill_defaults or {}
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            c = F.col(field.name).cast(field.dataType)
+            if field.name in fill:
+                c = F.coalesce(c, F.lit(fill[field.name]).cast(field.dataType))
+        else:
+            c = F.lit(fill.get(field.name)).cast(field.dataType)
+        cols.append(c.alias(field.name))
+    return df.select(*cols)

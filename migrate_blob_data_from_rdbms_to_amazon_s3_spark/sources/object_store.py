@@ -168,11 +168,14 @@ def read_objects(
     )
 
 
-def make_store(url: str):
-    """``file:///path`` or ``s3://bucket`` → store instance. Called inside
+def make_store(url: str, attempts: int = 3):
+    """``file:///path`` or ``s3://bucket`` → store instance, wrapped in
+    bounded retries by default (attempts=1 disables). Called inside
     executor tasks (the factory string travels; clients do not)."""
     if url.startswith("file://"):
-        return LocalFSObjectStore(url.removeprefix("file://"))
-    if url.startswith("s3://"):
-        return S3ObjectStore(url.removeprefix("s3://").split("/", 1)[0])
-    raise ValueError(f"unsupported object store url: {url}")
+        store = LocalFSObjectStore(url.removeprefix("file://"))
+    elif url.startswith("s3://"):
+        store = S3ObjectStore(url.removeprefix("s3://").split("/", 1)[0])
+    else:
+        raise ValueError(f"unsupported object store url: {url}")
+    return RetryingStore(store, attempts=attempts) if attempts > 1 else store

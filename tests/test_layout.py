@@ -39,3 +39,45 @@ def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after = len(list(Path(str(tmp_path) + "/orders_small_files").rglob("*.parquet")))
     assert after == n < before
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Files written under three schema versions read back as one stable
+    shape: missing columns NULL-filled (or defaulted), types unified."""
+    from pyspark.sql import types as T
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.layout import (
+        read_evolved,
+    )
+
+    path = f"file:{tmp_path}/evolved"
+    # v1: (id, name)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(
+        path
+    )
+    # v2 adds score
+    spark.createDataFrame(
+        [(3, "c", 1.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    # v3 adds flag
+    spark.createDataFrame(
+        [(4, "d", 2.5, True)], "id long, name string, score double, flag boolean"
+    ).write.mode("append").parquet(path)
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("era", T.StringType()),  # never written anywhere
+        ]
+    )
+    got = read_evolved(
+        spark, path, target, fill_defaults={"score": 0.0, "flag": False, "era": "na"}
+    )
+    assert got.columns == ["id", "name", "score", "flag", "era"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score == 0.0 and rows[1].flag is False and rows[1].era == "na"
+    assert rows[3].score == 1.5 and rows[3].flag is False
+    assert rows[4].flag is True
