@@ -225,6 +225,30 @@ def q_union_all_sources(spark, sf_dir):
     return orders.unionByName(cust)
 
 
+# --- events: salted two-phase aggregation -------------------------------------------------------
+def q_salted_hot_key_agg(spark, sf_dir):
+    """Two-phase (salted) aggregation — the hot-key shape: phase 1
+    aggregates (user_id, salt), spreading any single hot user over 16
+    reducers; phase 2 merges the partials. Result is identical to the
+    direct groupBy (the oracle IS the direct groupBy); only the shuffle
+    distribution changes. The aggregation twin of operators/skew.
+    salted_join — for when one key is 10% of a 100 TB fact and the
+    per-key aggregation state is too heavy for a single reducer (high-
+    cardinality state like collect_list/percentile, where map-side
+    combine can't help). Salt is derived from event_id, not rand(), so
+    the plan stays deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.select("user_id", (F.col("event_id") % 16).alias("_salt"), "value")
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+    )
+
+
 # --- events: tumbling window aggregation --------------------------------------------------------
 def q_events_tumbling(spark, sf_dir):
     """5-minute tumbling windows over the event stream (batch form; the
@@ -346,6 +370,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
     "events_tumbling": q_events_tumbling,
+    "salted_hot_key_agg": q_salted_hot_key_agg,
     "events_sessionize": q_events_sessionize,
     "events_stats": q_events_stats,
 }
@@ -472,6 +497,12 @@ ORACLES = {
         UNION ALL
         SELECT c_custkey AS entity_id, 'customer' AS kind, ROUND(c_acctbal, 2) AS weight
         FROM customer
+    """,
+    "salted_hot_key_agg": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY user_id
     """,
     "events_tumbling": """
         SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
