@@ -249,6 +249,43 @@ def q_salted_hot_key_agg(spark, sf_dir):
     )
 
 
+# --- events: conversion funnel ------------------------------------------------------------------
+def q_events_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel: view → click-after-view →
+    purchase-after-click, per user, reported as funnel stage counts.
+    Three conditional-min aggregations over the same hash-partitioned
+    fact — each stage's threshold joins back on user_id (tiny, one row
+    per user), so the event table shuffles once per stage on the same
+    key and AQE reuses the partitioning. Strict > on event time gives
+    the ORDERED funnel (a purchase before any click doesn't count)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return users.agg(F.count("*").alias("n_users")).crossJoin(
+        first_view.agg(F.count("*").alias("n_viewed"))
+    ).crossJoin(
+        first_click.agg(F.count("*").alias("n_clicked_after_view"))
+    ).crossJoin(
+        first_purchase.agg(F.count("*").alias("n_purchased_after_click"))
+    )
+
+
 # --- events: tumbling window aggregation --------------------------------------------------------
 def q_events_tumbling(spark, sf_dir):
     """5-minute tumbling windows over the event stream (batch form; the
@@ -371,6 +408,7 @@ QUERIES = {
     "union_all_sources": q_union_all_sources,
     "events_tumbling": q_events_tumbling,
     "salted_hot_key_agg": q_salted_hot_key_agg,
+    "events_conversion_funnel": q_events_conversion_funnel,
     "events_sessionize": q_events_sessionize,
     "events_stats": q_events_stats,
 }
@@ -503,6 +541,28 @@ ORACLES = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY user_id
+    """,
+    "events_conversion_funnel": """
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fc AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'click' AND e.ts > fv.t_view
+            GROUP BY e.user_id
+        ),
+        fp AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT COUNT(*) FROM fv) AS n_viewed,
+               (SELECT COUNT(*) FROM fc) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM fp) AS n_purchased_after_click
     """,
     "events_tumbling": """
         SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),

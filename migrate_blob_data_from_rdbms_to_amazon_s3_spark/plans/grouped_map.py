@@ -48,9 +48,44 @@ def q_grouped_zscore(spark, sf_dir):
     return orders.groupBy("o_custkey").applyInPandas(_zscore_kernel, Z_SCHEMA)
 
 
-QUERIES = {"grouped_zscore": q_grouped_zscore}
+def q_udtf_tokenize(spark, sf_dir):
+    """Python UDTF end-to-end with a VALUE oracle: the lateral tokenize
+    table function (functions/udtfs.py) over documents, checked against
+    the SQL split twin. Same verification idea as the z-score kernel —
+    the UDTF plumbing (lateral join, Arrow row fan-out, schema DDL) is
+    value-proven on a kernel SQL can express, then carries kernels SQL
+    can't (real BPE, byte offsets)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udtfs import tokenize_udtf
+
+    spark.udtf.register("tokenize", tokenize_udtf())
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+        .createOrReplaceTempView("__docs_udtf")
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM __docs_udtf d, LATERAL tokenize(d.text) t"
+    )
+
+
+QUERIES = {
+    "grouped_zscore": q_grouped_zscore,
+    "udtf_tokenize": q_udtf_tokenize,
+}
 
 ORACLES = {
+    "udtf_tokenize": r"""
+        SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tok AS token
+        FROM (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        LATERAL (SELECT UNNEST(toks) AS tok,
+                        generate_subscripts(toks, 1) AS pos) u
+    """,
     # NULLIF guards single-order customers (stddev_samp undefined -> z = 0
     # in the kernel via the sd==sd NaN check; oracle mirrors with COALESCE)
     "grouped_zscore": """
