@@ -286,6 +286,31 @@ def q_events_conversion_funnel(spark, sf_dir):
     )
 
 
+# --- events: cohort retention -------------------------------------------------------------------
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per weeks-since-cohort of activity — the table behind every retention
+    curve. Two aggregations over the user-hash partitioning (first-seen
+    week per user, then distinct user-weeks), joined on user_id; both
+    week keys are date_trunc('week') so the offset is an exact multiple
+    of 7 days and the int division is lossless."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("act_w")).distinct()
+    j = act.join(first, "user_id")
+    return (
+        j.select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_w", "cohort_w") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # --- events: tumbling window aggregation --------------------------------------------------------
 def q_events_tumbling(spark, sf_dir):
     """5-minute tumbling windows over the event stream (batch form; the
@@ -409,6 +434,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "events_conversion_funnel": q_events_conversion_funnel,
+    "events_cohort_retention": q_events_cohort_retention,
     "events_sessionize": q_events_sessionize,
     "events_stats": q_events_stats,
 }
@@ -541,6 +567,20 @@ ORACLES = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY user_id
+    """,
+    "events_cohort_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w FROM events
+        )
+        SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+               CAST(datediff('day', cohort_w, act_w) // 7 AS INT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
     """,
     "events_conversion_funnel": """
         WITH fv AS (
