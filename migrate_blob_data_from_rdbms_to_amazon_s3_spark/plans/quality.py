@@ -30,15 +30,10 @@ def q_profile_orders(spark, sf_dir):
     )
 
 
-def q_snapshot_diff(spark, sf_dir):
-    """CDC-style diff of two table snapshots (old = orders minus a key
-    slice with some prices shifted; derived deterministically so the
-    oracle can rebuild it). Full-outer join on the PK classifies every key
-    as inserted / deleted / updated / unchanged; one shuffle.
-
-    At 100 TB this is the reconciliation pass of the migration pipeline
-    (validate_migration's big sibling): hash-partition both snapshots on
-    the PK and the diff never materializes matched-unchanged rows."""
+def _snapshots(spark, sf_dir):
+    """Two deterministic orders snapshots (old = orders minus a key slice
+    with some prices shifted) — derived so the oracle can rebuild them.
+    Shared by snapshot_diff and scd2_orders."""
     new = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     old = (
         _t(spark, sf_dir, "orders")
@@ -55,6 +50,18 @@ def q_snapshot_diff(spark, sf_dir):
     )
     # rows "deleted" since old: present in old only
     new = new.filter(F.col("o_orderkey") % 13 != 0)
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style diff of two table snapshots. Full-outer join on the PK
+    classifies every key as inserted / deleted / updated / unchanged; one
+    shuffle.
+
+    At 100 TB this is the reconciliation pass of the migration pipeline
+    (validate_migration's big sibling): hash-partition both snapshots on
+    the PK and the diff never materializes matched-unchanged rows."""
+    old, new = _snapshots(spark, sf_dir)
     j = old.alias("o").join(
         new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
     )
@@ -132,6 +139,50 @@ def q_data_mix_audit(spark, sf_dir):
     )
 
 
+def q_scd2_orders(spark, sf_dir):
+    """SCD Type-2 dimension build from two CDC snapshots: one row per
+    (key, version) with version number and is_current — the warehouse
+    pattern that turns keyed mutations into an immutable history table
+    (the 100 TB-native answer to the reference's in-place UPDATE,
+    order.js:707-718). One full-outer join on the PK, then each change
+    class emits its version rows:
+
+      unchanged → (v1, current)           inserted → (v1, current)
+      deleted   → (v1, closed)            updated  → (v1, closed) + (v2, current)
+
+    At scale this is the same single-shuffle plan as snapshot_diff; the
+    updated keys' two rows come from one flatMap-shaped select over the
+    joined row, never a second pass."""
+    old, new = _snapshots(spark, sf_dir)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    o_key, n_key = F.col("o.o_orderkey"), F.col("n.o_orderkey")
+    o_val, n_val = F.col("o.o_totalprice"), F.col("n.o_totalprice")
+    # struct array per change class, exploded to (key, value, version, is_current)
+    rows = (
+        F.when(o_key.isNull(), F.array(F.struct(n_val.alias("v"), F.lit(1).alias("ver"), F.lit(True).alias("cur"))))
+        .when(n_key.isNull(), F.array(F.struct(o_val.alias("v"), F.lit(1).alias("ver"), F.lit(False).alias("cur"))))
+        .when(
+            o_val != n_val,
+            F.array(
+                F.struct(o_val.alias("v"), F.lit(1).alias("ver"), F.lit(False).alias("cur")),
+                F.struct(n_val.alias("v"), F.lit(2).alias("ver"), F.lit(True).alias("cur")),
+            ),
+        )
+        .otherwise(F.array(F.struct(o_val.alias("v"), F.lit(1).alias("ver"), F.lit(True).alias("cur"))))
+    )
+    return (
+        j.select(F.coalesce(o_key, n_key).alias("o_orderkey"), F.explode(rows).alias("r"))
+        .select(
+            "o_orderkey",
+            F.col("r.v").alias("o_totalprice"),
+            F.col("r.ver").alias("version"),
+            F.col("r.cur").alias("is_current"),
+        )
+    )
+
+
 def q_corpus_clean_funnel(spark, sf_dir):
     """The corpus-cleaning FUNNEL — the whole training-data pipeline as
     one composed plan: quality filter → repetition filter → exact dedup →
@@ -184,6 +235,7 @@ QUERIES = {
     "data_mix_audit": q_data_mix_audit,
     "corpus_clean_funnel": q_corpus_clean_funnel,
     "snapshot_diff": q_snapshot_diff,
+    "scd2_orders": q_scd2_orders,
     "q11_top_suppliers_by_share": q11_top_suppliers_by_share,
 }
 
@@ -243,6 +295,37 @@ ORACLES = {
                 ELSE 'unchanged' END AS change
             FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
         ) GROUP BY change
+    """,
+    "scd2_orders": """
+        WITH old AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN ROUND(o_totalprice + 1.5, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 11 != 0
+        ),
+        new AS (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 13 != 0
+        ),
+        j AS (
+            SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                   o.o_totalprice AS ov, n.o_totalprice AS nv
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT nk AS o_orderkey, nv AS o_totalprice, 1 AS version,
+               TRUE AS is_current
+        FROM j WHERE ok IS NULL
+        UNION ALL
+        SELECT ok, ov, 1, FALSE FROM j WHERE nk IS NULL
+        UNION ALL
+        SELECT ok, ov, 1, FALSE FROM j
+        WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov != nv
+        UNION ALL
+        SELECT ok, nv, 2, TRUE FROM j
+        WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov != nv
+        UNION ALL
+        SELECT ok, ov, 1, TRUE FROM j
+        WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov = nv
     """,
     "q11_top_suppliers_by_share": """
         SELECT l_suppkey,
