@@ -311,6 +311,54 @@ def q_events_cohort_retention(spark, sf_dir):
     )
 
 
+# --- customers: RFM segmentation ----------------------------------------------------------------
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer, reported as per-segment counts + value. One orders shuffle
+    to the customer grain, then three ntile windows over the (tiny)
+    per-customer table — the windows sort 1 row per customer, not the
+    fact. Every ORDER BY carries the customer key as tiebreak so quartile
+    assignment is deterministic cross-engine; the recency anchor is the
+    corpus max order date (scalar subquery, broadcast as a literal).
+    NOTE the unpartitioned ntile is a global sort of the customer table —
+    fine while customers << facts; at billions of customers swap ntile
+    for approx_percentile cut-points + CASE bucketing (map-side, no
+    global sort, same segments up to sketch error)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    )
+
+
 # --- events: tumbling window aggregation --------------------------------------------------------
 def q_events_tumbling(spark, sf_dir):
     """5-minute tumbling windows over the event stream (batch form; the
@@ -435,6 +483,7 @@ QUERIES = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "events_conversion_funnel": q_events_conversion_funnel,
     "events_cohort_retention": q_events_cohort_retention,
+    "customer_rfm_segments": q_customer_rfm_segments,
     "events_sessionize": q_events_sessionize,
     "events_stats": q_events_stats,
 }
@@ -567,6 +616,26 @@ ORACLES = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY user_id
+    """,
+    "customer_rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   datediff('day', MAX(o_orderdate),
+                            (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, monetary,
+                   NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+                   NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                   NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+            FROM per_cust
+        )
+        SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+               ROUND(SUM(monetary), 2) AS segment_value
+        FROM scored GROUP BY 1, 2, 3
     """,
     "events_cohort_retention": """
         WITH first AS (
