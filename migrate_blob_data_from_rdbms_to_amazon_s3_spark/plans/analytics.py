@@ -359,6 +359,29 @@ def q_customer_rfm_segments(spark, sf_dir):
     )
 
 
+# --- events: latest state per entity ------------------------------------------------------------
+def q_events_latest_state(spark, sf_dir):
+    """Latest event per user (the "current state" materialization every
+    event-sourced system derives): row_number over (user, ts DESC,
+    event_id DESC) — event_id tiebreak makes same-timestamp rows
+    deterministic. One hash exchange on user_id; at 100 TB this is the
+    compaction query a changelog table runs to seed its snapshot."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
 # --- events: tumbling window aggregation --------------------------------------------------------
 def q_events_tumbling(spark, sf_dir):
     """5-minute tumbling windows over the event stream (batch form; the
@@ -484,6 +507,7 @@ QUERIES = {
     "events_conversion_funnel": q_events_conversion_funnel,
     "events_cohort_retention": q_events_cohort_retention,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "events_latest_state": q_events_latest_state,
     "events_sessionize": q_events_sessionize,
     "events_stats": q_events_stats,
 }
@@ -616,6 +640,16 @@ ORACLES = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY user_id
+    """,
+    "events_latest_state": """
+        SELECT user_id, event_id AS last_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_type AS last_type
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     "customer_rfm_segments": """
         WITH per_cust AS (

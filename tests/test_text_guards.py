@@ -67,3 +67,35 @@ def test_quantize_error_bound(spark, sf_dir):
     )
     assert bad.count() == 0
     assert q.count() > 0
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing invariant: window token fills sum to exactly the corpus
+    token mass per (lang, shard) — nothing dropped, nothing duplicated."""
+    import pyspark.sql.functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.text import (
+        PACK_SHARDS,
+        q_pack_sequences,
+    )
+
+    packed = q_pack_sequences(spark, sf_dir)
+    got = {
+        (r.lang, r.shard_id): r.total
+        for r in packed.groupBy("lang", "shard_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        (r.lang, r.shard_id): r.total
+        for r in docs.select(
+            "lang",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard_id"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+        )
+        .groupBy("lang", "shard_id")
+        .agg(F.sum("n_toks").alias("total"))
+        .collect()
+    }
+    assert got == want
