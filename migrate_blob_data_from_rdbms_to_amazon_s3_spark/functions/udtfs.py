@@ -20,7 +20,13 @@ def tokenize_udtf():
 
     class Tokenize:
         def eval(self, text: str):
-            for i, tok in enumerate((text or "").split()):
+            # ASCII \s split (not str.split): plain .split() also breaks on
+            # Unicode whitespace (NBSP etc.) that RE2-based SQL twins do
+            # not, so the oracle would diverge on such corpora
+            import re
+
+            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
+            for i, tok in enumerate(toks):
                 yield i, tok
 
     return udtf(Tokenize, returnType="pos int, token string")

@@ -71,11 +71,14 @@ def rewrite(df: DataFrame, path: str) -> None:
     (Plain-Parquet analog of a transactional commit; with a table format
     like Delta/Iceberg this becomes a real MERGE.)
 
-    Swap order is crash-safe: the old table is renamed *aside* first, the
-    new one moved in, and only then is the old copy deleted. If the move-in
-    fails (cross-device, permissions, crash) the original is restored — the
-    table is never lost, matching the reference's read-after-write contract
-    (order.js:205-208)."""
+    Swap order never loses data: the old table is renamed *aside* first,
+    the new one moved in, and only then is the old copy deleted. If the
+    move-in raises (cross-device, permissions) the original is restored
+    in-process. A hard crash between rename-aside and move-in leaves the
+    table momentarily absent at ``path`` but intact in ``.__old_<token>``
+    — ``recover(path)`` restores it on restart (two plain dirs can't swap
+    atomically without renameat2/table-format metadata; with Delta/
+    Iceberg this whole dance is a metadata commit)."""
     import os
     import shutil
     import uuid
@@ -97,6 +100,29 @@ def rewrite(df: DataFrame, path: str) -> None:
         raise
     if had_old:
         shutil.rmtree(old_aside, ignore_errors=True)
+
+
+def recover(path: str) -> bool:
+    """Crash recovery for ``rewrite``: if the table is absent at ``path``
+    but a rename-aside copy exists, restore the newest one (and sweep
+    stale ``.__tmp_*`` partial writes). Run at job startup — the analog
+    of a WAL replay. Returns True if a restore happened."""
+    import glob as _glob
+    import os
+    import shutil
+
+    local_path = path.removeprefix("file:").rstrip("/")
+    for tmp in _glob.glob(f"{local_path}.__tmp_*"):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(local_path):
+        return False
+    asides = sorted(_glob.glob(f"{local_path}.__old_*"), key=os.path.getmtime)
+    if not asides:
+        return False
+    os.rename(asides[-1], local_path)
+    for stale in asides[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    return True
 
 
 def rewrite_partitions(

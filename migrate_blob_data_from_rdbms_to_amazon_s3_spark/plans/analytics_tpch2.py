@@ -26,7 +26,10 @@ def _dim(spark, sf_dir, name):
     return F.broadcast(_t(spark, sf_dir, name))
 
 
-REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily: a module-scope Column would require an active
+    # SparkContext at import time, breaking sessionless oracle_sql() use
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q8_market_share(spark, sf_dir):
@@ -48,9 +51,9 @@ def q8_market_share(spark, sf_dir):
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(reg.select("r_regionkey"), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    focal = F.when(F.col("n_name") == "NATION_7", REV).otherwise(F.lit(0.0))
+    focal = F.when(F.col("n_name") == "NATION_7", _rev()).otherwise(F.lit(0.0))
     return (
-        j.select(F.year("o_orderdate").alias("o_year"), REV.alias("rev"),
+        j.select(F.year("o_orderdate").alias("o_year"), _rev().alias("rev"),
                  focal.alias("focal_rev"))
         .groupBy("o_year")
         .agg(
@@ -79,7 +82,7 @@ def q9_product_profit(spark, sf_dir):
     )
     return (
         j.select(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").alias("o_year"), REV.alias("profit"))
+                 F.year("o_orderdate").alias("o_year"), _rev().alias("profit"))
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("profit"), 2).alias("sum_profit"))
     )
@@ -141,7 +144,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(REV), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("mx"))
     sup = _dim(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

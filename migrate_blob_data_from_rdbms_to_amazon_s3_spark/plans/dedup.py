@@ -481,13 +481,29 @@ ORACLES = {
         GROUP BY 1
     """,
     "dedup_ngram_jaccard": f"""
-        WITH {_DOCS_SH_DUCK}
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ROUND(len(list_intersect(a.sh, b.sh)) /
-                     len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE ROUND(len(list_intersect(a.sh, b.sh)) /
-                    len(list_distinct(a.sh || b.sh)), 4) >= {JACCARD_THRESHOLD}
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        df AS (SELECT lang, s, COUNT(*) AS dfc FROM ex GROUP BY 1, 2),
+        -- mirror of the engine's posting filter: singleton postings emit
+        -- no pair, postings hotter than MAX_POSTING_DF are dropped
+        surv AS (
+            SELECT ex.doc_id, ex.lang, ex.n_sh, ex.s
+            FROM ex JOIN df USING (lang, s)
+            WHERE df.dfc BETWEEN 2 AND {MAX_POSTING_DF}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM surv a JOIN surv b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
+        FROM common
+        WHERE ROUND(c / (na + nb - c), 4) >= {JACCARD_THRESHOLD}
     """,
     "minhash_signatures": f"""
         WITH {_DOCS_SH_DUCK},

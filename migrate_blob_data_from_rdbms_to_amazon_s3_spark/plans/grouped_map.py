@@ -80,7 +80,9 @@ ORACLES = {
     "udtf_tokenize": r"""
         SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tok AS token
         FROM (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> t != '') AS toks
             FROM documents WHERE length(trim(text)) > 0
         ),
         LATERAL (SELECT UNNEST(toks) AS tok,

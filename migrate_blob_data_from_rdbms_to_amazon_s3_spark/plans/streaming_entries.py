@@ -89,7 +89,11 @@ def q_stream_dedup(spark, sf_dir):
         ev.repartition(4).write.mode("overwrite").parquet(src)  # copy A
         ev.repartition(4).write.mode("append").parquet(src)     # copy B (dupes)
         with _bounded_state_partitions(spark):
-            result = SE.dedup_stream(SE.read_event_stream(spark, src))
+            # files_per_trigger=None: the value oracle requires a single-
+            # batch drain (a batch boundary would watermark-drop late rows)
+            result = SE.dedup_stream(
+                SE.read_event_stream(spark, src, files_per_trigger=None)
+            )
             SE.run_to_memory_append(result, "q_stream_dedup")
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -105,8 +109,10 @@ def q_stream_interval_join(spark, sf_dir):
     src = _stage_stream_source(spark, sf_dir)
     try:
         with _bounded_state_partitions(spark):
+            # single-batch drain for the same reason as stream_dedup_exact
             result = SE.interval_join_streams(
-                SE.read_event_stream(spark, src), SE.read_event_stream(spark, src)
+                SE.read_event_stream(spark, src, files_per_trigger=None),
+                SE.read_event_stream(spark, src, files_per_trigger=None),
             )
             SE.run_to_memory_append(result, "q_stream_interval_join")
     finally:

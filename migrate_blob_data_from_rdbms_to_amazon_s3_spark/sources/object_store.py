@@ -88,13 +88,29 @@ class S3ObjectStore:
             return True
 
 
+# Permanent failures retrying can never fix: retrying a missing key or a
+# permissions error just multiplies wall clock by attempts x backoff in
+# every executor task.
+_PERMANENT_ERRORS = (
+    FileNotFoundError,
+    PermissionError,
+    IsADirectoryError,
+    NotADirectoryError,
+    ValueError,
+    TypeError,
+    NotImplementedError,
+)
+
+
 class RetryingStore:
     """Bounded-retry decorator for any store: transient put/get/delete
     failures (throttling, connection resets — the errors S3 surfaces
     under load) retry up to ``attempts`` times with deterministic
-    backoff; ``head`` is not retried (a false negative is re-checked by
-    the caller's validation pass, A14). Used inside executor tasks, so
-    the sleep is per-task, never on the driver."""
+    backoff. Permanent error classes (missing key, permissions, bad
+    arguments) re-raise immediately; ``head`` is never retried (a false
+    negative is re-checked by the caller's validation pass, A14). Used
+    inside executor tasks, so the sleep is per-task, never on the
+    driver."""
 
     def __init__(self, inner, attempts: int = 3, backoff_s: float = 0.05):
         self.inner = inner
@@ -108,7 +124,9 @@ class RetryingStore:
         for i in range(self.attempts):
             try:
                 return fn(*args)
-            except Exception as e:  # transient classes only in real S3 use
+            except _PERMANENT_ERRORS:
+                raise
+            except Exception as e:
                 last = e
                 if i + 1 < self.attempts:
                     time.sleep(self.backoff_s * (2**i))
@@ -155,13 +173,20 @@ def read_objects(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(root_url if "://" in root_url else f"file://{root}")
-    # path comes back scheme-qualified (file:/abs/...); recover the key as
-    # everything after "<root>/" regardless of how the scheme normalized
-    marker = root + "/"
+    # Paths come back scheme-qualified AND scheme-normalized (file:/abs/...;
+    # s3:// may resurface as s3a://), so the marker is the SCHEME-LESS root
+    # ("bucket/prefix" or "/abs/dir") — first occurrence is the authority/
+    # root, ahead of any same-named key component. A path that somehow
+    # doesn't contain the marker yields NULL, never a garbage key.
+    marker = (root.split("://", 1)[-1]).rstrip("/") + "/"
+    key = F.when(
+        F.instr("path", marker) > 0,
+        F.col("path").substr(
+            F.instr("path", marker) + F.lit(len(marker)), F.length("path")
+        ),
+    )
     return df.select(
-        F.expr(
-            f"substring(path, instr(path, '{marker}') + {len(marker)})"
-        ).alias("object_key"),
+        key.alias("object_key"),
         F.col("length").alias("n_bytes"),
         "content",
         F.col("modificationTime").alias("mod_time"),

@@ -29,14 +29,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, source_dir: str, files_per_trigger: int | None = 8
+) -> DataFrame:
     """File-source stream over a directory of parquet drops. Explicit
-    schema (streaming requires it; also our catalog stance, SURVEY §1.5)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(source_dir)
-    )
+    schema (streaming requires it; also our catalog stance, SURVEY §1.5).
+    ``files_per_trigger=None`` removes the per-batch file cap so an
+    availableNow drain processes everything in ONE micro-batch — required
+    by the value-oracled drains (dedup, interval join), where a batch
+    boundary would advance the watermark mid-drain and legitimately drop
+    late rows the batch-SQL oracle keeps."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def windowed_counts(stream: DataFrame, window: str = "5 minutes",

@@ -137,3 +137,25 @@ def test_read_after_write_contract(spark, base, tmp_path):
     M.rewrite(M.insert_rows(spark.read.parquet(path), new, "order_id"), path)
     got = spark.read.parquet(path).filter(F.col("order_id") == "n1").collect()
     assert len(got) == 1 and got[0].description == "fresh"
+
+
+def test_recover_restores_renamed_aside_table(spark, tmp_path):
+    """Simulated crash between rename-aside and move-in: recover() puts
+    the aside copy back and sweeps stale temp dirs."""
+    import os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.mutation import (
+        recover,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.write.parquet(path)
+    # simulate the crash window: table renamed aside, partial tmp left
+    os.rename(path, f"{path}.__old_deadbeef")
+    os.makedirs(f"{path}.__tmp_cafe")
+    assert recover(path) is True
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2]
+    assert not os.path.exists(f"{path}.__tmp_cafe")
+    # idempotent: nothing to do on a healthy table
+    assert recover(path) is False

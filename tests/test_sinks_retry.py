@@ -86,3 +86,26 @@ def test_retrying_store_gives_up_after_attempts(tmp_path):
         raised = True
     assert raised
     assert not base.head("x")
+
+
+def test_retrying_store_fails_fast_on_permanent_errors(tmp_path):
+    """A missing key is permanent: one attempt, no backoff sleeps."""
+    base = LocalFSObjectStore(str(tmp_path))
+    calls = {"n": 0}
+
+    class Counting:
+        def get(self, key):
+            calls["n"] += 1
+            return base.get(key)
+
+        def head(self, key):
+            return base.head(key)
+
+    store = RetryingStore(Counting(), attempts=3, backoff_s=0.001)
+    try:
+        store.get("definitely/missing")
+        raised = False
+    except FileNotFoundError:
+        raised = True
+    assert raised
+    assert calls["n"] == 1
