@@ -312,20 +312,38 @@ def q_events_cohort_retention(spark, sf_dir):
 
 
 # --- customers: RFM segmentation ----------------------------------------------------------------
+def _quartile_bucket(col, cuts, ascending):
+    """CASE-bucket a value against exact p25/p50/p75 cut-points.
+
+    ``ascending=True`` means smaller is better (recency): values <= p25
+    land in quartile 1. ``ascending=False`` means larger is better
+    (frequency, monetary): values >= p75 land in quartile 1. Ties at a
+    cut-point land in the better quartile in BOTH engines (<=/>= is
+    mirrored in the DuckDB twin), so the bucketing is deterministic
+    without any per-row tiebreak."""
+    p25, p50, p75 = cuts
+    if ascending:
+        return (
+            F.when(col <= p25, 1).when(col <= p50, 2).when(col <= p75, 3).otherwise(4)
+        )
+    return F.when(col >= p75, 1).when(col >= p50, 2).when(col >= p25, 3).otherwise(4)
+
+
 def q_customer_rfm_segments(spark, sf_dir):
     """RFM segmentation: recency/frequency/monetary quartiles per
     customer, reported as per-segment counts + value. One orders shuffle
-    to the customer grain, then three ntile windows over the (tiny)
-    per-customer table — the windows sort 1 row per customer, not the
-    fact. Every ORDER BY carries the customer key as tiebreak so quartile
-    assignment is deterministic cross-engine; the recency anchor is the
-    corpus max order date (scalar subquery, broadcast as a literal).
-    NOTE the unpartitioned ntile is a global sort of the customer table —
-    fine while customers << facts; at billions of customers swap ntile
-    for approx_percentile cut-points + CASE bucketing (map-side, no
-    global sort, same segments up to sketch error)."""
-    from pyspark.sql import Window
-
+    to the customer grain; then ONE ``percentile()`` aggregation computes
+    all nine quartile cut-points (3 metrics x p25/p50/p75) in a single
+    pass, the 1-row cut-point table is broadcast, and quartile assignment
+    is a map-side CASE — no global sort anywhere in the plan (the r2
+    version ran three unpartitioned ntile windows, an all-data-to-one-
+    partition sort; guarded now by test_plan_shapes.test_rfm_no_global_
+    sort_window). Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) keep the DuckDB twin hash-green; at 100 TB
+    the same shape holds with approx_percentile for a one-pass sketch.
+    Quartile semantics are threshold-based (ties share a bucket), the
+    scale-sane definition — equal-count ntile would force a total order.
+    """
     orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
     per_cust = (
@@ -343,15 +361,30 @@ def q_customer_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = per_cust.select(
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = per_cust.agg(
+        F.percentile("recency_days", ps).alias("r_cuts"),
+        F.percentile("frequency", ps).alias("f_cuts"),
+        F.percentile("monetary", ps).alias("m_cuts"),
+    )
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "monetary",
-        F.ntile(4).over(r_w).alias("r_q"),
-        F.ntile(4).over(f_w).alias("f_q"),
-        F.ntile(4).over(m_w).alias("m_q"),
+        _quartile_bucket(
+            F.col("recency_days"),
+            [F.col("r_cuts")[i] for i in range(3)],
+            ascending=True,
+        ).alias("r_q"),
+        _quartile_bucket(
+            F.col("frequency"),
+            [F.col("f_cuts")[i] for i in range(3)],
+            ascending=False,
+        ).alias("f_q"),
+        _quartile_bucket(
+            F.col("monetary"),
+            [F.col("m_cuts")[i] for i in range(3)],
+            ascending=False,
+        ).alias("m_q"),
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),
@@ -660,12 +693,27 @@ ORACLES = {
                    ROUND(SUM(o_totalprice), 2) AS monetary
             FROM orders GROUP BY o_custkey
         ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r_cuts,
+                   quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f_cuts,
+                   quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m_cuts
+            FROM per_cust
+        ),
         scored AS (
             SELECT o_custkey, monetary,
-                   NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
-                   NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
-                   NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
-            FROM per_cust
+                   CASE WHEN recency_days <= r_cuts[1] THEN 1
+                        WHEN recency_days <= r_cuts[2] THEN 2
+                        WHEN recency_days <= r_cuts[3] THEN 3
+                        ELSE 4 END AS r_q,
+                   CASE WHEN frequency >= f_cuts[3] THEN 1
+                        WHEN frequency >= f_cuts[2] THEN 2
+                        WHEN frequency >= f_cuts[1] THEN 3
+                        ELSE 4 END AS f_q,
+                   CASE WHEN monetary >= m_cuts[3] THEN 1
+                        WHEN monetary >= m_cuts[2] THEN 2
+                        WHEN monetary >= m_cuts[1] THEN 3
+                        ELSE 4 END AS m_q
+            FROM per_cust CROSS JOIN cuts
         )
         SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
                ROUND(SUM(monetary), 2) AS segment_value

@@ -88,6 +88,16 @@ def test_quantize_is_narrow_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_rfm_no_global_sort_window(spark, sf_dir):
+    """RFM quartiles must come from percentile cut-points + broadcast CASE
+    bucketing — an unpartitioned Window (ntile) would sort every customer
+    on ONE partition. Assert no WindowExec at all and that the cut-point
+    table reaches the bucketing via a broadcast."""
+    plan = _plan(spark, sf_dir, "customer_rfm_segments")
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan
+
+
 def test_tpch2_plans(spark, sf_dir):
     """Tranche-2 guards: Q8's dims broadcast; Q21's exists/not-exists
     plan as semi + anti joins; Q13 keeps the outer join."""
