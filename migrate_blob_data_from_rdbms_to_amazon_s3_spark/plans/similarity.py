@@ -8,8 +8,9 @@ Three operators:
 - IVF top-k — the scale path: the coarse quantizer is the TRAINED
   k-means (Lloyd rounds, `_kmeans_fit`); every vector is assigned to its
   nearest centroid and queries search only their cluster's inverted
-  list. Assignment is a broadcast cross-score + argmin window; at 1000
-  executors the probe touches 1/n_clusters of the data.
+  list. Assignment is a map-side argmin over the inlined k x dim
+  centroid literal table (`_assign_expr` — no row blowup, no shuffle);
+  at 1000 executors the probe touches 1/n_clusters of the data.
 - embedding near-dup pairs — multi-table multi-probe hyperplane-LSH
   candidate join with an exact cosine verification (the "semantic dedup"
   primitive). Candidates come from 8 independent 6-bit sign-LSH tables
@@ -99,30 +100,40 @@ def q_ann_bruteforce(spark, sf_dir):
     )
 
 
+def _assign_expr(cent_rows) -> str:
+    """Map-side nearest-centroid assignment as ONE projection expression.
+
+    The trained centroid table is k x dim (tiny); inlining it as literals
+    and taking ``array_min`` over (d, cluster) structs computes the
+    argmin — smallest distance, cluster-id tiebreak, exactly the
+    lexicographic struct order — with NO row blowup and NO shuffle. The
+    r2 version crossJoined k copies of every embedding and ranked them
+    with a row_number window: a k× scan inflation plus a full shuffle of
+    the embedding column, per Lloyd round, at 100 TB. Distances keep the
+    bit-identical left-fold of `_sq_dist_spark` so argmin ties can't
+    diverge from the DuckDB twin; centroid literals round-trip exactly
+    (shortest-repr doubles)."""
+    structs = []
+    for cluster, cv in cent_rows:
+        arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in cv)
+        d = _sq_dist_spark("embedding", f"array({arr})")
+        structs.append(f"named_struct('d', {d}, 'cluster', {int(cluster)})")
+    return f"array_min(array({', '.join(structs)})).cluster"
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF probe against the TRAINED quantizer: the coarse centroids are
     the k-means output (`_kmeans_fit`, KMEANS_ITERS Lloyd rounds), not raw
     seed vectors — the honest IVF contract. Every vector is assigned to
-    its nearest trained centroid (sq-L2 argmin, the quantizer's own
-    metric, cluster-id tiebreak); the probe then ranks the query's cluster
-    only, by exact cosine. At scale the centroid table is k x dim and
-    broadcast; assignment is a map-side pass and the probe touches
-    ~1/k of the data."""
+    its nearest trained centroid map-side (`_assign_expr`: inlined k x dim
+    centroid literals, argmin in one projection — no crossJoin blowup, no
+    window shuffle); the probe then ranks the query's cluster only, by
+    exact cosine. At 1000 executors the assignment runs at scan speed and
+    the probe touches ~1/k of the data."""
     emb = _emb(spark, sf_dir)
-    _, cents = _kmeans_fit(emb)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cluster",
-        F.expr(_sq_dist_spark("embedding", "cv")).alias("d"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+    cent_rows, _ = _kmeans_fit(emb)
+    assigned = emb.select(
+        "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
     )
     query = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(
@@ -310,36 +321,32 @@ KMEANS_K = N_CENTROIDS  # seed centroids = vec_id < 8, same as IVF
 
 
 def _kmeans_fit(emb):
-    """KMEANS_ITERS Lloyd iterations unrolled into one DAG — the
-    iterative-algorithm pattern: each round is (broadcast centroids ->
-    argmin assign -> posexplode -> per-(cluster,dim) mean). Centroid means
-    round to 4 decimals after every round so cross-engine float summation
-    can't drift into the next iteration; distances use bit-identical
-    left-fold accumulation. At scale: vectors never move — only the k×dim
-    centroid table shuffles; assignment is a broadcast map-side pass.
-    Returns (last-round assignment, trained centroids)."""
-    from pyspark.sql import Window
-
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("embedding").alias("cv")
+    """KMEANS_ITERS Lloyd iterations, one Spark job per round — the
+    iterative-algorithm pattern done the way MLlib does it: the k x dim
+    centroid table is COLLECTED to the driver each round (k*dim doubles —
+    trivially small at any corpus scale) and inlined into the next
+    round's map-side argmin projection (`_assign_expr`). Per round the
+    only shuffle is the (cluster, pos) mean — k*dim groups — while the
+    vectors themselves never shuffle and are scanned exactly once (the r2
+    version crossJoined k copies and windowed them back together: a k×
+    scan blowup + full embedding shuffle per round). Centroid means round
+    to 4 decimals after every round so cross-engine float summation can't
+    drift into the next iteration; distances use bit-identical left-fold
+    accumulation. Returns (trained centroid rows [(cluster, [dim]) ...],
+    last-round lazy assignment DataFrame)."""
+    seed = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
+        .collect()
     )
+    cent_rows = sorted((r.cluster, list(r.embedding)) for r in seed)
+    assigned = None
     for _ in range(KMEANS_ITERS):
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            "cluster",
-            F.expr(_sq_dist_spark("embedding", "cv")).alias("d"),
+        assigned = emb.select(
+            "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cluster")
-        )
-        cents = (
-            assigned.select(
-                "cluster", F.posexplode("embedding").alias("pos", "v")
-            )
+        new_cents = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("v"), 4).alias("m"))
             .groupBy("cluster")
@@ -348,22 +355,29 @@ def _kmeans_fit(emb):
                     "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
                 ).alias("cv")
             )
+            .collect()
         )
-    return assigned, cents
+        cent_rows = sorted((r.cluster, list(r.cv)) for r in new_cents)
+    return cent_rows, assigned
 
 
 def q_kmeans(spark, sf_dir):
     """K-means cluster audit: per-cluster size (last-round assignment) and
     trained-centroid norm. See _kmeans_fit for the Lloyd-round plan."""
-    assigned, cents = _kmeans_fit(_emb(spark, sf_dir))
+    cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir))
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    cents = spark.createDataFrame(
+        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    )
     norms = cents.select(
         "cluster",
         F.round(
             F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"), 4
         ).alias("centroid_norm"),
     )
-    return sizes.join(norms, "cluster").select("cluster", "n_vecs", "centroid_norm")
+    return sizes.join(F.broadcast(norms), "cluster").select(
+        "cluster", "n_vecs", "centroid_norm"
+    )
 
 
 def _kmeans_ctes() -> str:

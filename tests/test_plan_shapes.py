@@ -98,6 +98,18 @@ def test_rfm_no_global_sort_window(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """IVF centroid assignment must be the inlined-literal argmin
+    projection: the final probe plan may contain NO window (the r2 plan
+    ranked a k× crossJoin blowup with row_number) and no hash exchange —
+    the only exchange allowed is the broadcast of the 1-row query side,
+    and top-k must plan as TakeOrdered, not sort."""
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_tpch2_plans(spark, sf_dir):
     """Tranche-2 guards: Q8's dims broadcast; Q21's exists/not-exists
     plan as semi + anti joins; Q13 keeps the outer join."""
