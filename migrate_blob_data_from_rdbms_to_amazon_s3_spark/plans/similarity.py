@@ -270,31 +270,36 @@ def q_ann_hyperplane_lsh(spark, sf_dir):
     into 2 bands of 8 bits; vectors sharing ANY band are candidates
     (equi-join on (band_idx, band_val) — the plan that replaces the
     quadratic pair join at scale: O(n·bands) shuffle), then the exact
-    cosine threshold verifies and pairs found in both bands dedup."""
+    cosine threshold verifies. The band join carries ONLY ids + band
+    keys — shipping the 64-float embeddings through it inflates the
+    candidate shuffle ~30× (measured when q_neardup_embedding made the
+    same switch, plans/similarity.py _PLANES notes); embeddings are
+    re-attached by two linear equi-joins after the pair dedup."""
     sigs = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", F.expr(_hyperplane_sig_spark()).alias("sig")
+        "vec_id", F.expr(_hyperplane_sig_spark()).alias("sig")
     )
     banded = sigs.select(
         "vec_id",
-        "embedding",
         F.posexplode(
             F.array(F.col("sig") % 256, F.floor(F.col("sig") / 256))
         ).alias("band_idx", "band_val"),
     )
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "band_idx", "band_val",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "band_idx", "band_val",
-    )
-    return (
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = _emb(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score"))
         .filter(F.col("score") >= LSH_COSINE)
-        .distinct()
     )
 
 

@@ -98,6 +98,16 @@ def test_rfm_no_global_sort_window(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_hyperplane_band_join_is_id_only(spark, sf_dir):
+    """The (band_idx, band_val) candidate join must not carry the 64-float
+    embedding arrays — every plan node touching a band key may reference
+    ids and band keys only (embeddings re-attach after the pair dedup)."""
+    plan = _plan(spark, sf_dir, "ann_hyperplane_lsh")
+    for line in plan.splitlines():
+        if "band_val" in line:
+            assert "embedding" not in line and "ea#" not in line, line
+
+
 def test_ivf_assignment_is_map_side(spark, sf_dir):
     """IVF centroid assignment must be the inlined-literal argmin
     projection: the final probe plan may contain NO window (the r2 plan
