@@ -179,13 +179,26 @@ def q_distinct_counts(spark, sf_dir):
 def q_approx_distinct(spark, sf_dir):
     """HLL++ sketch distinct (one pass, mergeable, no distinct-shuffle —
     the 100 TB path where exact countDistinct is a full re-shuffle).
-    No DuckDB oracle: sketch estimates are engine-specific; the driver
-    records a rows-only check and tests/test_analytics_extras.py bounds
-    the estimate against the exact count (rsd 0.01 => ~1%)."""
+
+    The raw sketch estimate is engine-specific, so the value-checkable
+    contract is: exact count, total rows, and a boolean asserting the
+    HLL++ estimate (rsd 0.01) lands within 5x the requested error of the
+    exact count. HLL++ is deterministic for a fixed dataset, so the
+    boolean is stable; the DuckDB twin computes the same exact count and
+    expects TRUE — every column hash-matches while the sketch still runs
+    (tests/test_analytics_extras.py additionally bounds the raw
+    estimate)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("n_customers_exact"),
         F.count("*").alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.countDistinct("o_custkey") * 0.05
+        ).alias("estimate_within_5pct"),
     )
 
 
@@ -650,6 +663,12 @@ ORACLES = {
         SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
                COUNT(*) AS n_orders
+        FROM orders
+    """,
+    "approx_distinct": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+               COUNT(*) AS n_orders,
+               TRUE AS estimate_within_5pct
         FROM orders
     """,
     "set_ops": """

@@ -1,6 +1,11 @@
-"""Bounds checks for estimates that have no cross-engine oracle."""
+"""Bounds checks for sketch estimates (the raw HLL++ value is engine-
+specific, so the oracle checks a deterministic error-bound boolean; this
+test additionally bounds the raw estimate itself)."""
+
+from pyspark.sql import functions as F
 
 from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.analytics import (
+    _t,
     q_approx_distinct,
     q_distinct_counts,
 )
@@ -8,5 +13,16 @@ from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.analytics import (
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     exact = q_distinct_counts(spark, sf_dir).collect()[0].n_customers
-    approx = q_approx_distinct(spark, sf_dir).collect()[0].approx_customers
+    approx = (
+        _t(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a"))
+        .collect()[0]
+        .a
+    )
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_distinct_contract_row(spark, sf_dir):
+    row = q_approx_distinct(spark, sf_dir).collect()[0]
+    assert row.estimate_within_5pct is True
+    assert row.n_customers_exact > 0 and row.n_orders >= row.n_customers_exact
