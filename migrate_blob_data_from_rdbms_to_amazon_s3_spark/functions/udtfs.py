@@ -20,12 +20,13 @@ def tokenize_udtf():
 
     class Tokenize:
         def eval(self, text: str):
-            # ASCII \s split (not str.split): plain .split() also breaks on
-            # Unicode whitespace (NBSP etc.) that RE2-based SQL twins do
-            # not, so the oracle would diverge on such corpora
+            # Explicit whitespace class shared with the SQL twins: Python's
+            # ASCII \s = [ \t\n\r\f\v] but RE2/DuckDB \s excludes \x0b, and
+            # plain str.split() adds Unicode whitespace (NBSP etc.) — either
+            # would diverge from the oracle on corpora containing them.
             import re
 
-            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
+            toks = [t for t in re.split(r"[ \t\n\r\f]+", text or "") if t]
             for i, tok in enumerate(toks):
                 yield i, tok
 

@@ -78,7 +78,12 @@ def rewrite(df: DataFrame, path: str) -> None:
     table momentarily absent at ``path`` but intact in ``.__old_<token>``
     — ``recover(path)`` restores it on restart (two plain dirs can't swap
     atomically without renameat2/table-format metadata; with Delta/
-    Iceberg this whole dance is a metadata commit)."""
+    Iceberg this whole dance is a metadata commit).
+
+    SINGLE WRITER REQUIRED: concurrent ``rewrite``s of the same path (or
+    a ``recover`` racing a live ``rewrite``) can delete each other's temp
+    dirs or resurrect a stale copy — serialize writers externally (job
+    scheduler, lock service); a table format is the real fix."""
     import os
     import shutil
     import uuid
@@ -106,14 +111,31 @@ def recover(path: str) -> bool:
     """Crash recovery for ``rewrite``: if the table is absent at ``path``
     but a rename-aside copy exists, restore the newest one (and sweep
     stale ``.__tmp_*`` partial writes). Run at job startup — the analog
-    of a WAL replay. Returns True if a restore happened."""
+    of a WAL replay. Returns True if a restore happened.
+
+    Assumes the single-writer discipline ``rewrite`` documents: run it
+    only when no rewrite of ``path`` can be in flight. As a belt-and-
+    braces guard against a near-miss, temp dirs modified within the last
+    ``min_tmp_age_s`` seconds are left alone — a live ``rewrite``'s
+    in-progress output is never swept."""
+    return _recover(path)
+
+
+def _recover(path: str, min_tmp_age_s: float = 600.0) -> bool:
     import glob as _glob
     import os
     import shutil
+    import time
 
     local_path = path.removeprefix("file:").rstrip("/")
+    now = time.time()
     for tmp in _glob.glob(f"{local_path}.__tmp_*"):
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            recent = now - os.path.getmtime(tmp) < min_tmp_age_s
+        except OSError:
+            recent = False
+        if not recent:
+            shutil.rmtree(tmp, ignore_errors=True)
     if os.path.exists(local_path):
         return False
     asides = sorted(_glob.glob(f"{local_path}.__old_*"), key=os.path.getmtime)

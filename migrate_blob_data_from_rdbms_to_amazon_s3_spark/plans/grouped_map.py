@@ -81,7 +81,7 @@ ORACLES = {
         SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tok AS token
         FROM (
             SELECT doc_id,
-                   list_filter(string_split_regex(text, '\s+'),
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                t -> t != '') AS toks
             FROM documents WHERE length(trim(text)) > 0
         ),

@@ -118,10 +118,11 @@ def q_data_mix_audit(spark, sf_dir):
     """Data-mixing audit: tokens and documents per (source, lang) with
     each cell's share of the total token mass — the table that sets (and
     later verifies) corpus mixing weights. One combiner-friendly shuffle
-    to the (source, lang) grain; the global total is a window over the
-    already-aggregated (tiny) mix table, not a second scan."""
-    from pyspark.sql import Window
-
+    to the (source, lang) grain; the global total re-aggregates the
+    already-aggregated (tiny) mix table and broadcasts as a 1-row
+    crossJoin (same shape as q11's scalar total — an unpartitioned
+    window here would be harmless post-agg but single-partitions the
+    mix table and spams WindowExec warnings)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     mix = (
@@ -129,13 +130,13 @@ def q_data_mix_audit(spark, sf_dir):
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return mix.select(
+    total = mix.agg(F.sum("n_tokens").alias("t"))
+    return mix.crossJoin(F.broadcast(total)).select(
         "source",
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
     )
 
 

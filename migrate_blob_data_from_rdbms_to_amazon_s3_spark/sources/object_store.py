@@ -102,6 +102,23 @@ _PERMANENT_ERRORS = (
 )
 
 
+def _is_permanent(e: Exception) -> bool:
+    """True for failures a retry can never fix. Matches the stdlib types a
+    LocalFSObjectStore raises AND botocore ClientError shapes: S3 surfaces
+    a missing key / access denial / bad request as ClientError with a 4xx
+    HTTPStatusCode, which must not burn attempts x backoff in every
+    executor task. 408 (timeout) and 429 (throttling) stay retryable —
+    those are the transient 4xx codes."""
+    if isinstance(e, _PERMANENT_ERRORS):
+        return True
+    resp = getattr(e, "response", None)  # botocore ClientError duck-type
+    if isinstance(resp, dict):
+        code = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+        if isinstance(code, int) and 400 <= code < 500 and code not in (408, 429):
+            return True
+    return False
+
+
 class RetryingStore:
     """Bounded-retry decorator for any store: transient put/get/delete
     failures (throttling, connection resets — the errors S3 surfaces
@@ -124,9 +141,9 @@ class RetryingStore:
         for i in range(self.attempts):
             try:
                 return fn(*args)
-            except _PERMANENT_ERRORS:
-                raise
             except Exception as e:
+                if _is_permanent(e):
+                    raise
                 last = e
                 if i + 1 < self.attempts:
                     time.sleep(self.backoff_s * (2**i))

@@ -22,7 +22,26 @@ from pyspark.sql import functions as F
 def write_idempotent_parquet(result: DataFrame, path: str, name: str):
     """Start an availableNow foreachBatch drain into ``path``,
     partitioned by batch_id with dynamic overwrite. Returns the query
-    (caller awaits termination)."""
+    (caller awaits termination).
+
+    Exactly-once holds when a replay REUSES the checkpoint (same
+    batch_id -> same rows, so dynamic overwrite replaces each partition
+    byte-for-byte). A restart with a FRESH checkpoint renumbers batches
+    from 0 and may slice files differently — dynamic overwrite only
+    replaces partitions present in the new write, so partitions from the
+    previous run with higher batch_ids would survive as duplicates. To
+    keep the fresh-checkpoint path correct too, any pre-existing
+    ``batch_id=*`` partitions are cleared before a drain that starts
+    without a checkpoint."""
+    import glob as _glob
+    import os
+    import shutil
+
+    local_ckpt = f"{path}__checkpoint".removeprefix("file:")
+    local_path = path.removeprefix("file:")
+    if not os.path.exists(local_ckpt):
+        for part in _glob.glob(os.path.join(local_path, "batch_id=*")):
+            shutil.rmtree(part, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -141,7 +141,8 @@ def test_read_after_write_contract(spark, base, tmp_path):
 
 def test_recover_restores_renamed_aside_table(spark, tmp_path):
     """Simulated crash between rename-aside and move-in: recover() puts
-    the aside copy back and sweeps stale temp dirs."""
+    the aside copy back, sweeps STALE temp dirs, and leaves a recent
+    (possibly in-flight) temp dir alone."""
     import os
 
     from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.mutation import (
@@ -151,11 +152,17 @@ def test_recover_restores_renamed_aside_table(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     df.write.parquet(path)
-    # simulate the crash window: table renamed aside, partial tmp left
+    # simulate the crash window: table renamed aside, one stale partial tmp
+    # (backdated an hour) and one fresh tmp that could be a live writer
     os.rename(path, f"{path}.__old_deadbeef")
     os.makedirs(f"{path}.__tmp_cafe")
+    old = os.path.getmtime(f"{path}.__tmp_cafe") - 3600
+    os.utime(f"{path}.__tmp_cafe", (old, old))
+    os.makedirs(f"{path}.__tmp_live")
     assert recover(path) is True
     assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2]
     assert not os.path.exists(f"{path}.__tmp_cafe")
+    assert os.path.exists(f"{path}.__tmp_live")  # recent => not swept
+    os.rmdir(f"{path}.__tmp_live")
     # idempotent: nothing to do on a healthy table
     assert recover(path) is False

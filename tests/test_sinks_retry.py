@@ -109,3 +109,54 @@ def test_retrying_store_fails_fast_on_permanent_errors(tmp_path):
         raised = True
     assert raised
     assert calls["n"] == 1
+
+
+def test_retrying_store_classifies_s3_client_errors(tmp_path):
+    """botocore ClientError shapes: 404/403 are permanent (one attempt);
+    503 SlowDown is transient (retried to exhaustion)."""
+
+    class FakeClientError(Exception):
+        def __init__(self, status):
+            super().__init__(f"http {status}")
+            self.response = {"ResponseMetadata": {"HTTPStatusCode": status}}
+
+    for status, want_calls in ((404, 1), (403, 1), (503, 3)):
+        calls = {"n": 0}
+
+        class Failing:
+            def get(self, key):
+                calls["n"] += 1
+                raise FakeClientError(status)
+
+        store = RetryingStore(Failing(), attempts=3, backoff_s=0.001)
+        try:
+            store.get("k")
+            raised = False
+        except FakeClientError:
+            raised = True
+        assert raised
+        assert calls["n"] == want_calls, (status, calls["n"])
+
+
+def test_fresh_checkpoint_drain_clears_stale_batch_partitions(spark, sf_dir, tmp_path):
+    """A drain starting WITHOUT a checkpoint renumbers batches from 0 —
+    any surviving batch_id partitions from a previous run would read as
+    duplicates, so the sink clears them first."""
+    import os
+
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    ev = load_events(spark, sf_dir).limit(100)
+    ev.coalesce(1).write.parquet(src)
+
+    # plant a stale partition a crashed previous run might have left
+    os.makedirs(f"{out}/batch_id=99")
+    spark.createDataFrame([(-999, "stale")], "event_id long, event_type string")\
+        .coalesce(1).write.mode("overwrite").parquet(f"{out}/batch_id=99")
+
+    stream = SE.read_event_stream(spark, src).select("event_id", "event_type")
+    q = write_idempotent_parquet(stream, out, "sink_fresh_ckpt")
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.filter("event_id = -999").count() == 0
+    assert got.count() == 100
