@@ -72,31 +72,47 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # two timed runs per query, min reported: strips scheduler/GC jitter
-    # (local-mode runs show up to 3x run-to-run variance on sub-second jobs)
+    # contention guard: a correctness pass or pytest run sharing this
+    # local[32] box inflates timings ~3x (BENCH_r02 recorded simhash at
+    # 2.96 s vs 0.98 s isolated). Record the 1-minute load at start; when
+    # it exceeds half the cores, flag the record as contended so a reader
+    # never mistakes scheduler noise for a regression.
+    ncpus = os.cpu_count() or 1
+    load1 = os.getloadavg()[0]
+    contended = load1 > 0.5 * ncpus
+
+    # three timed runs per query, median reported: strips scheduler/GC
+    # jitter (local-mode runs show up to 3x run-to-run variance on
+    # sub-second jobs) without letting one lucky cold run understate
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": 3,
+        "stat": "median",
+        "load1_at_start": round(load1, 2),
+        "ncpus": ncpus,
+    }
+    if contended:
+        record["warning"] = (
+            f"system load {load1:.1f} > {0.5 * ncpus:.0f} at start - "
+            "timings likely inflated by a concurrent job; rerun isolated"
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -27,13 +27,14 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         similarity,
         multimodal,
         quality,
+        corpus_ops,
         streaming_entries,
     )
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, multimodal,
-        quality, streaming_entries,
+        quality, corpus_ops, streaming_entries,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -1,0 +1,242 @@
+"""Corpus-construction operators round 3: unigram LM scoring, embedding
+outlier detection, stratified downsampling, and per-source quota
+enforcement — the mixing/filtering stages a training-data pipeline runs
+after dedup/decontamination (no reference analog; LLM-pipeline extension
+like plans/quality.py).
+
+All JVM-side; every operator has a DuckDB value oracle. Shuffle budget
+per operator is named in its docstring — each is a shape that survives
+100 TB (token-grain aggregation with map-side combine, broadcast scalar
+stats, salted two-phase per-key top-K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+# per-language keep-rates (percent) for the stratified downsampler: the
+# high-resource languages get downsampled, the tail kept — the standard
+# corpus-mixing move. Shared verbatim with the oracle CASE.
+STRATA_RATES = {"en": 20, "zh": 35, "de": 50, "fr": 50, "es": 50}
+STRATA_DEFAULT_RATE = 80
+
+SOURCE_QUOTA = 40  # max docs kept per source
+QUOTA_SALT = 16  # phase-1 shards per source (bounds any hot source's sort)
+
+OUTLIER_TOPK = 10
+EMB_DIM = 64
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _doc_tokens(spark, sf_dir):
+    """(doc_id, tok) exploded whitespace tokens — the token-grain view the
+    unigram model both trains and scores on. Narrow (explode is pipelined
+    into the scan; no shuffle until an aggregation asks for one)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM fluency score: train token frequencies on the corpus
+    itself (one token-grain aggregation, map-side combine), then score
+    every document by its mean negative log-probability — the cheap
+    perplexity proxy quality filters threshold on (high avg -ln p =
+    rare/garbled tokens). Shuffles: vocab agg on tok, score join on tok,
+    doc agg on doc_id — all equi-key, combiner-friendly; the scalar
+    token total is a broadcast. Zipf bounds the vocab table, so at
+    100 TB the join side stays millions of rows, not corpus-sized."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
+    )
+    return (
+        toks.join(scored_vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("neg_logp"), 3).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier report: the OUTLIER_TOPK vectors farthest
+    (L2) from the corpus centroid — the audit that surfaces corrupt /
+    off-distribution embeddings before they poison ANN indexes or
+    clustering. Centroid = per-dimension mean (posexplode + (pos) agg —
+    k*dim output, rounded 4 so cross-engine summation can't drift),
+    broadcast back as a 1-row array; distances are a narrow projection;
+    top-k plans as TakeOrdered (no global sort)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroid = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("v"), 4).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cv")
+        )
+    )
+    dist = (
+        "round(sqrt(aggregate(zip_with(embedding, cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0D, (acc, v) -> acc + v)), 6)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(centroid))
+        .select("vec_id", F.expr(dist).alias("centroid_dist"))
+        .orderBy(F.desc("centroid_dist"), "vec_id")
+        .limit(OUTLIER_TOPK)
+    )
+
+
+def _rate_case_spark():
+    col = F.col("lang")
+    expr = None
+    for lang, rate in STRATA_RATES.items():
+        expr = (
+            F.when(col == lang, rate)
+            if expr is None
+            else expr.when(col == lang, rate)
+        )
+    return expr.otherwise(STRATA_DEFAULT_RATE)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified downsampling audit: deterministic per-language keep
+    rates (STRATA_RATES — downsample high-resource languages, keep the
+    tail) applied by hashing the document key into 100 buckets; a doc is
+    kept iff its bucket < the language's rate. No RNG, no sampleBy — the
+    same example set survives reruns, engine swaps, and repartitioning
+    (the property dataset_split relies on too). Report: per-language
+    total/kept/achieved-rate. One combiner-friendly shuffle to the lang
+    grain; the keep decision is map-side."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    kept = bucket < _rate_case_spark()
+    return (
+        docs.select("lang", kept.cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+        )
+    )
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source quota enforcement: keep at most SOURCE_QUOTA docs per
+    source, preferring longer documents (n_chars DESC, doc_id tiebreak) —
+    the per-domain cap that stops one crawl domain from dominating the
+    mix. Two-phase top-K so a hot source never single-sorts its whole
+    group at 100 TB: phase 1 ranks within (source, doc_id % QUOTA_SALT)
+    shards and keeps each shard's top SOURCE_QUOTA (any global top-K row
+    is top-K within its shard, so pruning is lossless); phase 2 ranks the
+    <= QUOTA_SALT * SOURCE_QUOTA survivors per source. The oracle is the
+    direct single-window top-K — identical output, different (scale-safe)
+    plan. Report: per-source kept count + kept chars."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    w1 = Window.partitionBy("source", F.col("doc_id") % QUOTA_SALT).orderBy(*order)
+    phase1 = (
+        docs.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SOURCE_QUOTA)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    kept = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+QUERIES = {
+    "unigram_logprob_score": q_unigram_logprob,
+    "embedding_outliers": q_embedding_outliers,
+    "stratified_sample": q_stratified_sample,
+    "source_quota": q_source_quota,
+}
+
+_RATE_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    + f" ELSE {STRATA_DEFAULT_RATE} END"
+)
+
+ORACLES = {
+    "unigram_logprob_score": r"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS t FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(-ln(c / t)), 3) AS avg_neg_logprob
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    "embedding_outliers": f"""
+        WITH cent AS (
+            SELECT array_agg(m ORDER BY pos) AS cv FROM (
+                SELECT u.pos AS pos, ROUND(AVG(u.v), 4) AS m
+                FROM embeddings,
+                     LATERAL (SELECT UNNEST(embedding) AS v,
+                                     generate_subscripts(embedding, 1) AS pos) u
+                GROUP BY u.pos
+            )
+        )
+        SELECT vec_id,
+               ROUND(sqrt(list_reduce(list_transform(generate_series(1, {EMB_DIM}),
+                     i -> (embedding[i]::DOUBLE - cv[i]) * (embedding[i]::DOUBLE - cv[i])),
+                     (x, y) -> x + y)), 6) AS centroid_dist
+        FROM embeddings, cent
+        ORDER BY centroid_dist DESC, vec_id
+        LIMIT {OUTLIER_TOPK}
+    """,
+    "stratified_sample": f"""
+        WITH d AS (
+            SELECT lang,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                        < {_RATE_CASE_SQL} THEN 1 ELSE 0 END AS kept
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+               ROUND(SUM(kept) / COUNT(*), 4) AS kept_frac
+        FROM d GROUP BY lang
+    """,
+    "source_quota": f"""
+        SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {SOURCE_QUOTA}
+        GROUP BY source
+    """,
+}
