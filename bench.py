@@ -53,6 +53,9 @@ HEADLINE = [
     "corpus_clean_funnel",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "customer_rfm_segments",
+    "unigram_logprob_score",
+    "source_quota",
 ]
 
 
