@@ -249,30 +249,37 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sigs = d.select(
         "doc_id", *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(16)]
     )
+    # candidate generation is id-only (the id-only-pairs discipline of
+    # q_neardup_embedding): the band join shuffles (doc_id, band_idx,
+    # band_val), never the 16 signature columns; signatures re-attach by
+    # two equi-joins after the pair dedup, so the estimated-Jaccard
+    # expression also runs once per distinct pair instead of once per
+    # band collision. The three references to `sigs` share one physical
+    # barrier exchange (ReuseExchange).
     band_cols = [
         F.concat_ws(
             "-", *[F.col(f"sig_{k}") for k in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
-    banded = sigs.select("doc_id", *[F.col(f"sig_{j}") for j in range(16)], *band_cols)
-    exploded = banded.select(
+    exploded = sigs.select(
         "doc_id",
-        *[F.col(f"sig_{j}") for j in range(16)],
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_val"
-        ),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
     )
-    lhs = exploded.select(
+    lhs = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    rhs = exploded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        lhs.join(rhs, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        "band_idx",
-        "band_val",
         *[F.col(f"sig_{j}").alias(f"la_{j}") for j in range(16)],
     )
-    rhs = exploded.select(
+    sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        "band_idx",
-        "band_val",
         *[F.col(f"sig_{j}").alias(f"lb_{j}") for j in range(16)],
     )
     matches = (
@@ -280,15 +287,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         + sum((F.col(f"la_{j}") == F.col(f"lb_{j}")).cast("int") for j in range(16))
     )
     return (
-        lhs.join(rhs, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", matches.alias("n_matching_sigs"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("n_matching_sigs").alias("n_matching_sigs"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_matching_sigs") / 16.0, 4).alias("est_jaccard"),
+            F.round(matches / 16.0, 4).alias("est_jaccard"),
         )
     )
 

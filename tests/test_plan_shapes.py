@@ -108,6 +108,15 @@ def test_hyperplane_band_join_is_id_only(spark, sf_dir):
             assert "embedding" not in line and "ea#" not in line, line
 
 
+def test_minhash_band_join_is_id_only(spark, sf_dir):
+    """Same id-only discipline for MinHash LSH: the 16 signature columns
+    re-attach after the pair dedup, never ride the band-bucket shuffle."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    for line in plan.splitlines():
+        if "band_val" in line:
+            assert "sig_" not in line and "la_" not in line, line
+
+
 def test_ivf_assignment_is_map_side(spark, sf_dir):
     """IVF centroid assignment must be the inlined-literal argmin
     projection: the final probe plan may contain NO window (the r2 plan
