@@ -110,11 +110,15 @@ def test_hyperplane_band_join_is_id_only(spark, sf_dir):
 
 def test_minhash_band_join_is_id_only(spark, sf_dir):
     """Same id-only discipline for MinHash LSH: the 16 signature columns
-    re-attach after the pair dedup, never ride the band-bucket shuffle."""
+    re-attach after the pair dedup, never ride the band-bucket shuffle.
+    The posexplode that DERIVES band values from sigs is map-side and
+    fine; what must stay clean is every Input/Output row of a node that
+    carries a band key (the shuffle/join surface)."""
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     for line in plan.splitlines():
-        if "band_val" in line:
-            assert "sig_" not in line and "la_" not in line, line
+        s = line.strip()
+        if "band_val" in s and (s.startswith("Input") or s.startswith("Output")):
+            assert "sig_" not in s and "la_" not in s, s
 
 
 def test_ivf_assignment_is_map_side(spark, sf_dir):
