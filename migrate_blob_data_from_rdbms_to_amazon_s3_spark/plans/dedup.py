@@ -159,6 +159,34 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+# --- incremental ingest dedup -------------------------------------------------
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: a new crawl drop (here: doc_id % 3 == 0)
+    deduped against the fingerprint REGISTRY of the already-ingested
+    corpus (the other docs), then within itself — the shape every
+    continuously-fed corpus runs per drop, instead of re-deduping 100 TB
+    from scratch. Plan: the batch left-anti-joins the registry on the
+    content digest (hashes shuffle, never text) and the survivors
+    hash-aggregate to first-copy-per-digest. The registry side is the
+    100 TB one — it must NEVER broadcast (same direction lesson as
+    insert_rows' anti-join, operators/mutation.py:37); plan-guarded by
+    test_plan_shapes.test_incremental_dedup_never_broadcasts_registry."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.encode("text", "UTF-8"))
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", fp.alias("text_hash")
+    )
+    registry = docs.filter(F.col("doc_id") % 3 != 0).select(fp.alias("text_hash"))
+    return (
+        batch.join(registry, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+    )
+
+
 # --- n-gram Jaccard near-dup -----------------------------------------------------
 def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     """Near-dup pairs by word-3-gram Jaccard >= 0.2 via an inverted shingle
@@ -411,6 +439,7 @@ def q_dedup_keep_best(spark, sf_dir):
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_components": q_dedup_components,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -483,6 +512,20 @@ ORACLES = {
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "dedup_incremental": """
+        WITH batch AS (
+            SELECT doc_id, md5(text) AS text_hash
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        registry AS (
+            SELECT DISTINCT md5(text) AS text_hash
+            FROM documents WHERE doc_id % 3 != 0
+        )
+        SELECT text_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_batch_copies
+        FROM batch ANTI JOIN registry USING (text_hash)
+        GROUP BY text_hash
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_DOCS_SH_DUCK},

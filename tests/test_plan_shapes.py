@@ -88,6 +88,22 @@ def test_quantize_is_narrow_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_incremental_dedup_never_broadcasts_registry(spark, sf_dir):
+    """dedup_incremental's anti-join right side is the full corpus's
+    fingerprint registry — broadcasting it OOMs the driver at 100 TB
+    (same direction lesson as insert_append). With auto-broadcast
+    disabled any BroadcastExchange could only come from a hint, so the
+    plan must contain none."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "dedup_incremental")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan, plan
+    assert "LeftAnti" in plan
+
+
 def test_rfm_no_global_sort_window(spark, sf_dir):
     """RFM quartiles must come from percentile cut-points + broadcast CASE
     bucketing — an unpartitioned Window (ntile) would sort every customer
