@@ -44,6 +44,10 @@ def get_spark(app_name: str = "rdbms-blob-s3-spark", cpus: str | int | None = No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs ship rows through Arrow batches too (the default
+        # pickle path plans as BatchEvalPythonUDTF — row-at-a-time; the
+        # fleet-wide plan linter forbids it)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
