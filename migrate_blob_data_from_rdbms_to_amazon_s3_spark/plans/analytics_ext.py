@@ -269,8 +269,60 @@ def q19_disjunctive_predicates(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov): per-user lag
+    pairs counted globally, with each transition's probability within its
+    source type — the navigation-flow table behind funnel design. One
+    hash exchange on user_id for the lag window, one combiner-friendly
+    shuffle to the (from, to) grain; the per-source totals re-aggregate
+    the 5x5 transition table and broadcast back."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.round(F.col("n_trans") / F.col("n_from"), 4).alias("p_trans"),
+        )
+    )
+
+
+def q_basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 15 part pairs most often bought in
+    the same order. The pair join is keyed on the order (baskets are a few
+    items, so per-order fan-out is bounded ~|basket|²), then one count
+    shuffle and a TakeOrdered top-k — never a global part×part join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "event_transitions": q_event_transitions,
+    "basket_part_pairs": q_basket_part_pairs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
@@ -289,6 +341,37 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "event_transitions": """
+        WITH trans AS (
+            SELECT from_type, event_type AS to_type FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS from_type
+                FROM events
+            ) WHERE from_type IS NOT NULL
+        ),
+        counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n_trans
+            FROM trans GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+            FROM counts GROUP BY 1
+        )
+        SELECT c.from_type, c.to_type, c.n_trans,
+               ROUND(c.n_trans / t.n_from, 4) AS p_trans
+        FROM counts c JOIN totals t USING (from_type)
+    """,
+    "basket_part_pairs": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 15
+    """,
     "q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l_shipdate) AS INT) AS yr,

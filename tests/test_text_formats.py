@@ -54,6 +54,33 @@ def test_malformed_rows_quarantined_not_dropped(spark, tmp_path):
     assert len(bad) == 1 and bad[0].raw_line.startswith("not-a-number")
 
 
+def test_orc_round_trip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC is the other first-class columnar format (built into Spark);
+    the engine's tables read/write it with identical semantics."""
+    src = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_avro_round_trip_if_available(spark, sf_dir, tmp_path):
+    """Avro ships as an external Spark package; exercised when present,
+    skipped (not silently passed) when the jar is absent."""
+    import pytest
+
+    src = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_avro")
+    try:
+        src.write.format("avro").save(path)
+    except Exception as e:  # jar not on the classpath in this container
+        pytest.skip(f"avro data source unavailable: {type(e).__name__}")
+    back = spark.read.format("avro").load(path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
 def test_malformed_json_quarantined(spark, tmp_path):
     path = tmp_path / "bad.jsonl"
     path.write_text(
