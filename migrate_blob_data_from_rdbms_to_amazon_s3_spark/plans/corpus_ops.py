@@ -169,8 +169,99 @@ def q_source_quota(spark, sf_dir):
     )
 
 
+TFIDF_MAX_DF = 64  # posting cap, same rationale as dedup.MAX_POSTING_DF
+TFIDF_THRESHOLD = 0.15
+TFIDF_MIN_COMMON = 2
+
+# word-bigram terms: the fixture's unigram vocabulary is a dense ~31 words
+# (every term hot), while bigrams are Zipf-ish (906/916 in the df 2..64
+# band at sf0.01) — the term granularity a real TF-IDF index wants anyway
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+    "i -> concat_ws(' ', toks[i-1], toks[i])) ELSE array() END"
+)
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs — the weighted complement of
+    the dense embedding cosine (plans/similarity.py) and the unweighted
+    shingle Jaccard (plans/dedup.py): document pairs whose TF-IDF
+    bigram-term vectors have cosine >= TFIDF_THRESHOLD, with candidates
+    generated by the inverted term index (postings join on the term),
+    never a pair join.
+
+    Plan: one (doc, term) aggregation builds term frequencies; document
+    frequencies re-aggregate it; idf = ln(N/df) with the scalar N
+    broadcast. The postings join carries (doc_id, weight) only; postings
+    hotter than TFIDF_MAX_DF docs are dropped before any pair exists
+    (low-idf terms contribute ~nothing to cosine — the exact-mirrored cap
+    that bounds Σ|posting|² on adversarial corpora). Norms are computed
+    over the FULL vector (including capped terms) and re-attach to the
+    deduped pair aggregate by two linear joins. All shuffles equi-key,
+    combiner-friendly; Python never touches rows. The bigram array is
+    materialized behind the dedup barrier so CollapseProject can't
+    re-evaluate it per exploded row."""
+    from .dedup import _barrier
+
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+        .withColumn("grams", F.expr(_BIGRAMS_SPARK))
+    )
+    toks = _barrier(raw, ["doc_id"], ["grams"]).select(
+        "doc_id", F.explode("grams").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tfc"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
+    n_docs = toks.select("doc_id").distinct().select(
+        F.count("*").alias("n_docs")
+    )
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "dfc",
+            (F.col("tfc") * F.log(F.col("n_docs") / F.col("dfc"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    posting = w.filter((F.col("dfc") >= 2) & (F.col("dfc") <= TFIDF_MAX_DF))
+    a = posting.select(
+        "tok", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+    )
+    b = posting.select(
+        "tok", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+        .filter(F.col("n_common_terms") >= TFIDF_MIN_COMMON)
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common_terms",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= TFIDF_THRESHOLD)
+    )
+
+
 QUERIES = {
     "unigram_logprob_score": q_unigram_logprob,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_outliers": q_embedding_outliers,
     "stratified_sample": q_stratified_sample,
     "source_quota": q_source_quota,
@@ -183,6 +274,46 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "tfidf_cosine_pairs": rf"""
+        WITH ts_t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t != '') AS ts
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, u.tok
+            FROM ts_t, LATERAL (
+                SELECT UNNEST(list_transform(generate_series(1, len(ts) - 1),
+                                             i -> ts[i] || ' ' || ts[i+1])) AS tok
+            ) u
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tfc FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        w AS (
+            SELECT doc_id, tok, dfc, tfc * ln(n_docs / dfc) AS w
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        ),
+        norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        posting AS (
+            SELECT * FROM w WHERE dfc BETWEEN 2 AND {TFIDF_MAX_DF}
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common_terms, SUM(a.w * b.w) AS dot
+            FROM posting a JOIN posting b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TFIDF_MIN_COMMON}
+        )
+        SELECT doc_a, doc_b, n_common_terms,
+               ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= {TFIDF_THRESHOLD}
+    """,
     "unigram_logprob_score": r"""
         WITH toks AS (
             SELECT doc_id, u.tok
