@@ -449,6 +449,51 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+# --- events: native session_window sessionization -----------------------------------------------
+def q_events_session_window(spark, sf_dir):
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    built-in twin of the lag/cumsum sessionize below (and of the
+    applyInPandasWithState streaming sessionizer): one aggregation, no
+    window functions, and the same operator works under watermarks in
+    streaming. Session semantics: an event extends its session while the
+    gap to the previous event is < 30 min (a gap of exactly 30 min starts
+    a new session — mirrored with >= in the oracle's cumsum); the
+    session's end is last_event_ts + gap, per the session_window
+    contract."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- events: approx percentile with bound audit --------------------------------------------------
+def q_approx_percentiles_bounded(spark, sf_dir):
+    """Per-type median via ``approx_percentile`` (one-pass mergeable
+    sketch — the 100 TB path the exact-percentile docstrings point to),
+    value-checked the same way as approx_distinct: the output carries the
+    EXACT median plus a boolean asserting the sketch landed within 5% of
+    the group's value range. Both sketches are deterministic for fixed
+    data, so every column hash-matches the DuckDB twin (which computes
+    the exact stats and expects TRUE)."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.expr("approx_percentile(value, 0.5, 10000)")
+    spread = F.max("value") - F.min("value")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(exact, 4).alias("p50_exact"),
+        (F.abs(approx - exact) <= spread * 0.05).alias("estimate_within_bound"),
+    )
+
+
 # --- events: sessionization (gap > 30 min) --------------------------------------------------------
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization via window functions: a new session starts
@@ -555,6 +600,8 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "events_latest_state": q_events_latest_state,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
+    "approx_percentiles_bounded": q_approx_percentiles_bounded,
     "events_stats": q_events_stats,
 }
 
@@ -737,6 +784,40 @@ ORACLES = {
         SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
                ROUND(SUM(monetary), 2) AS segment_value
         FROM scored GROUP BY 1, 2, 3
+    """,
+    "events_session_window": """
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second',
+                                    LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                    ts) >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM seq
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    "approx_percentiles_bounded": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+               TRUE AS estimate_within_bound
+        FROM events
+        GROUP BY event_type
     """,
     "events_cohort_retention": """
         WITH first AS (
