@@ -59,6 +59,63 @@ def compact(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
     return n_files
 
 
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered write: interleave the bits of two (min/max
+    scaled) numeric columns into one Morton key, range-partition and sort
+    the table by it, and write — so EVERY file covers a narrow range of
+    BOTH columns and parquet min/max (or a table format's file stats) can
+    prune scans filtered on either one. A plain sort clusters only its
+    leading column; Z-order is the layout move for two independent
+    predicate columns (the multi-dimensional analog of
+    write_partitioned_by_month's directory pruning).
+
+    The column bounds come from one min/max aggregation inlined as
+    literals (k-means-style legitimate driver collect — 4 scalars);
+    the Morton key is a pure JVM-side bit expression, dropped before
+    write. Scaling is linear, so heavy value skew concentrates buckets —
+    for skewed columns substitute a rank/percentile scale (same
+    interleave)."""
+    row = df.agg(
+        F.min(col_x).alias("nx"),
+        F.max(col_x).alias("xx"),
+        F.min(col_y).alias("ny"),
+        F.max(col_y).alias("xy"),
+    ).collect()[0]
+    m = 1 << bits
+
+    def _scaled(col: str, lo: float, hi: float) -> str:
+        span = (hi - lo) or 1.0
+        return (
+            f"CAST(LEAST({m - 1}, GREATEST(0, FLOOR("
+            f"(CAST({col} AS DOUBLE) - {float(lo)!r}) / {float(span)!r} * {m}"
+            f"))) AS BIGINT)"
+        )
+
+    sx = _scaled(col_x, row.nx, row.xx)
+    sy = _scaled(col_y, row.ny, row.xy)
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright(_zx, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright(_zy, {i}) & 1, {2 * i + 1})")
+    (
+        df.withColumn("_zx", F.expr(sx))
+        .withColumn("_zy", F.expr(sy))
+        .withColumn("_z", F.expr(" + ".join(terms)))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_zx", "_zy", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_evolved(
     spark: SparkSession, path: str, target_schema, fill_defaults: dict | None = None
 ) -> DataFrame:

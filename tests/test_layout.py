@@ -81,3 +81,53 @@ def test_schema_evolution_read(spark, tmp_path):
     assert rows[1].score == 0.0 and rows[1].flag is False and rows[1].era == "na"
     assert rows[3].score == 1.5 and rows[3].flag is False
     assert rows[4].flag is True
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order files must cover narrow ranges of BOTH interleaved columns;
+    a plain range-sort on one column leaves the other column's per-file
+    range ~the global range (no pruning possible on it)."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.layout import (
+        zorder_write,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "orders_z")
+    lpath = str(tmp_path / "orders_linear")
+    zorder_write(orders, zpath, "o_custkey", "o_totalprice", n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(lpath)
+    )
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    def mean_span_frac(path, col):
+        spans, glo, ghi = [], None, None
+        for f in Path(path).rglob("*.parquet"):
+            md = pq.read_metadata(f)
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                los.append(st.min)
+                his.append(st.max)
+            if not los:
+                continue
+            lo, hi = min(los), max(his)
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return sum(spans) / len(spans) / (ghi - glo)
+
+    # z-order: both columns clustered (8 files = 3 leading Morton bits,
+    # so one column splits ~4 ways and the other ~2 — both well under 1)
+    assert mean_span_frac(zpath, "o_custkey") < 0.7
+    assert mean_span_frac(zpath, "o_totalprice") < 0.7
+    # linear sort: its own column clusters, the other stays ~global
+    assert mean_span_frac(lpath, "o_custkey") < 0.3
+    assert mean_span_frac(lpath, "o_totalprice") > 0.8
