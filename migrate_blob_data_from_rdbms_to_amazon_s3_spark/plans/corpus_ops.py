@@ -70,6 +70,45 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_quality_percentile_filter(spark, sf_dir):
+    """Dynamic-threshold quality filter: drop the worst quartile of
+    documents by unigram-LM score (highest avg -ln p = least fluent),
+    with the threshold derived FROM the corpus itself — one exact
+    ``percentile`` aggregation over the per-doc scores, broadcast back as
+    a scalar cut (the same no-global-sort shape as customer_rfm_segments;
+    a rank/ntile formulation would single-partition every document).
+    Report: per-language total/kept/kept-token mass — the audit a corpus
+    build logs when it applies the filter."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
+    )
+    doc_scores = (
+        toks.join(scored_vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("neg_logp"), 3).alias("score"),
+        )
+    )
+    cut = doc_scores.agg(F.percentile("score", F.lit(0.75)).alias("cut"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        doc_scores.crossJoin(F.broadcast(cut))
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("score") <= F.col("cut")).cast("int")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("score") <= F.col("cut"), F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+    )
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Embedding-space outlier report: the OUTLIER_TOPK vectors farthest
     (L2) from the corpus centroid — the audit that surfaces corrupt /
@@ -261,6 +300,7 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
 
 QUERIES = {
     "unigram_logprob_score": q_unigram_logprob,
+    "quality_percentile_filter": q_quality_percentile_filter,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_outliers": q_embedding_outliers,
     "stratified_sample": q_stratified_sample,
@@ -313,6 +353,33 @@ ORACLES = {
         JOIN norms na ON na.doc_id = doc_a
         JOIN norms nb ON nb.doc_id = doc_b
         WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= {TFIDF_THRESHOLD}
+    """,
+    "quality_percentile_filter": r"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        doc_scores AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln(c / t)), 3) AS score
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        ),
+        cut AS (SELECT quantile_cont(score, 0.75) AS cut FROM doc_scores)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN s.score <= cut THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN s.score <= cut THEN s.n_tokens ELSE 0 END) AS BIGINT)
+                 AS tokens_kept
+        FROM doc_scores s CROSS JOIN cut JOIN documents d USING (doc_id)
+        GROUP BY d.lang
     """,
     "unigram_logprob_score": r"""
         WITH toks AS (
