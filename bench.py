@@ -56,6 +56,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "unigram_logprob_score",
     "source_quota",
+    "tfidf_cosine_pairs",
+    "dedup_incremental",
 ]
 
 
