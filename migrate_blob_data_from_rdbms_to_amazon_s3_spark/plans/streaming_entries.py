@@ -120,14 +120,73 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.table("q_stream_interval_join")
 
 
+SPEND_TIER_CUT = 500.0
+
+
+def q_stream_enrich_static(spark, sf_dir):
+    """Stream-static enrichment: every purchase event joins a BROADCAST
+    static dimension (per-user spend tier, built batch-side) as it
+    arrives — the lookup-table pattern of every streaming enrichment
+    stage. The static side is planned as a broadcast hash join against
+    each micro-batch, so no stream state is kept at all and rows emit
+    immediately; that per-row determinism is why this drain (unlike the
+    windowed ones) carries a full value oracle."""
+    import shutil
+
+    src = _stage_stream_source(spark, sf_dir)
+    try:
+        dim = (
+            load_events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 2).alias("total_value"))
+            .select(
+                "user_id",
+                F.when(F.col("total_value") >= SPEND_TIER_CUT, "high")
+                .otherwise("standard")
+                .alias("tier"),
+            )
+        )
+        with _bounded_state_partitions(spark):
+            stream = SE.read_event_stream(spark, src, files_per_trigger=None)
+            result = (
+                stream.filter(F.col("event_type") == "purchase")
+                .join(F.broadcast(dim), "user_id")
+                .select(
+                    "event_id",
+                    "user_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "value",
+                    "tier",
+                )
+            )
+            SE.run_to_memory_append(result, "q_stream_enrich_static")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_enrich_static")
+
+
 QUERIES = {
     "stream_tumbling_windows": q_stream_tumbling,
+    "stream_enrich_static": q_stream_enrich_static,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_dedup_exact": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES = {
+    "stream_enrich_static": f"""
+        WITH dim AS (
+            SELECT user_id,
+                   CASE WHEN ROUND(SUM(value), 2) >= {SPEND_TIER_CUT}
+                        THEN 'high' ELSE 'standard' END AS tier
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               e.value, d.tier
+        FROM events e JOIN dim d USING (user_id)
+        WHERE e.event_type = 'purchase'
+    """,
     "stream_dedup_exact": """
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                user_id, event_type, value
