@@ -97,3 +97,40 @@ def test_quantize_on_empty_embeddings(spark, tmp_path):
     ).write.parquet(f"{sf}/embeddings.parquet")
     assert q_embedding_quantize(spark, sf).count() == 0
     assert q_neardup_embedding(spark, sf).count() == 0
+
+
+def test_corpus_and_similarity_ops_on_empty_tables(spark, tmp_path):
+    """Every dedup/text/corpus/similarity query returns empty — not a
+    crash — on zero-row documents/embeddings tables. (The trainable ops,
+    kmeans/IVF, are excluded: a quantizer cannot fit on an empty corpus
+    and raising there is correct.)"""
+    import __spark_entry__ as E
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    qs = E.queries()
+    for name in [
+        "dedup_exact",
+        "dedup_incremental",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "simhash",
+        "tfidf_cosine_pairs",
+        "unigram_logprob_score",
+        "quality_percentile_filter",
+        "stratified_sample",
+        "source_quota",
+        "text_token_count",
+        "text_quality_score",
+        "embedding_outliers",
+        "ann_bruteforce_topk",
+        "ann_hyperplane_lsh",
+        "neardup_embedding",
+        "embedding_quantize_int8",
+    ]:
+        assert qs[name](spark, sf).count() == 0, name
