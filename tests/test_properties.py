@@ -62,3 +62,35 @@ def test_trim_bounds_hold_for_arbitrary_text(spark, descs):
             assert r.t.endswith("(TRIM)") and r.t[:-6] == r.description[:24]
         else:
             assert r.t == r.description
+
+
+# --- pigeonhole blocking completeness (fuzzy_name_pairs) ---------------------
+def _segments(s: str, k: int = 4):
+    """Pure-Python mirror of plans/text._name_segments_spark: segment i is
+    s[floor(i*len/k) : floor((i+1)*len/k)] (the Spark/DuckDB expressions
+    use the same truncating division on 1-based substring args)."""
+    n = len(s)
+    return [
+        (i, s[(i * n) // k : ((i + 1) * n) // k]) for i in range(k)
+    ]
+
+
+@given(
+    s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=4, max_size=40),
+    data=st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_pigeonhole_blocking_catches_all_substitution_pairs(s, data):
+    """Recall guarantee of the 4-segment block: ANY string within <= 3
+    substitutions of s shares at least one aligned segment, so the
+    (seg_idx, seg_val) join generates every qualifying candidate pair."""
+    n_edits = data.draw(st.integers(0, 3))
+    positions = data.draw(
+        st.lists(st.integers(0, len(s) - 1), min_size=n_edits, max_size=n_edits, unique=True)
+    )
+    t = list(s)
+    for p in positions:
+        t[p] = data.draw(st.characters(min_codepoint=32, max_codepoint=126))
+    t = "".join(t)
+    shared = set(_segments(s)) & set(_segments(t))
+    assert shared, (s, t)
