@@ -202,6 +202,41 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_hll_partial_merge(spark, sf_dir):
+    """Mergeable-sketch aggregation (Apache DataSketches HLL): build one
+    customer-set sketch PER ORDER STATUS, then union the partials into
+    the global estimate — the pre-aggregation architecture every 100 TB
+    rollup runs (sketch per partition/day at ingest, merge at query time,
+    never re-scan raw data; unlike approx_count_distinct's final number,
+    the sketch column itself is storable and re-mergeable). Value
+    contract as approx_distinct: exact global count plus deterministic
+    booleans asserting the union estimate AND every per-status partial
+    land within 5% of exact."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("ex"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("g_est"),
+        F.max(
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("ex"))
+            / F.col("ex")
+        ).alias("max_partial_rel_err"),
+        F.count("*").alias("n_statuses"),
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n_customers_exact"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_customers_exact",
+        "n_statuses",
+        (
+            F.abs(F.col("g_est") - F.col("n_customers_exact"))
+            <= F.col("n_customers_exact") * 0.05
+        ).alias("union_estimate_within_5pct"),
+        (F.col("max_partial_rel_err") <= 0.05).alias("partials_within_5pct"),
+    )
+
+
 # --- set operations -------------------------------------------------------------------------
 def q_set_ops(spark, sf_dir):
     """INTERSECT/EXCEPT over customer key sets: big spenders vs BUILDING
@@ -591,6 +626,7 @@ QUERIES = {
     "rollup_sales": q_rollup_sales,
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
+    "hll_partial_merge": q_hll_partial_merge,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
     "events_tumbling": q_events_tumbling,
@@ -716,6 +752,13 @@ ORACLES = {
         SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
                COUNT(*) AS n_orders,
                TRUE AS estimate_within_5pct
+        FROM orders
+    """,
+    "hll_partial_merge": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               TRUE AS union_estimate_within_5pct,
+               TRUE AS partials_within_5pct
         FROM orders
     """,
     "set_ops": """
