@@ -154,6 +154,30 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+# --- window: time-range frame ----------------------------------------------------------
+def q_window_time_range_avg(spark, sf_dir):
+    """Moving 30-day spend per customer — a RANGE window frame over event
+    time (all orders within the 30 days ending at this row's date, peers
+    included), vs the ROWS frame of window_running_sum. The frame bound
+    is epoch-seconds arithmetic so both engines see the identical
+    fixed-width window (UTC session, no DST drift). The rolling metric is
+    SUM (+ count; avg = sum/count for the reader): 2-decimal prices sum
+    on the cent grid so ROUND(...,2) never sits on a boundary, while an
+    AVG of two orders lands EXACTLY on a half-cent and flips between the
+    engines' rounding paths (observed on this fixture)."""
+    # fixture dates are TIMESTAMP_NTZ; NTZ -> TZ -> long is exact under the
+    # UTC session (NTZ has no direct bigint cast)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(epoch).rangeBetween(-30 * 86400, 0)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d_price"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
 # --- rollup (hierarchical aggregate) ---------------------------------------------------
 def q_rollup_sales(spark, sf_dir):
     return (
@@ -621,6 +645,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
+    "window_time_range_avg": q_window_time_range_avg,
     "window_navigation": q_window_navigation,
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "rollup_sales": q_rollup_sales,
@@ -734,6 +759,16 @@ ORACLES = {
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
         FROM orders
+    """,
+    "window_time_range_avg": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS sum_30d_price,
+               COUNT(*) OVER w AS n_orders_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
     """,
     "rollup_sales": """
         SELECT l_returnflag, l_linestatus,

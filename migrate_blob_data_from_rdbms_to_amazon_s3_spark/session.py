@@ -41,6 +41,12 @@ def get_spark(app_name: str = "rdbms-blob-s3-spark", cpus: str | int | None = No
         # At production scale partitions are >> this; the knob is inert there.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join (off by default in OSS): inject a
+        # might_contain pre-filter on the probe side of selective shuffle
+        # joins. The default 10GB application-side threshold keeps it
+        # inert on small local runs — it engages exactly when a 100 TB
+        # probe makes it pay (plan-proven in test_optimizer_features).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
