@@ -261,6 +261,25 @@ def q_hll_partial_merge(spark, sf_dir):
     )
 
 
+def q_user_event_profile(spark, sf_dir):
+    """Per-user activity profile as a JSON map {event_type: count} — the
+    aggregate-to-document shape that feeds feature stores and API
+    caches. Two combiner-friendly shuffles ((user, type) then user); the
+    map is built from a SORTED entry array so the serialized JSON is
+    byte-deterministic cross-engine (map iteration order is not a
+    contract anywhere — sorting is what makes this hashable)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            )
+        ).alias("profile"),
+        F.sum("n").alias("n_events"),
+    )
+
+
 # --- set operations -------------------------------------------------------------------------
 def q_set_ops(spark, sf_dir):
     """INTERSECT/EXCEPT over customer key sets: big spenders vs BUILDING
@@ -652,6 +671,7 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
     "hll_partial_merge": q_hll_partial_merge,
+    "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
     "events_tumbling": q_events_tumbling,
@@ -795,6 +815,17 @@ ORACLES = {
                TRUE AS union_estimate_within_5pct,
                TRUE AS partials_within_5pct
         FROM orders
+    """,
+    "user_event_profile": """
+        WITH per AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               '{' || string_agg('"' || event_type || '":' || n, ','
+                                 ORDER BY event_type) || '}' AS profile,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id
     """,
     "set_ops": """
         SELECT custkey FROM (
