@@ -264,6 +264,11 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
             "dfc",
             (F.col("tfc") * F.log(F.col("n_docs") / F.col("dfc"))).alias("w"),
         )
+        # materialize once: norms and BOTH posting join sides read this
+        # table — un-truncated, the whole tf/df/idf DAG plans 3x (at scale:
+        # persist() or a checkpoint table; same discipline as
+        # dedup._component_labels)
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     posting = w.filter((F.col("dfc") >= 2) & (F.col("dfc") <= TFIDF_MAX_DF))

@@ -396,6 +396,12 @@ def _component_labels(spark, sf_dir):
         labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            # truncate lineage EVERY round (the MLlib iterative-algorithm
+            # discipline): labels(k+1) references labels(k) twice, so the
+            # un-truncated plan doubles per round — 2^CC_ITERS subtrees to
+            # plan (the r2 audit counted 191 planned shuffles here). Each
+            # round's label table is tiny (one row per clustered doc).
+            .localCheckpoint(eager=True)
         )
     return labels
 
