@@ -120,9 +120,50 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_click_to_purchase_latency(spark, sf_dir):
+    """Time-to-conversion histogram: for every click, the user's NEXT
+    purchase at-or-after it (FORWARD as-of), bucketed into latency bands
+    — the funnel-latency table product analytics reads. The forward
+    direction reuses the backward `asof_join` machinery on NEGATED epoch
+    seconds (latest -ts <= -click_ts == earliest ts >= click_ts), so it
+    stays the one-shuffle union+window plan; the oracle is the
+    straightforward (quadratic-ish) range join + MIN, which DuckDB's
+    IEJoin handles at fixture scale."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("timestamp").cast("long").alias("p_epoch"))
+        .groupBy("user_id", "p_epoch")
+        .agg(F.count("*").alias("_n"))
+        .select("user_id", (-F.col("p_epoch")).alias("nts"), F.col("p_epoch"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("c_epoch"),
+    ).select("event_id", "user_id", (-F.col("c_epoch")).alias("nts"), "c_epoch")
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], ts_col="nts", value_cols=["p_epoch"]
+    )
+    delta = F.col("p_epoch") - F.col("c_epoch")
+    bucket = (
+        F.when(F.col("p_epoch").isNull(), "never")
+        .when(delta < 60, "lt_1m")
+        .when(delta < 600, "lt_10m")
+        .when(delta < 3600, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        joined.select(bucket.alias("latency_bucket"))
+        .groupBy("latency_bucket")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "click_to_purchase_latency": q_click_to_purchase_latency,
 }
 
 ORACLES = {
@@ -151,5 +192,27 @@ ORACLES = {
          AND c.ts >= e.ts - INTERVAL {RANGE_SECONDS} SECOND
          AND c.ts < e.ts
         GROUP BY e.event_id, e.user_id
+    """,
+    "click_to_purchase_latency": """
+        WITH p AS (
+            SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        nxt AS (
+            SELECT c.event_id, c.ts AS cts, MIN(p.ts) AS pts
+            FROM c LEFT JOIN p
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            GROUP BY 1, 2
+        )
+        SELECT CASE WHEN pts IS NULL THEN 'never'
+                    WHEN date_diff('second', cts, pts) < 60 THEN 'lt_1m'
+                    WHEN date_diff('second', cts, pts) < 600 THEN 'lt_10m'
+                    WHEN date_diff('second', cts, pts) < 3600 THEN 'lt_1h'
+                    ELSE 'ge_1h' END AS latency_bucket,
+               COUNT(*) AS n_clicks
+        FROM nxt
+        GROUP BY 1
     """,
 }
