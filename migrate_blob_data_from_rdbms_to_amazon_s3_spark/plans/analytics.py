@@ -344,36 +344,54 @@ def q_salted_hot_key_agg(spark, sf_dir):
 def q_events_conversion_funnel(spark, sf_dir):
     """Ordered conversion funnel: view → click-after-view →
     purchase-after-click, per user, reported as funnel stage counts.
-    Three conditional-min aggregations over the same hash-partitioned
-    fact — each stage's threshold joins back on user_id (tiny, one row
-    per user), so the event table shuffles once per stage on the same
-    key and AQE reuses the partitioning. Strict > on event time gives
-    the ORDERED funnel (a purchase before any click doesn't count)."""
+    One scan, one shuffle: the three stage thresholds are cascading
+    conditional-min WINDOWS over the same user_id partitioning (no
+    orderBy → no sort, and Spark plans a single Exchange feeding all
+    three Window ops), then one user-grain aggregation that the existing
+    hash distribution already satisfies, then a singleton roll-up. The
+    previous shape scanned events four times and re-planned each stage's
+    aggregation subtree for its count — 10 planned shuffles; this is 2.
+    Strict > on event time gives the ORDERED funnel (a purchase before
+    any click doesn't count; NULL comparisons make missing prior stages
+    propagate as unconverted, matching the inner-join formulation the
+    oracle uses)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    first_view = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    first_click = (
-        ev.filter(F.col("event_type") == "click")
-        .join(first_view, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    first_purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(first_click, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    users = ev.select("user_id").distinct()
-    return users.agg(F.count("*").alias("n_users")).crossJoin(
-        first_view.agg(F.count("*").alias("n_viewed"))
-    ).crossJoin(
-        first_click.agg(F.count("*").alias("n_clicked_after_view"))
-    ).crossJoin(
-        first_purchase.agg(F.count("*").alias("n_purchased_after_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
     )
 
 

@@ -45,17 +45,19 @@ def _doc_tokens(spark, sf_dir):
     )
 
 
-def q_unigram_logprob(spark, sf_dir):
-    """Unigram-LM fluency score: train token frequencies on the corpus
-    itself (one token-grain aggregation, map-side combine), then score
-    every document by its mean negative log-probability — the cheap
-    perplexity proxy quality filters threshold on (high avg -ln p =
-    rare/garbled tokens). Shuffles: vocab agg on tok, score join on tok,
-    doc agg on doc_id — all equi-key, combiner-friendly; the scalar
-    token total is a broadcast. Zipf bounds the vocab table, so at
-    100 TB the join side stays millions of rows, not corpus-sized."""
+def _unigram_doc_scores(spark, sf_dir, score_name: str):
+    """(doc_id, n_tokens, <score_name>) per-doc mean -ln p under the
+    corpus's own unigram LM. The vocab table is materialized once
+    (``localCheckpoint``): its token-grain aggregation otherwise re-plans
+    for every consumer (the scalar total AND the score join), doubling
+    the most expensive shuffle in the DAG — Zipf bounds vocab to millions
+    of rows at 100 TB, so the materialization is small while the avoided
+    re-aggregation is corpus-sized (at scale: persist() or a staging
+    table, the tfidf_cosine_pairs discipline)."""
     toks = _doc_tokens(spark, sf_dir)
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("c").alias("t"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
@@ -65,9 +67,22 @@ def q_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("neg_logp"), 3).alias("avg_neg_logprob"),
+            F.round(F.avg("neg_logp"), 3).alias(score_name),
         )
     )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM fluency score: train token frequencies on the corpus
+    itself (one token-grain aggregation, map-side combine), then score
+    every document by its mean negative log-probability — the cheap
+    perplexity proxy quality filters threshold on (high avg -ln p =
+    rare/garbled tokens). Shuffles: vocab agg on tok (materialized once —
+    see _unigram_doc_scores), score join on tok, doc agg on doc_id — all
+    equi-key, combiner-friendly; the scalar token total is a broadcast.
+    Zipf bounds the vocab table, so at 100 TB the join side stays
+    millions of rows, not corpus-sized."""
+    return _unigram_doc_scores(spark, sf_dir, "avg_neg_logprob")
 
 
 def q_quality_percentile_filter(spark, sf_dir):
@@ -77,21 +92,14 @@ def q_quality_percentile_filter(spark, sf_dir):
     ``percentile`` aggregation over the per-doc scores, broadcast back as
     a scalar cut (the same no-global-sort shape as customer_rfm_segments;
     a rank/ntile formulation would single-partition every document).
-    Report: per-language total/kept/kept-token mass — the audit a corpus
-    build logs when it applies the filter."""
-    toks = _doc_tokens(spark, sf_dir)
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
-    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
-    )
-    doc_scores = (
-        toks.join(scored_vocab, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("neg_logp"), 3).alias("score"),
-        )
+    The per-doc score table is materialized once: both the cut-point
+    aggregate and the per-language report read it, and without the
+    barrier the whole token->vocab->score DAG re-plans (and re-executes)
+    per consumer — doc-grain, so the materialization is corpus-row-sized,
+    not token-sized. Report: per-language total/kept/kept-token mass —
+    the audit a corpus build logs when it applies the filter."""
+    doc_scores = _unigram_doc_scores(spark, sf_dir, "score").localCheckpoint(
+        eager=True
     )
     cut = doc_scores.agg(F.percentile("score", F.lit(0.75)).alias("cut"))
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
