@@ -1,11 +1,24 @@
 """Fixture-table loaders, including parquet compatibility shims.
 
-``events.parquet`` is written with TIMESTAMP(NANOS) which Spark's vectorized
-Parquet reader rejects (PARQUET_TYPE_ILLEGAL). The documented escape hatch is
-``spark.sql.legacy.parquet.nanosAsLong``: read nanos as int64, then convert
-to a proper TimestampType at microsecond precision (`ts div 1000` — integer
-division, exact; a double round-trip would lose precision at 1.7e18 ns).
-The conversion is one JVM-side projection — no Python, no extra scan.
+The driver regenerates the fixture parquet between rounds and the physical
+timestamp encoding has varied; the engine's semantics are defined on
+session-timezone timestamps (session tz pinned to UTC in `session.py`), so
+the loader normalizes whatever the files contain to plain TimestampType:
+
+- TIMESTAMP(NANOS): Spark's vectorized Parquet reader rejects it
+  (PARQUET_TYPE_ILLEGAL). The documented escape hatch is
+  ``spark.sql.legacy.parquet.nanosAsLong``: read nanos as int64, then convert
+  to a proper TimestampType at microsecond precision (`ts div 1000` — integer
+  division, exact; a double round-trip would lose precision at 1.7e18 ns).
+- TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 maps it to
+  TIMESTAMP_NTZ, which forbids numeric casts (`cast(ts as double)` is a
+  DATATYPE_MISMATCH) and diverges from the DuckDB oracle's naive-timestamp
+  arithmetic. NTZ → TIMESTAMP_LTZ under a UTC session tz is value-identity,
+  so the cast restores the exact semantics every oracle was validated
+  against.
+
+Both shims are one JVM-side projection — no Python, no extra scan, and the
+projection collapses into the scan node so column pruning still works.
 """
 
 from __future__ import annotations
@@ -14,10 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TimestampType (see module
+    docstring; identity on values while session tz is UTC)."""
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _has_nanos(path: str) -> bool:
@@ -38,4 +60,4 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ntz(df)

@@ -1,0 +1,76 @@
+"""Fixture-loader schema-drift shims (sources/tables.py).
+
+The round driver regenerates the fixture parquet between rounds and the
+physical timestamp encoding has varied twice already: TIMESTAMP(NANOS)
+(rejected outright by Spark's vectorized reader) and tz-naive
+TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, which forbids the numeric casts
+the sessionize/as-of plans use). These tests pin the loader contract: no
+matter which encoding the files carry, `load_table`/`load_events` hand the
+plans a plain session-tz TimestampType column with identical wall-clock
+values.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from migrate_blob_data_from_rdbms_to_amazon_s3_spark.sources.tables import (
+    load_events,
+    load_table,
+)
+
+TS = [
+    datetime.datetime(2024, 1, 1, 12, 0, 0),
+    datetime.datetime(2024, 1, 2, 1, 30, 15, 123456),
+]
+
+
+def _write_events(dirpath, arrow_type):
+    arr = pa.array(TS, type=arrow_type)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": arr,
+            "user_id": pa.array([10, 20], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{dirpath}/events.parquet")
+
+
+@pytest.mark.parametrize(
+    "arrow_type",
+    [pa.timestamp("us"), pa.timestamp("us", tz="UTC"), pa.timestamp("ns")],
+    ids=["ntz-micros", "utc-micros", "nanos"],
+)
+def test_events_loader_normalizes_every_encoding(spark, tmp_path, arrow_type):
+    _write_events(tmp_path, arrow_type)
+    df = load_events(spark, str(tmp_path))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == TS  # session tz is UTC, so values are wall-clock-identical
+    # the numeric cast the sessionize/as-of plans rely on must analyze
+    from pyspark.sql import functions as F
+
+    secs = sorted(r.s for r in df.select(F.col("ts").cast("double").alias("s")).collect())
+    assert secs == [t.replace(tzinfo=datetime.timezone.utc).timestamp() for t in TS]
+
+
+def test_load_table_normalizes_ntz_on_any_table(spark, tmp_path):
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1], type=pa.int64()),
+            "o_orderdate": pa.array([TS[0]], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/orders.parquet")
+    df = load_table(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+
+
+def test_loader_matches_current_fixture(spark, sf_dir):
+    """Whatever encoding this round's fixtures use, the loaded events table
+    exposes plain TimestampType (the type every plan and oracle assumes)."""
+    df = load_events(spark, sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
