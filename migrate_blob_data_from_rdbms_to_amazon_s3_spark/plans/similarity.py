@@ -66,11 +66,19 @@ ND_BAND_BITS = 6
 _ND_PLANES = _mk_planes(ND_BANDS * ND_BAND_BITS)
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_spark(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
 def _cos_spark(a: str, b: str) -> str:
-    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    na = f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    nb = f"sqrt(aggregate({b}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    return f"round({dot} / ({na} * {nb}), 6)"
+    return f"round({_dot_spark(a, b)} / ({_norm_spark(a)} * {_norm_spark(b)}), 6)"
 
 
 def _cos_duck(a: str, b: str) -> str:
@@ -198,7 +206,12 @@ def q_neardup_embedding(spark, sf_dir):
         "vec_id",
         "label",
         *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the 48 plane-dot folds are interpreted HOF evaluation, the most
+    # expensive per-row work in this query; without the checkpoint the
+    # exact and probe branches of the self-join each recompute the whole
+    # signature subtree. Materialized it is (n x 10 ints) — trivial at any
+    # scale, the same materialize-once discipline as dedup_components.
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         "label",
@@ -222,13 +235,31 @@ def q_neardup_embedding(spark, sf_dir):
         .select("label", "vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms are per-VECTOR quantities: compute them once on the n-row side
+    # of the re-attach joins instead of re-folding both arrays per PAIR —
+    # the candidate set is >> n, so this cuts the pair-grain folds 3 -> 1.
+    # Bit-identical to the inline-cosine form (same values, same ops, the
+    # fold just runs on the vector grain), so the DuckDB twin is unchanged.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_spark("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_spark("embedding")).alias("norm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
-            "label", "vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score")
+            "label",
+            "vec_a",
+            "vec_b",
+            F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
+                "score"
+            ),
         )
         .filter(F.col("score") >= NEARDUP_COSINE)
     )
@@ -275,9 +306,13 @@ def q_ann_hyperplane_lsh(spark, sf_dir):
     candidate shuffle ~30× (measured when q_neardup_embedding made the
     same switch, plans/similarity.py _PLANES notes); embeddings are
     re-attached by two linear equi-joins after the pair dedup."""
-    sigs = _emb(spark, sf_dir).select(
-        "vec_id", F.expr(_hyperplane_sig_spark()).alias("sig")
+    sigs = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.expr(_hyperplane_sig_spark()).alias("sig"))
+        .localCheckpoint(eager=False)
     )
+    # ^ materialize the 16 interpreted plane-dot folds once instead of once
+    # per self-join branch (same discipline as q_neardup_embedding)
     banded = sigs.select(
         "vec_id",
         F.posexplode(
@@ -293,12 +328,28 @@ def q_ann_hyperplane_lsh(spark, sf_dir):
         .distinct()
     )
     emb = _emb(spark, sf_dir)
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # per-vector norms attached at re-attach time (see q_neardup_embedding):
+    # pair-grain folds 3 -> 1, bit-identical, oracle unchanged
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_spark("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_spark("embedding")).alias("norm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", F.expr(_cos_spark("ea", "eb")).alias("score"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
+                "score"
+            ),
+        )
         .filter(F.col("score") >= LSH_COSINE)
     )
 
