@@ -201,6 +201,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     is the one that survives 100x data). Postings hotter than
     ``max_posting_df`` docs (stop-phrases) are dropped before pair
     emission — see MAX_POSTING_DF."""
+    common = _ngram_common(spark, sf_dir, max_posting_df)
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    return (
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _ngram_common(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
+    """(doc_a, doc_b, na, nb, c): common-shingle count per candidate pair
+    from the inverted 3-gram index, shared by the Jaccard and containment
+    near-dup operators."""
     # Single pass: carry each doc's set size through the posting list as a
     # struct field, so no second subtree and no size-lookup joins exist.
     # Shingles shuffle as 60-bit hashes, not strings: the posting exchange
@@ -235,18 +249,41 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
             "y.doc_id AS doc_b, y.n_sh AS nb))))"
         )
     ).alias("p")
-    common = (
+    return (
         posting.select(pair)
         .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )
-    jac = F.round(
-        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+
+
+# --- containment near-dup (substring-style duplication) ----------------------
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup: containment(A, B) = |A∩B| / min(|A|, |B|) over
+    the same word-3-gram shingle sets. Catches the duplication symmetric
+    Jaccard misses — a short document quoted whole inside a long one
+    (boilerplate licence blocks, syndicated article + commentary) scores
+    containment ≈ 1 while its Jaccard is tiny. `contained_doc` names the
+    smaller set, i.e. the doc to drop when deduping by containment.
+
+    Same inverted-index plan (and cost bound) as q_dedup_ngram_jaccard:
+    the pair grain is reached through postings, never a pair join."""
+    common = _ngram_common(spark, sf_dir)
+    cont = F.round(F.try_divide(F.col("c"), F.least("na", "nb")), 4)
+    contained = (
+        F.when(F.col("na") <= F.col("nb"), F.col("doc_a")).otherwise(F.col("doc_b"))
     )
     return (
-        common.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        common.select(
+            "doc_a",
+            "doc_b",
+            cont.alias("containment"),
+            contained.alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
 
 
@@ -449,6 +486,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash": q_simhash,
@@ -557,6 +595,30 @@ ORACLES = {
         SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
         FROM common
         WHERE ROUND(c / (na + nb - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_containment": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        df AS (SELECT lang, s, COUNT(*) AS dfc FROM ex GROUP BY 1, 2),
+        surv AS (
+            SELECT ex.doc_id, ex.lang, ex.n_sh, ex.s
+            FROM ex JOIN df USING (lang, s)
+            WHERE df.dfc BETWEEN 2 AND {MAX_POSTING_DF}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM surv a JOIN surv b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, ROUND(c / LEAST(na, nb), 4) AS containment,
+               CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+        FROM common
+        WHERE ROUND(c / LEAST(na, nb), 4) >= {CONTAINMENT_THRESHOLD}
     """,
     "minhash_signatures": f"""
         WITH {_DOCS_SH_DUCK},

@@ -102,3 +102,33 @@ def test_minhash_lsh_excludes_shingleless_docs(spark, tmp_path):
     )
     oracle = con.execute(dedup.ORACLES["dedup_minhash_lsh"]).fetchall()
     assert [(a, b, float(j)) for a, b, j in oracle] == [(4, 5, 1.0)]
+
+
+def test_containment_catches_substring_dup_jaccard_misses(spark, tmp_path):
+    """A short doc quoted whole inside a much longer one: containment = 1.0
+    (every shingle of the short doc appears in the long one) while Jaccard
+    stays below the 0.2 threshold — the case the asymmetric operator
+    exists for. An unrelated third doc must pair with neither."""
+    short = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))  # 90 unique toks
+    rows = [
+        (1, short),
+        (2, f"{filler} {short}"),
+        (3, "completely different text about something else entirely here"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.q_dedup_containment(spark, sf).collect()
+    }
+    assert (1, 2) in cont
+    assert cont[(1, 2)].containment == 1.0
+    assert cont[(1, 2)].contained_doc == 1  # the short doc is the one to drop
+    assert all(3 not in pair for pair in cont)
+
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert (1, 2) not in jac  # symmetric Jaccard misses it (8/92 < 0.2)

@@ -118,6 +118,7 @@ def test_corpus_and_similarity_ops_on_empty_tables(spark, tmp_path):
         "dedup_exact",
         "dedup_incremental",
         "dedup_ngram_jaccard",
+        "dedup_containment",
         "dedup_minhash_lsh",
         "simhash",
         "tfidf_cosine_pairs",
