@@ -261,6 +261,77 @@ def q_hll_partial_merge(spark, sf_dir):
     )
 
 
+# --- count-min sketch: mergeable frequency pre-aggregation ---------------------------
+CMS_DEPTH, CMS_WIDTH = 4, 512
+
+
+def _cms_bucket_spark(j: int, key: str) -> str:
+    """Row-``j`` bucket index: md5-derived 32-bit hash mod width — the
+    same engine-independent hash family as the dedup operators."""
+    return (
+        f"CAST(conv(substring(md5(concat('cms-{j}-', {key})), 1, 8), 16, 10) AS BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def q_cms_frequency(spark, sf_dir):
+    """Count-min sketch frequency estimation, completing the mergeable-
+    sketch family (HLL = cardinality, percentile = quantiles, CMS = point
+    frequencies). The sketch is built as per-event-type PARTIALS then
+    merged by element-wise sum — the pre-aggregation architecture a
+    100 TB rollup runs: the d x w counter grid (4 x 512 here) is a
+    bounded-size, storable, re-mergeable column no matter how much data
+    flowed in, and the merged grid is broadcast to the probe side (the
+    scale-correct direction: the sketch is O(d*w), the probe set is not).
+
+    Probes are the exact top-10 heaviest users; output carries the exact
+    count, the CMS estimate (min over the d rows), and the overcount —
+    the hash family is md5-derived so BOTH engines build bit-identical
+    grids and every column value-checks (no trust-me bound flags; the
+    est >= exact CMS guarantee is asserted in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    key = "CAST(user_id AS STRING)"
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(_cms_bucket_spark(j, key)).alias("b"),
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("jb")
+    # partial sketch per event_type shard, then merge = element-wise sum
+    shard = (
+        ev.select("event_type", jb)
+        .select("event_type", "jb.j", "jb.b")
+        .groupBy("event_type", "j", "b")
+        .agg(F.count("*").alias("pcnt"))
+    )
+    sketch = shard.groupBy("j", "b").agg(F.sum("pcnt").alias("cnt"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = exact.select("user_id", "exact_n", jb).select(
+        "user_id", "exact_n", "jb.j", "jb.b"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
 def q_user_event_profile(spark, sf_dir):
     """Per-user activity profile as a JSON map {event_type: count} — the
     aggregate-to-document shape that feeds feature stores and API
@@ -689,6 +760,7 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
     "hll_partial_merge": q_hll_partial_merge,
+    "cms_frequency": q_cms_frequency,
     "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
@@ -833,6 +905,30 @@ ORACLES = {
                TRUE AS union_estimate_within_5pct,
                TRUE AS partials_within_5pct
         FROM orders
+    """,
+    "cms_frequency": f"""
+        WITH js AS (SELECT UNNEST([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j),
+        buckets AS (
+            SELECT js.j,
+                   CAST('0x' || substr(md5('cms-' || js.j || '-' || e.user_id), 1, 8)
+                        AS BIGINT) % {CMS_WIDTH} AS b
+            FROM events e CROSS JOIN js
+        ),
+        sketch AS (SELECT j, b, COUNT(*) AS cnt FROM buckets GROUP BY 1, 2),
+        ex AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+            ORDER BY exact_n DESC, user_id LIMIT 10
+        ),
+        probes AS (
+            SELECT ex.user_id, ex.exact_n, js.j,
+                   CAST('0x' || substr(md5('cms-' || js.j || '-' || ex.user_id), 1, 8)
+                        AS BIGINT) % {CMS_WIDTH} AS b
+            FROM ex CROSS JOIN js
+        )
+        SELECT p.user_id, p.exact_n, MIN(s.cnt) AS cms_est,
+               MIN(s.cnt) - p.exact_n AS overcount
+        FROM probes p JOIN sketch s USING (j, b)
+        GROUP BY 1, 2
     """,
     "user_event_profile": """
         WITH per AS (
