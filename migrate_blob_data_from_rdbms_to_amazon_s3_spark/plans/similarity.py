@@ -121,12 +121,28 @@ def _assign_expr(cent_rows) -> str:
     bit-identical left-fold of `_sq_dist_spark` so argmin ties can't
     diverge from the DuckDB twin; centroid literals round-trip exactly
     (shortest-repr doubles)."""
+    return f"array_min(array({_centroid_structs(cent_rows)})).cluster"
+
+
+def _centroid_structs(cent_rows) -> str:
+    """(d, cluster) structs over the inlined centroid literals — shared by
+    the argmin assignment and the multi-probe cluster ranking."""
     structs = []
     for cluster, cv in cent_rows:
         arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in cv)
         d = _sq_dist_spark("embedding", f"array({arr})")
         structs.append(f"named_struct('d', {d}, 'cluster', {int(cluster)})")
-    return f"array_min(array({', '.join(structs)})).cluster"
+    return ", ".join(structs)
+
+
+def _probe_clusters_expr(cent_rows, nprobe: int) -> str:
+    """The ``nprobe`` nearest cluster ids as an array: full struct sort on
+    (d, cluster) — the same lexicographic order as the argmin, so probe
+    rank 1 is always the vector's own cluster."""
+    return (
+        f"transform(slice(array_sort(array({_centroid_structs(cent_rows)})), "
+        f"1, {nprobe}), s -> s.cluster)"
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -151,6 +167,45 @@ def q_ann_ivf(spark, sf_dir):
     return (
         assigned.crossJoin(query)
         .filter((F.col("cluster") == F.col("q_cluster")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr(_cos_spark("embedding", "qv")).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(5)
+    )
+
+
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF with nprobe=2 — the recall/latency dial of the IVF design: a
+    query near a Voronoi boundary misses true neighbors that fall in the
+    adjacent cell, and probing the ``nprobe`` nearest cells buys that
+    recall back for proportional probe cost. The query row ranks ALL k
+    centroids in one projection (full struct sort over the same inlined
+    literals as the argmin — rank 1 is its own cluster by construction)
+    and the probe filter becomes array_contains(q_probes, cluster); the
+    scan/assignment cost is unchanged from q_ann_ivf, the probe touches
+    nprobe/k of the data instead of 1/k."""
+    emb = _emb(spark, sf_dir)
+    cent_rows, _ = _kmeans_fit(emb)
+    assigned = emb.select(
+        "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
+    )
+    query = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"),
+            F.expr(_probe_clusters_expr(cent_rows, IVF_NPROBE)).alias("q_probes"),
+        )
+    )
+    return (
+        assigned.crossJoin(query)
+        .filter(
+            F.array_contains("q_probes", F.col("cluster")) & (F.col("vec_id") != 0)
+        )
         .select(
             "vec_id",
             "cluster",
@@ -501,6 +556,32 @@ def _ann_ivf_oracle() -> str:
     """
 
 
+def _ann_ivf_multiprobe_oracle() -> str:
+    iters = KMEANS_ITERS
+    d = _sq_dist_duck("e.embedding", "c.cv")
+    dq = _sq_dist_duck("q.qv", "c.cv")
+    return f"""{_kmeans_ctes()}
+        , assigned_f AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d}, c.cluster) AS rn
+                FROM embeddings e, cents_{iters} c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qprobes AS (
+            SELECT c.cluster FROM cents_{iters} c, q
+            ORDER BY {dq}, c.cluster LIMIT {IVF_NPROBE}
+        )
+        SELECT a.vec_id, a.cluster, {_cos_duck('a.embedding', 'q.qv')} AS score
+        FROM assigned_f a, q
+        WHERE a.cluster IN (SELECT cluster FROM qprobes) AND a.vec_id != 0
+        ORDER BY score DESC, a.vec_id
+        LIMIT 5
+    """
+
+
 def _q8_spark() -> str:
     """Symmetric per-vector int8 quantization as ONE expression. scale =
     max|x| / 127; code = floor(x/scale + 0.5) clamped to [-127, 127]
@@ -553,6 +634,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_quantize_int8": q_embedding_quantize,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "neardup_embedding": q_neardup_embedding,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "kmeans_clusters": q_kmeans,
@@ -568,6 +650,7 @@ ORACLES = {
         LIMIT 10
     """,
     "ann_ivf_topk": _ann_ivf_oracle(),
+    "ann_ivf_multiprobe": _ann_ivf_multiprobe_oracle(),
     "neardup_embedding": f"""
         WITH sigs AS MATERIALIZED (
             SELECT vec_id, label, embedding,
