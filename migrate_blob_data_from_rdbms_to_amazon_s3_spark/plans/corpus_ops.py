@@ -186,6 +186,51 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+# importance sampling: inclusion probability ∝ length, capped at 1; the
+# normalizer is a fixed constant so the keep decision stays map-side (no
+# extra pass to learn a max/median).
+IMPORTANCE_NORM_CHARS = 1000.0
+
+
+def q_importance_sample(spark, sf_dir):
+    """Importance (weighted) sampling with Horvitz-Thompson reweighting —
+    the data-mixing primitive: keep doc i with probability
+    p_i = min(1, n_chars/NORM) (longer docs carry more tokens per row, so
+    sample them preferentially), and weight every kept doc by 1/p_i so
+    downstream statistics stay unbiased. The keep decision is the same
+    deterministic md5-bucket coin as stratified_sample/dataset_split — no
+    RNG, identical sample under reruns, engine swaps, repartitioning.
+
+    Report per language: population, kept count, achieved rate, and the
+    HT population estimate Σ_kept 1/p_i — which must land near n_docs;
+    that closeness IS the unbiasedness self-check, value-verified against
+    the oracle. One combiner-friendly shuffle; everything row-wise is
+    map-side."""
+    docs = _docs(spark, sf_dir)
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(IMPORTANCE_NORM_CHARS))
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"
+        )
+        / 10000.0
+    )
+    kept = u < p
+    return (
+        docs.select("lang", p.alias("p"), kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.round(F.sum(F.col("kept").cast("int")) / F.count("*"), 4).alias(
+                "kept_frac"
+            ),
+            F.round(F.sum(F.when(F.col("kept"), 1.0 / F.col("p"))), 2).alias(
+                "ht_estimate"
+            ),
+        )
+    )
+
+
 def q_source_quota(spark, sf_dir):
     """Per-source quota enforcement: keep at most SOURCE_QUOTA docs per
     source, preferring longer documents (n_chars DESC, doc_id tiebreak) —
@@ -317,6 +362,7 @@ QUERIES = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_outliers": q_embedding_outliers,
     "stratified_sample": q_stratified_sample,
+    "importance_sample": q_importance_sample,
     "source_quota": q_source_quota,
 }
 
@@ -438,6 +484,20 @@ ORACLES = {
         )
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
                ROUND(SUM(kept) / COUNT(*), 4) AS kept_frac
+        FROM d GROUP BY lang
+    """,
+    "importance_sample": f"""
+        WITH d AS (
+            SELECT lang,
+                   LEAST(1.0, n_chars / {IMPORTANCE_NORM_CHARS}) AS p,
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000)
+                       / 10000.0 AS u
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) / COUNT(*), 4) AS kept_frac,
+               ROUND(SUM(CASE WHEN u < p THEN 1.0 / p END), 2) AS ht_estimate
         FROM d GROUP BY lang
     """,
     "source_quota": f"""

@@ -47,3 +47,28 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
         assert r.overcount >= 0, r  # CMS can only overcount
         assert r.cms_est == r.exact_n + r.overcount
         assert r.overcount <= bound, (r, bound)
+
+
+def test_importance_sample_ht_estimate_is_unbiased(spark, sf_dir):
+    """Horvitz-Thompson: Σ_kept 1/p estimates the true population. The
+    per-stratum draws at sf0.001 (~70 short docs, p ~ 0.15) are too noisy
+    to bound tightly — resampling the deterministic coin under 8 hash
+    salts spans globals of 413..546 around N=500 — so the strata get
+    deterministic invariants (1/p >= 1 ⇒ ht >= n_kept; identical rerun)
+    and the GLOBAL estimate gets the statistical envelope: ±25% of N,
+    which the salt sweep shows noise stays inside while a wrong weight
+    (using p, or forgetting 1/p) lands 2-3x out."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.corpus_ops import (
+        q_importance_sample,
+    )
+
+    rows = {r.lang: r for r in q_importance_sample(spark, sf_dir).collect()}
+    assert rows
+    for lang, r in rows.items():
+        assert 0 < r.n_kept <= r.n_docs, (lang, r)
+        assert r.ht_estimate >= r.n_kept, (lang, r)
+    total_ht = sum(r.ht_estimate for r in rows.values())
+    total_n = sum(r.n_docs for r in rows.values())
+    assert abs(total_ht - total_n) / total_n < 0.25, (total_ht, total_n)
+    again = {r.lang: r for r in q_importance_sample(spark, sf_dir).collect()}
+    assert again == rows
