@@ -261,6 +261,36 @@ def q_hll_partial_merge(spark, sf_dir):
     )
 
 
+# --- conversion attribution ------------------------------------------------------------
+def q_events_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution: for every purchase, which
+    event type opened the user's journey and which one immediately
+    preceded the conversion. ONE user-partitioned window pass serves both
+    touches (first/last over the same strictly-before frame, IGNORE
+    NULLS to skip earlier purchases) — no self-join, no as-of join, one
+    shuffle on user_id; report is the (first_touch, last_touch) matrix
+    with purchase counts and attributed revenue. Purchases with no prior
+    event attribute to NULL (kept: untracked conversions are a real
+    segment, and both engines agree on them)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        ev.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
 # --- count-min sketch: mergeable frequency pre-aggregation ---------------------------
 CMS_DEPTH, CMS_WIDTH = 4, 512
 
@@ -761,6 +791,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "hll_partial_merge": q_hll_partial_merge,
     "cms_frequency": q_cms_frequency,
+    "events_attribution": q_events_attribution,
     "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
@@ -905,6 +936,22 @@ ORACLES = {
                TRUE AS union_estimate_within_5pct,
                TRUE AS partials_within_5pct
         FROM orders
+    """,
+    "events_attribution": """
+        WITH touched AS (
+            SELECT event_type, value,
+                   FIRST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+                   LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+            FROM events
+        )
+        SELECT first_touch, last_touch, COUNT(*) AS n_purchases,
+               ROUND(SUM(value), 2) AS attributed_value
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1, 2
     """,
     "cms_frequency": f"""
         WITH js AS (SELECT UNNEST([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j),
