@@ -362,6 +362,44 @@ def q_cms_frequency(spark, sf_dir):
     )
 
 
+def q_hll_multigrain_rollup(spark, sf_dir):
+    """Sketch once, roll up many: HLL partials built at the FINE grain
+    (status x priority) serve every coarser grain by re-union — per-status
+    estimates AND the global estimate come from the same stored partials,
+    never from re-scanning raw data. This is the cube/rollup economics of
+    sketches at 100 TB: an exact DISTINCT at k grains costs k shuffles of
+    the raw keys; sketch partials cost one, then each rollup moves only
+    k_fine sketch blobs. Value contract as hll_partial_merge: exact count
+    per output grain plus a deterministic within-5% assertion on the
+    estimate (lgK=12 HLL is ~1.6% rse; both engines agree on the flags)."""
+    orders = _t(spark, sf_dir, "orders")
+    part = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    by_status = part.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    overall = part.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).select(F.lit("ALL").alias("o_orderstatus"), "est")
+    exact_status = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
+    )
+    exact_all = orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
+    ).select(F.lit("ALL").alias("o_orderstatus"), "n_customers_exact")
+    est = by_status.unionByName(overall)
+    exact = exact_status.unionByName(exact_all)
+    return est.join(exact, "o_orderstatus").select(
+        F.col("o_orderstatus").alias("grain"),
+        "n_customers_exact",
+        (
+            F.abs(F.col("est") - F.col("n_customers_exact"))
+            <= F.col("n_customers_exact") * 0.05
+        ).alias("estimate_within_5pct"),
+    )
+
+
 def q_user_event_profile(spark, sf_dir):
     """Per-user activity profile as a JSON map {event_type: count} — the
     aggregate-to-document shape that feeds feature stores and API
@@ -792,6 +830,7 @@ QUERIES = {
     "hll_partial_merge": q_hll_partial_merge,
     "cms_frequency": q_cms_frequency,
     "events_attribution": q_events_attribution,
+    "hll_multigrain_rollup": q_hll_multigrain_rollup,
     "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
@@ -935,6 +974,17 @@ ORACLES = {
                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
                TRUE AS union_estimate_within_5pct,
                TRUE AS partials_within_5pct
+        FROM orders
+    """,
+    "hll_multigrain_rollup": """
+        SELECT o_orderstatus AS grain,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+               TRUE AS estimate_within_5pct
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL' AS grain,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+               TRUE AS estimate_within_5pct
         FROM orders
     """,
     "events_attribution": """
