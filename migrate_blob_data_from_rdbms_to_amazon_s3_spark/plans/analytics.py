@@ -261,6 +261,41 @@ def q_hll_partial_merge(spark, sf_dir):
     )
 
 
+# --- robust outliers: median / MAD -----------------------------------------------------
+MAD_K = 1.4826  # consistency constant: MAD*K estimates sigma under normality
+
+
+def q_grouped_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier audit: median and MAD (median absolute
+    deviation) are 50%-breakdown statistics, so one corrupt ingest batch
+    can't drag the fence the way it drags mean/stddev (the z-score
+    kernel's failure mode). Three passes, each a tiny-key shuffle plus a
+    broadcast of the per-group stats — the canonical exact-MAD plan:
+    median per group; MAD over |x - median|; fence count at
+    |x - median| > 3 * 1.4826 * MAD. Exact percentile at a 5-key grain is
+    cheap at any scale (swap approx_percentile if the group count ever
+    approaches the row count)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    return fenced.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.first("med"), 4).alias("median_value"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            (F.col("adev") > 3 * MAD_K * F.col("mad")).cast("int")
+        ).alias("n_outliers"),
+    )
+
+
 # --- conversion attribution ------------------------------------------------------------
 def q_events_attribution(spark, sf_dir):
     """First-touch / last-touch attribution: for every purchase, which
@@ -831,6 +866,7 @@ QUERIES = {
     "cms_frequency": q_cms_frequency,
     "events_attribution": q_events_attribution,
     "hll_multigrain_rollup": q_hll_multigrain_rollup,
+    "grouped_mad_outliers": q_grouped_mad_outliers,
     "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
@@ -975,6 +1011,27 @@ ORACLES = {
                TRUE AS union_estimate_within_5pct,
                TRUE AS partials_within_5pct
         FROM orders
+    """,
+    "grouped_mad_outliers": f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_type, COUNT(*) AS n_events,
+               ROUND(ANY_VALUE(d.med), 4) AS median_value,
+               ROUND(ANY_VALUE(m.mad), 4) AS mad,
+               CAST(SUM(CASE WHEN d.adev > 3 * {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
     """,
     "hll_multigrain_rollup": """
         SELECT o_orderstatus AS grain,
