@@ -58,6 +58,13 @@ HEADLINE = [
     "source_quota",
     "tfidf_cosine_pairs",
     "dedup_incremental",
+    "dedup_containment",
+    "cms_frequency",
+    "ann_ivf_multiprobe",
+    "importance_sample",
+    "events_attribution",
+    "hll_multigrain_rollup",
+    "grouped_mad_outliers",
 ]
 
 
