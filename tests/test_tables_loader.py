@@ -41,8 +41,13 @@ def _write_events(dirpath, arrow_type):
 
 @pytest.mark.parametrize(
     "arrow_type",
-    [pa.timestamp("us"), pa.timestamp("us", tz="UTC"), pa.timestamp("ns")],
-    ids=["ntz-micros", "utc-micros", "nanos"],
+    [
+        pa.timestamp("us"),
+        pa.timestamp("us", tz="UTC"),
+        pa.timestamp("ns"),
+        pa.timestamp("ns", tz="UTC"),
+    ],
+    ids=["ntz-micros", "utc-micros", "nanos", "utc-nanos"],
 )
 def test_events_loader_normalizes_every_encoding(spark, tmp_path, arrow_type):
     _write_events(tmp_path, arrow_type)
@@ -57,16 +62,24 @@ def test_events_loader_normalizes_every_encoding(spark, tmp_path, arrow_type):
     assert secs == [t.replace(tzinfo=datetime.timezone.utc).timestamp() for t in TS]
 
 
-def test_load_table_normalizes_ntz_on_any_table(spark, tmp_path):
+@pytest.mark.parametrize(
+    "arrow_type",
+    [pa.timestamp("us"), pa.timestamp("ns")],
+    ids=["ntz-micros", "nanos"],
+)
+def test_load_table_normalizes_any_table(spark, tmp_path, arrow_type):
+    """The shims are not events-specific: a regenerated orders.parquet with
+    a drifted o_orderdate encoding must normalize the same way."""
     table = pa.table(
         {
             "o_orderkey": pa.array([1], type=pa.int64()),
-            "o_orderdate": pa.array([TS[0]], type=pa.timestamp("us")),
+            "o_orderdate": pa.array([TS[0]], type=arrow_type),
         }
     )
     pq.write_table(table, f"{tmp_path}/orders.parquet")
     df = load_table(spark, str(tmp_path), "orders")
     assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    assert [r.o_orderdate for r in df.collect()] == [TS[0]]
 
 
 def test_loader_matches_current_fixture(spark, sf_dir):
