@@ -319,8 +319,99 @@ def q_basket_part_pairs(spark, sf_dir):
     )
 
 
+# --- PageRank over the part co-purchase graph ------------------------------------------
+PR_DAMPING, PR_ITERS, PR_TOPK = 0.85, 3, 20
+
+
+def q_part_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts are nodes, an edge
+    when two parts share an order) — random-walk centrality, the graph
+    workload every catalog/recommendation pipeline runs. PR_ITERS unrolled
+    damped power-iteration rounds, the iterative discipline shared with
+    kmeans/components: the edge list and degree table materialize ONCE
+    (localCheckpoint — reused every round, lineage truncated), each round
+    is one edge-grain shuffle (contributions grouped by dst) plus a
+    broadcast-sized node update, and the node count is the only driver
+    scalar. Per-round scores round to 10 decimals so cross-engine float
+    summation can't drift into the next round (the kmeans centroid rule);
+    the oracle unrolls the identical rounds as CTEs. Output: top-20 parts
+    by final score."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n = deg.count()  # node count: the one driver scalar (cf. _kmeans_fit)
+    pr = deg.select("src", F.lit(1.0 / n).alias("pr"))
+    base = (1 - PR_DAMPING) / n
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+            .withColumnRenamed("dst", "src")
+        )
+        pr = deg.select("src").join(contrib, "src", "left").select(
+            "src",
+            F.round(
+                F.lit(base) + PR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0)), 10
+            ).alias("pr"),
+        )
+    return (
+        pr.select(F.col("src").alias("part"), F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for i in range(PR_ITERS):
+        rounds.append(f"""
+        , pr{i + 1} AS (
+            SELECT d.src,
+                   ROUND((1 - {PR_DAMPING}) / n.n + {PR_DAMPING} * COALESCE(c.c, 0), 10) AS pr
+            FROM deg d CROSS JOIN n
+            LEFT JOIN (
+                SELECT e.dst AS src, SUM(p.pr / dg.deg) AS c
+                FROM edges e
+                JOIN pr{i} p ON e.src = p.src
+                JOIN deg dg ON e.src = dg.src
+                GROUP BY e.dst
+            ) c ON c.src = d.src
+        )""")
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b USING (l_orderkey)
+            WHERE a.l_partkey != b.l_partkey
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        pr0 AS (SELECT src, 1.0 / n.n AS pr FROM deg, n)
+        {"".join(rounds)}
+        SELECT src AS part, ROUND(pr, 6) AS pagerank
+        FROM pr{PR_ITERS}
+        ORDER BY pagerank DESC, part
+        LIMIT {PR_TOPK}
+    """
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "part_pagerank": q_part_pagerank,
     "event_transitions": q_event_transitions,
     "basket_part_pairs": q_basket_part_pairs,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -341,6 +432,7 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "part_pagerank": _pagerank_oracle(),
     "event_transitions": """
         WITH trans AS (
             SELECT from_type, event_type AS to_type FROM (

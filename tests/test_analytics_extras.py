@@ -79,3 +79,19 @@ def test_importance_sample_ht_estimate_is_unbiased(spark, sf_dir):
     assert abs(total_ht - total_n) / total_n < 0.25, (total_ht, total_n)
     again = {r.lang: r for r in q_importance_sample(spark, sf_dir).collect()}
     assert again == rows
+
+
+def test_pagerank_concentrates_on_hub_parts(spark, sf_dir):
+    """Sanity on the power iteration: scores positive and descending, and
+    the top hub beats the uniform 1/N start (mass concentrates on
+    high-degree parts instead of staying flat)."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.analytics_ext import (
+        q_part_pagerank,
+    )
+
+    rows = q_part_pagerank(spark, sf_dir).collect()
+    assert rows and all(r.pagerank > 0 for r in rows)
+    scores = [r.pagerank for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    assert scores[0] > 1.0 / li.count()
