@@ -230,7 +230,46 @@ def q_corpus_clean_funnel(spark, sf_dir):
     )
 
 
+# every FK edge of the fixture schema: (name, fact table, fk col, dim table, pk col)
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_referential_integrity_audit(spark, sf_dir):
+    """Orphan-FK audit over every foreign-key edge of the schema — the
+    pipeline-health report run before any training join (an orphan fact
+    row silently vanishes from every inner join downstream). One left-anti
+    join per edge (fact side streams, Catalyst picks broadcast for the
+    small dims and shuffle for the big ones — never forced, so the plan
+    survives a 100 TB orders dim), counts unioned into one report. NULL
+    FKs count as orphans too: anti-join keeps null-keyed rows, matching
+    the 'row lost by the inner join' definition the audit exists for."""
+    out = None
+    for name, fact, fk, dim, pk in _FK_EDGES:
+        orphans = (
+            _t(spark, sf_dir, fact)
+            .select(F.col(fk).alias("k"))
+            .join(
+                _t(spark, sf_dir, dim).select(F.col(pk).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("fk_edge"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
+
+
 QUERIES = {
+    "referential_integrity_audit": q_referential_integrity_audit,
     "profile_orders": q_profile_orders,
     "dataset_split": q_dataset_split,
     "data_mix_audit": q_data_mix_audit,
@@ -241,6 +280,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "referential_integrity_audit": "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS fk_edge, COUNT(*) AS n_orphans
+        FROM {fact} ANTI JOIN {dim} ON {fact}.{fk} = {dim}.{pk}"""
+        for name, fact, fk, dim, pk in _FK_EDGES
+    ),
     "data_mix_audit": r"""
         WITH mix AS (
             SELECT source, lang, COUNT(*) AS n_docs,

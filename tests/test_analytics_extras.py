@@ -95,3 +95,35 @@ def test_pagerank_concentrates_on_hub_parts(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     assert scores[0] > 1.0 / li.count()
+
+
+def test_ri_audit_detects_constructed_orphans(spark, tmp_path, sf_dir):
+    """The fixture is referentially clean (all-zero report), so prove the
+    audit actually detects: copy the tables, strip a nation and null one
+    customer FK, expect exactly those orphans."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.quality import (
+        q_referential_integrity_audit,
+    )
+
+    clean = {r.fk_edge: r.n_orphans for r in
+             q_referential_integrity_audit(spark, sf_dir).collect()}
+    assert set(clean.values()) == {0}
+
+    sf = str(tmp_path)
+    # drop a nation some supplier actually references, so orphans exist
+    victim_nk = _t(spark, sf_dir, "supplier").select("s_nationkey").first()[0]
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        df = _t(spark, sf_dir, t)
+        if t == "nation":
+            df = df.filter(F.col("n_nationkey") != victim_nk)
+        if t == "orders":
+            df = df.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") == 1, F.lit(None)).otherwise(F.col("o_custkey")),
+            )  # a NULL FK is an orphan too
+        df.write.parquet(f"{sf}/{t}.parquet")
+    broken = {r.fk_edge: r.n_orphans for r in
+              q_referential_integrity_audit(spark, sf).collect()}
+    assert broken["supplier.s_nationkey->nation"] > 0
+    assert broken["orders.o_custkey->customer"] == 1
+    assert broken["lineitem.l_orderkey->orders"] == 0
