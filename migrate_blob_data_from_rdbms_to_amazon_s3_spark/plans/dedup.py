@@ -21,6 +21,7 @@ never touches row data.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # MinHash parameters (fixed, shared with oracles).
@@ -39,6 +40,19 @@ JACCARD_THRESHOLD = 0.2
 # are below any useful Jaccard threshold anyway, so the cap costs ~nothing
 # in recall and is what makes the inverted index safe at 100 TB.
 MAX_POSTING_DF = 64
+
+# Hot-bucket cap on LSH band buckets: a band bucket with more than this
+# many members is dropped before the pair join. The band-bucket self-join
+# is |bucket|² — one degenerate bucket (mass-duplicated boilerplate, 10k
+# identical docs) turns O(n·bands) into 50M pairs. Same df-cap discipline
+# as MAX_POSTING_DF: a no-op on natural text (measured max bucket = 14 at
+# sf0.1, 16x headroom) that bounds pairs-per-bucket at cap² on adversarial
+# corpora. Semantics note: >256 docs sharing a full band of MinHash sigs
+# are (near-)identical at scale — exact dedup (q_dedup_exact's fingerprint
+# groupBy, which has no quadratic stage) is the operator responsible for
+# mass-identical content; LSH owns the long tail of near-dups. Both
+# engines apply the cap identically, so oracles stay value-exact.
+MAX_BAND_BUCKET = 256
 
 # --- shared expression builders (Spark SQL strings) -------------------------
 
@@ -330,6 +344,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     exploded = sigs.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
+    )
+    # hot-bucket guard (see MAX_BAND_BUCKET): one partitioned-window count
+    # on the band key — the same shuffle partitioning the self-join needs,
+    # so the cap adds no extra exchange to either join input
+    bucket_w = Window.partitionBy("band_idx", "band_val")
+    exploded = (
+        exploded.withColumn("bdf", F.count("*").over(bucket_w))
+        .filter(F.col("bdf") <= MAX_BAND_BUCKET)
+        .drop("bdf")
     )
     lhs = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
     rhs = exploded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
@@ -642,12 +665,18 @@ ORACLES = {
         ),
         bands AS (
 {_BANDS_DUCK}
+        ),
+        bands_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bdf
+                FROM bands
+            ) WHERE bdf <= {MAX_BAND_BUCKET}
         )
         SELECT doc_a, doc_b, ROUND(MAX(n_match) / 16.0, 4) AS est_jaccard
         FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    {_N_MATCH_DUCK} AS n_match
-            FROM bands a JOIN bands b
+            FROM bands_capped a JOIN bands_capped b
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
         )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 NEARDUP_COSINE = 0.45
@@ -63,6 +64,9 @@ _PLANES = _mk_planes(N_PLANES)
 # (table, bucket) — O(n · tables · probes) shuffle, never all-pairs.
 ND_BANDS = 8
 ND_BAND_BITS = 6
+# hot-bucket cap on the build side of the LSH bucket join (see the guard
+# in q_neardup_embedding; same discipline as dedup.MAX_BAND_BUCKET)
+ND_MAX_BUCKET = 256
 _ND_PLANES = _mk_planes(ND_BANDS * ND_BAND_BITS)
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
@@ -259,6 +263,21 @@ def q_neardup_embedding(spark, sf_dir):
         F.col("vec_id").alias("vec_b"),
         "label",
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
+    )
+    # hot-bucket guard (same df-cap discipline as dedup.MAX_BAND_BUCKET):
+    # the probe x build join is |probes| x |bucket| on a degenerate bucket
+    # (mass-duplicated embeddings collapse into one bucket in EVERY table,
+    # making candidates quadratic). Capping the BUILD side bounds the
+    # output at |probes| x cap — linear in the hot-bucket size — while
+    # natural buckets (measured max 16 at sf0.1) never hit the cap.
+    # Mass-identical vectors are exact-dedup's job, not the LSH index's.
+    # One partitioned-window count on the join key; both engines cap
+    # identically so the oracle stays value-exact.
+    bucket_w = Window.partitionBy("tab", "bv", "label")
+    exact = (
+        exact.withColumn("bdf", F.count("*").over(bucket_w))
+        .filter(F.col("bdf") <= ND_MAX_BUCKET)
+        .drop("bdf")
     )
     probes = sigs.select(
         F.col("vec_id").alias("vec_a"),
@@ -651,10 +670,16 @@ ORACLES = {
         probes AS (
             {" UNION ALL ".join(f"SELECT vec_id, label, embedding, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
         ),
+        bands_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY tab, bv, label) AS bdf
+                FROM bands
+            ) WHERE bdf <= {ND_MAX_BUCKET}
+        ),
         cand AS (
             SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                    a.embedding AS ea, b.embedding AS eb
-            FROM probes a JOIN bands b
+            FROM probes a JOIN bands_capped b
               ON a.tab = b.tab AND a.bv = b.bv
              AND a.label = b.label AND a.vec_id < b.vec_id
         )

@@ -132,3 +132,89 @@ def test_containment_catches_substring_dup_jaccard_misses(spark, tmp_path):
         for r in dedup.q_dedup_ngram_jaccard(spark, sf).collect()
     }
     assert (1, 2) not in jac  # symmetric Jaccard misses it (8/92 < 0.2)
+
+
+# --- hot-bucket guard: degenerate LSH band buckets ---------------------------
+
+
+def test_minhash_lsh_hot_bucket_capped(spark, tmp_path):
+    """Adversarial corpus: 2,000 IDENTICAL docs (mass-duplicated
+    boilerplate). All share every band bucket, so an uncapped band join
+    emits C(2000,2) ≈ 2M pairs — the |bucket|² blowup MAX_BAND_BUCKET
+    exists to stop. With the cap the degenerate buckets drop before the
+    join (0 pairs from the mass), while a genuine near-dup pair elsewhere
+    in the corpus (bucket size 2) must still be found, and exact dedup —
+    the operator responsible for identical content — must collapse the
+    mass to one keeper."""
+    boiler = "this content is copyright of the site and may not be reproduced"
+    rows = [(i, boiler) for i in range(2000)]
+    # genuine near-dup pair: long shared body, one differing tail token
+    body = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows += [(9001, f"{body} alpha"), (9002, f"{body} beta")]
+    sf = _write_docs(tmp_path, rows)
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_minhash_lsh(spark, sf).collect()
+    ]
+    assert (9001, 9002) in pairs
+    assert all(a >= 9001 for a, _ in pairs)  # no pair from the capped mass
+
+    exact = {
+        r.keep_doc_id: r.n_copies for r in dedup.q_dedup_exact(spark, sf).collect()
+    }
+    assert exact[0] == 2000  # identical mass handled where it belongs
+
+
+def test_minhash_lsh_cap_noop_on_fixture(spark, sf_dir):
+    """MAX_BAND_BUCKET sits far above the fixture's max band bucket
+    (measured 14 at sf0.1), so the cap must not change natural results."""
+    import migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.dedup as D
+
+    baseline = {
+        (r.doc_a, r.doc_b) for r in D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    orig = D.MAX_BAND_BUCKET
+    try:
+        D.MAX_BAND_BUCKET = 1 << 30
+        uncapped = {
+            (r.doc_a, r.doc_b)
+            for r in D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+        }
+    finally:
+        D.MAX_BAND_BUCKET = orig
+    assert baseline == uncapped
+
+
+def test_neardup_embedding_hot_bucket_capped(spark, tmp_path):
+    """2,000 identical embeddings collapse into ONE bucket per LSH table;
+    the probe x build join on that bucket is quadratic uncapped. With the
+    build-side cap the mass yields no pairs, while a genuine near-dup pair
+    under a different label (its buckets hold only 2 vectors) survives."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans import similarity as S
+
+    rng = np.random.default_rng(7)
+    hot = rng.standard_normal(64).astype("float32")
+    base = rng.standard_normal(64).astype("float32")
+    near = base + 0.01 * rng.standard_normal(64).astype("float32")
+
+    vec_ids = list(range(2000)) + [9001, 9002]
+    embs = [hot.tolist()] * 2000 + [base.tolist(), near.tolist()]
+    labels = [1] * 2000 + [2, 2]
+    table = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/embeddings.parquet")
+
+    got = S.q_neardup_embedding(spark, str(tmp_path)).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert (9001, 9002) in pairs
+    assert all(a >= 9001 for a, _ in pairs)  # nothing from the capped mass
