@@ -56,36 +56,71 @@ class LocalFSObjectStore:
 
 class S3ObjectStore:
     """boto3-backed store. Mirrors LocalFSObjectStore; one client per
-    instance — construct inside foreachPartition, never on the driver."""
+    instance — construct inside foreachPartition, never on the driver.
+    Exercised end-to-end in tests against a moto S3 server
+    (tests/test_s3_store.py); ``endpoint_url`` also serves any
+    S3-compatible store (MinIO, localstack)."""
 
-    def __init__(self, bucket: str, region: str | None = None):
+    def __init__(
+        self,
+        bucket: str,
+        region: str | None = None,
+        endpoint_url: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+    ):
         try:
             import boto3
-        except ImportError as e:  # pragma: no cover - boto3 absent in this env
+        except ImportError as e:  # pragma: no cover - boto3 absent
             raise NotImplementedError("boto3 not available in this environment") from e
         self.bucket = bucket.replace("arn:aws:s3:::", "")  # F6, order.js:422
-        self._client = boto3.client("s3", region_name=region)
+        self._client = boto3.client(
+            "s3",
+            region_name=region,
+            endpoint_url=endpoint_url,
+            aws_access_key_id=access_key,
+            aws_secret_access_key=secret_key,
+        )
 
-    def put(self, key: str, payload: bytes) -> None:  # pragma: no cover
+    @staticmethod
+    def _status(e: Exception) -> int | None:
+        resp = getattr(e, "response", None)  # botocore ClientError
+        if isinstance(resp, dict):
+            code = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+            if isinstance(code, int):
+                return code
+        return None
+
+    def put(self, key: str, payload: bytes) -> None:
         self._client.put_object(Bucket=self.bucket, Key=key, Body=payload)
 
-    def get(self, key: str) -> bytes:  # pragma: no cover
+    def get(self, key: str) -> bytes:
         return self._client.get_object(Bucket=self.bucket, Key=key)["Body"].read()
 
-    def head(self, key: str) -> bool:  # pragma: no cover
+    def head(self, key: str) -> bool:
         try:
             self._client.head_object(Bucket=self.bucket, Key=key)
             return True
-        except Exception:
-            # NotFound/Forbidden both read as absent (order.js:439-446)
-            return False
+        except Exception as e:
+            # NotFound/Forbidden both read as absent (order.js:439-446);
+            # anything else (500, throttle, network) must surface, not
+            # masquerade as a missing object in a validation report
+            if self._status(e) in (403, 404):
+                return False
+            raise
 
-    def delete(self, key: str) -> bool:  # pragma: no cover
+    def delete(self, key: str) -> bool:
+        """Absence-tolerant delete (README.md:125-126): S3 returns 204 for
+        a missing key, so tolerance is inherent; the 404 guard covers
+        S3-compatible stores that differ. Non-404 failures raise so the
+        RetryingStore wrapper can retry transient ones."""
         try:
             self._client.delete_object(Bucket=self.bucket, Key=key)
             return True
-        except Exception:
-            return True
+        except Exception as e:
+            if self._status(e) == 404:
+                return True
+            raise
 
 
 # Permanent failures retrying can never fix: retrying a missing key or a
@@ -217,7 +252,21 @@ def make_store(url: str, attempts: int = 3):
     if url.startswith("file://"):
         store = LocalFSObjectStore(url.removeprefix("file://"))
     elif url.startswith("s3://"):
-        store = S3ObjectStore(url.removeprefix("s3://").split("/", 1)[0])
+        # optional query params ride along with the URL string into every
+        # executor task: s3://bucket?endpoint=http://host:port&region=...
+        # (&access_key/&secret_key for test/dev stores ONLY — production
+        # omits them and uses the default credential chain)
+        from urllib.parse import parse_qs, urlsplit
+
+        parts = urlsplit(url)
+        q = {k: v[0] for k, v in parse_qs(parts.query).items()}
+        store = S3ObjectStore(
+            parts.netloc,
+            region=q.get("region"),
+            endpoint_url=q.get("endpoint"),
+            access_key=q.get("access_key"),
+            secret_key=q.get("secret_key"),
+        )
     else:
         raise ValueError(f"unsupported object store url: {url}")
     return RetryingStore(store, attempts=attempts) if attempts > 1 else store
