@@ -98,3 +98,61 @@ def test_jdbc_blob_externalization_end_to_end(spark, derby, tmp_path):
     ptr = pointer_table(over_jdbc)
     assert ptr.columns == ["order_id", "description", "s3_prefix"]
     assert ptr.count() == 40
+
+
+# --- MySQL dialect parity (no MySQL reachable: test the dialect layer) -------
+# The reference's production source is Aurora MySQL through RDS Proxy
+# (order.js:521-563), with backtick-quoted identifiers (order.js:596,621)
+# and LONGBLOB blob columns (sql_schema). Spark ships MySQLDialect; these
+# tests pin the dialect behaviors the migration depends on, so a future
+# MySQL jar/container drop-in changes nothing but the URL.
+
+
+def test_mysql_dialect_resolves_and_backtick_quotes(spark):
+    jvm = spark._jvm
+    d = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://proxy:3306/main")
+    assert "MySQLDialect" in d.toString()
+    # order.js:596: `UPDATE main.orders SET `description` = ...` — backticks,
+    # never the ANSI double quotes the default/Derby dialect emits
+    assert d.quoteIdentifier("o_orderkey") == "`o_orderkey`"
+    derby = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:x")
+    assert derby.quoteIdentifier("o_orderkey") == '"o_orderkey"'
+
+
+def test_mysql_dialect_blob_type_mapping(spark):
+    """Write direction: BinaryType -> BLOB (java.sql.Types.BLOB = 2004).
+    Read direction: MySQLDialect defers LONGBLOB (LONGVARBINARY) to
+    Spark's default JDBC mapping — BinaryType — which the embedded-Derby
+    e2e (test_jdbc_blob_externalization_end_to_end) proves behaviorally:
+    a JDBC BLOB column round-trips as BinaryType bytes."""
+    jvm = spark._jvm
+    types = jvm.org.apache.spark.sql.types.DataTypes
+    d = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://proxy:3306/main")
+    jt = d.getJDBCType(types.BinaryType)
+    assert jt.isDefined()
+    assert jt.get().databaseTypeDefinition() == "BLOB"
+    assert jt.get().jdbcNullType() == jvm.java.sql.Types.BLOB
+    # read direction: None = defer to the default LONGVARBINARY mapping
+    mb = jvm.org.apache.spark.sql.types.MetadataBuilder()
+    ct = d.getCatalystType(jvm.java.sql.Types.LONGVARBINARY, "LONGBLOB", 2147483647, mb)
+    assert not ct.isDefined()
+
+
+def test_jdbc_source_mysql_defaults_and_longblob_ddl():
+    """JdbcSource defaults to the MySQL driver class the reference loads,
+    and the LONGBLOB DDL override (10 MB blobs exceed BLOB's 64 KB cap in
+    MySQL, sql_schema's LONGBLOB) rides through ``extra`` into the
+    writer/reader options verbatim."""
+    src = JdbcSource(
+        url="jdbc:mysql://proxy:3306/main",
+        table="orders",
+        partition_column="order_id",
+        num_partitions=8,
+        extra={"createTableColumnTypes": "order_blob LONGBLOB"},
+    )
+    opts = src.options(lower_bound=0, upper_bound=1000)
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"
+    assert opts["createTableColumnTypes"] == "order_blob LONGBLOB"
+    assert opts["partitionColumn"] == "order_id"
+    assert opts["numPartitions"] == "8"
+    assert opts["pushDownAggregate"] == "true"
