@@ -55,6 +55,13 @@ def get_spark(app_name: str = "rdbms-blob-s3-spark", cpus: str | int | None = No
         # fleet-wide plan linter forbids it)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP(NANOS) fixture files are readable from session start
+        # (as int64 nanos + the loader's fix-up projection). Set here, not
+        # only lazily in sources/tables.py, so the conf's session-global
+        # lifetime is explicit: ALL fixture reads must go through
+        # load_table/load_events — a direct spark.read.parquet on a nanos
+        # file yields raw bigint columns with no fix-up either way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -52,7 +52,16 @@ def _normalize(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
     fixes = {}
     for c in nanos_cols:
         if dtypes.get(c) == "bigint":  # read via nanosAsLong
-            fixes[c] = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            # FLOOR division on the long (exact — no double round-trip):
+            # `div` truncates toward zero, which would round a pre-epoch
+            # (negative) nanosecond value UP by 1µs; the % guard restores
+            # floor semantics for all signs (Spark's % takes the dividend's
+            # sign, so -1001 ns -> -2 µs, matching the oracle's conversion)
+            fixes[c] = F.timestamp_micros(
+                F.expr(
+                    f"`{c}` div 1000 - (CASE WHEN `{c}` % 1000 < 0 THEN 1 ELSE 0 END)"
+                )
+            )
     for c, dtype in dtypes.items():
         if dtype == "timestamp_ntz":
             fixes[c] = F.col(c).cast("timestamp")

@@ -74,7 +74,9 @@ def test_importance_sample_ht_estimate_is_unbiased(spark, sf_dir):
         assert 0 <= r.n_kept <= r.n_docs, (lang, r)
         assert r.ht_estimate is None or r.ht_estimate >= r.n_kept, (lang, r)
     assert sum(r.n_kept for r in rows.values()) > 0
-    total_ht = sum(r.ht_estimate for r in rows.values())
+    # a stratum that kept zero docs has NULL ht_estimate (legitimate, see
+    # above) — it contributes nothing to the global estimate
+    total_ht = sum(r.ht_estimate or 0 for r in rows.values())
     total_n = sum(r.n_docs for r in rows.values())
     assert abs(total_ht - total_n) / total_n < 0.25, (total_ht, total_n)
     again = {r.lang: r for r in q_importance_sample(spark, sf_dir).collect()}

@@ -87,3 +87,28 @@ def test_loader_matches_current_fixture(spark, sf_dir):
     exposes plain TimestampType (the type every plan and oracle assumes)."""
     df = load_events(spark, sf_dir)
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_nanos_loader_floors_pre_epoch_timestamps(spark, tmp_path):
+    """Pre-epoch (negative) nanosecond values must FLOOR to micros, not
+    truncate toward zero: -1001 ns is -2 µs (floor), while `div` alone
+    would give -1 µs — a 1 µs divergence from the oracle's conversion."""
+    pre = datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)  # -1000 ns
+    arr = pa.array([pre, TS[0]], type=pa.timestamp("ns"))
+    # nudge both to non-zero sub-µs nanos: row 1 becomes -1001 ns
+    import pyarrow.compute as pc
+
+    arr = pc.add(arr.cast(pa.int64()), pa.scalar(-1)).cast(pa.timestamp("ns"))
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": arr,
+            "user_id": pa.array([10, 20], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet")
+    got = {r.event_id: r.ts for r in load_events(spark, str(tmp_path)).collect()}
+    # -1001 ns floors to -2 µs (`div` alone would truncate to -1 µs)
+    assert got[1] == datetime.datetime(1969, 12, 31, 23, 59, 59, 999998)
+    # positive value: 2024-01-01 12:00:00.000000 minus 1 ns floors back
+    assert got[2] == datetime.datetime(2024, 1, 1, 11, 59, 59, 999999)
