@@ -208,3 +208,24 @@ def test_stream_dedup_doubled_source(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_registry_streaming_entries_drain_by_name(spark, sf_dir):
+    """The two rows-only registry entries — stream_tumbling_windows and
+    stream_sessionize_stateful — drain end-to-end through the same
+    callables the driver invokes. The driver only row-checks these (no
+    value oracle: emission timing isn't SQL-expressible), so this named
+    drain is their correctness gate alongside the stream==batch parity
+    tests above."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    tw = qs["stream_tumbling_windows"](spark, sf_dir)
+    tw_rows = tw.collect()
+    assert len(tw_rows) > 0
+    assert {"event_type", "n_events"} <= set(tw.columns)
+
+    ss = qs["stream_sessionize_stateful"](spark, sf_dir)
+    ss_rows = ss.collect()
+    assert len(ss_rows) > 0
+    assert {"user_id", "session_seq", "n_events"} <= set(ss.columns)
