@@ -1,10 +1,15 @@
 """Skew-handling join utility: salted repartition join.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
-runtime by splitting oversized shuffle partitions. Salting is the explicit
-fallback for the cases AQE can't fix — a single hot KEY (not partition),
-e.g. one user with 10% of all events joined against a per-user dim at
-100 TB. The hot key's rows land on `n_salts` reducers instead of one.
+runtime by splitting oversized shuffle partitions — demonstrated plan-level
+by tests/test_skew.py::test_aqe_skew_join_splits_hot_partition
+(SortMergeJoin(skew=true) on the same hot-key fixture, results identical).
+Salting is the explicit fallback for the cases AQE can't fix: skewed
+AGGREGATION (OptimizeSkewedJoin only splits join partitions — see
+plans/analytics.q_salted_hot_key_agg for the two-phase salted agg), and
+joins whose output partitioning a same-key downstream op needs (AQE skips
+the split there to avoid an extra shuffle). The hot key's rows land on
+`n_salts` reducers instead of one.
 
 Mechanics: the probe (big, skewed) side gets a uniform random salt in
 [0, n_salts); the build side is replicated n_salts times (explode), so
