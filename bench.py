@@ -45,6 +45,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "grouped_percentiles",
+    "grouped_percentiles_approx",
     "window_running_sum",
     "events_sessionize",
     "events_tumbling",
@@ -78,6 +79,7 @@ HEADLINE = [
     "events_attribution",
     "hll_multigrain_rollup",
     "grouped_mad_outliers",
+    "grouped_mad_outliers_approx",
 ]
 
 STREAMING = ["stream_tumbling_windows", "stream_sessionize_stateful"]
