@@ -503,8 +503,43 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/val/test split that CANNOT leak near-duplicates across the
+    boundary: the 80/10/10 assignment coin hashes the near-dup COMPONENT
+    (min-reachable doc_id over the MinHash-LSH pair graph, same labels as
+    dedup_components), not the document — so every member of a component
+    lands in the same split. A per-doc coin (q_dataset_split,
+    plans/quality.py) lets one copy of a near-dup pair train while its
+    twin sits in the eval set — silent benchmark inflation; this operator
+    is the fix a real LLM data pipeline ships. Unclustered docs are
+    singleton components (coin on their own id). Deterministic md5 coin:
+    reproducible across runs, engines, and cluster sizes.
+
+    Plan shape: the label table is one narrow (id, label) per CLUSTERED
+    doc — tiny next to the corpus — joined to the doc ids by one linear
+    equi-join; the coin is a map-side expression. Nothing here adds a
+    corpus-grain shuffle beyond the join on doc_id."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = _component_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "label"
+    )
+    comp = F.coalesce("label", "doc_id")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(component AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select("doc_id", comp.alias("component"))
+        .select("doc_id", "component", split.alias("split"))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "leakage_safe_split": q_leakage_safe_split,
     "dedup_incremental": q_dedup_incremental,
     "dedup_components": q_dedup_components,
     "dedup_keep_best": q_dedup_keep_best,
@@ -751,5 +786,48 @@ def _keep_best_oracle() -> str:
 
 
 ORACLES["dedup_keep_best"] = _keep_best_oracle().format(
+    lsh=ORACLES["dedup_minhash_lsh"]
+)
+
+
+def _leakage_safe_split_oracle() -> str:
+    """Transitive-closure components (same as dedup_components), singleton
+    fallback via LEFT JOIN, then the identical md5 coin on the component."""
+    return """
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({lsh}) lsh_pairs
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.doc_b, r.label
+            FROM reach r JOIN edges e ON e.doc_a = r.id
+        ),
+        comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, component,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, component,
+                   CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bucket
+            FROM assigned
+        )
+    """
+
+
+ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle().format(
     lsh=ORACLES["dedup_minhash_lsh"]
 )

@@ -218,3 +218,40 @@ def test_neardup_embedding_hot_bucket_capped(spark, tmp_path):
     pairs = {(r.vec_a, r.vec_b) for r in got}
     assert (9001, 9002) in pairs
     assert all(a >= 9001 for a, _ in pairs)  # nothing from the capped mass
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """The whole point of the operator: no near-dup component straddles
+    the train/val/test boundary, every doc is assigned exactly once, and
+    every LSH candidate pair lands on one side."""
+    from pyspark.sql import functions as F
+
+    assigned = dedup.q_leakage_safe_split(spark, sf_dir)
+    assigned.cache()
+
+    n_docs = dedup._docs(spark, sf_dir).count()
+    assert assigned.count() == n_docs
+    assert assigned.select("doc_id").distinct().count() == n_docs
+
+    straddling = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+
+    pairs = dedup.q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaked = pairs.join(sa, "doc_a").join(sb, "doc_b").filter("sa != sb").count()
+    assert leaked == 0
+
+    # the coin still produces a usable split on the fixture
+    sizes = {r.split: r.n for r in assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sizes.get("train", 0) > sizes.get("val", 0)
+    assert sizes.get("train", 0) > sizes.get("test", 0)
+    assigned.unpersist()
