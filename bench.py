@@ -52,7 +52,10 @@ HEADLINE = [
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_substring_windows",
     "simhash",
+    "semdedup",
+    "temperature_mix",
     "ann_bruteforce_topk",
     "ann_hyperplane_lsh",
     "ann_ivf_topk",

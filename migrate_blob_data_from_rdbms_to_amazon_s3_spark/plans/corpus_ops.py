@@ -356,7 +356,73 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     )
 
 
+# Temperature exponent for the multilingual mixture: p_l ∝ share_l^ALPHA.
+# ALPHA = 1 reproduces the corpus as-is; ALPHA -> 0 flattens toward
+# uniform; 0.3 is the published multilingual-pretraining default.
+MIX_ALPHA = 0.3
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based language mixture (multilingual alpha-sampling):
+    re-weight languages by p_l ∝ (n_l/N)^ALPHA — the standard move that
+    keeps high-resource languages from drowning the tail — then apply
+    the implied per-language sampling rate rate_l = p_l * N / n_l with
+    the deterministic md5 coin (rate is capped at 1 for the keep
+    decision; an uncapped rate > 1 reported in `sample_rate` is the
+    upsampling factor — extra epochs — the tail language needs).
+    Report per language: population, temperature-adjusted target share,
+    sample rate, kept count, achieved rate.
+
+    Plan: the per-language histogram is one combiner-friendly shuffle to
+    the lang grain (a handful of rows); the normalizer Z = Σ n^ALPHA is
+    a 1-row re-agg of that tiny table, broadcast back via crossJoin
+    (data_mix_audit's scalar pattern); the per-doc keep decision is a
+    broadcast-joined map-side coin. Nothing beyond the lang-grain agg
+    shuffles at corpus scale. Rates round to 4 decimals in BOTH engines
+    before the coin comparison so a pow() ulp can't flip a boundary
+    doc."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"),
+    )
+    rate = (
+        F.pow("n_docs", F.lit(MIX_ALPHA))
+        / F.col("z")
+        * F.col("n_total")
+        / F.col("n_docs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.pow("n_docs", F.lit(MIX_ALPHA)) / F.col("z"), 6).alias(
+            "target_share"
+        ),
+        F.round(rate, 4).alias("sample_rate"),
+        F.round(F.least(F.lit(1.0), rate), 4).alias("keep_rate"),
+    )
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"
+        )
+        / 10000.0
+    )
+    kept = (u < F.col("keep_rate")).cast("int")
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .select("lang", "n_docs", "target_share", "sample_rate", kept.alias("kept"))
+        .groupBy("lang", "n_docs", "target_share", "sample_rate")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+        )
+    )
+
+
 QUERIES = {
+    "temperature_mix": q_temperature_mix,
     "unigram_logprob_score": q_unigram_logprob,
     "quality_percentile_filter": q_quality_percentile_filter,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -373,6 +439,36 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "temperature_mix": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT SUM(n_docs) AS n_total, SUM(pow(n_docs, {MIX_ALPHA})) AS z
+            FROM counts
+        ),
+        rates AS (
+            SELECT lang, n_docs,
+                   ROUND(pow(n_docs, {MIX_ALPHA}) / z, 6) AS target_share,
+                   ROUND(pow(n_docs, {MIX_ALPHA}) / z * n_total / n_docs, 4)
+                     AS sample_rate,
+                   ROUND(LEAST(1.0, pow(n_docs, {MIX_ALPHA}) / z * n_total / n_docs), 4)
+                     AS keep_rate
+            FROM counts, tot
+        ),
+        coined AS (
+            SELECT r.lang, r.n_docs, r.target_share, r.sample_rate,
+                   CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000)
+                            / 10000.0 < r.keep_rate
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents d JOIN rates r USING (lang)
+        )
+        SELECT lang, n_docs, target_share, sample_rate,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               ROUND(SUM(kept) / COUNT(*), 4) AS kept_frac
+        FROM coined
+        GROUP BY lang, n_docs, target_share, sample_rate
+    """,
     "tfidf_cosine_pairs": rf"""
         WITH ts_t AS (
             SELECT doc_id,

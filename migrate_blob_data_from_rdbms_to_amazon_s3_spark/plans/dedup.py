@@ -301,6 +301,58 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+# --- exact-substring duplication (windowed rolling fingerprints) -------------
+# Character-window approximation of suffix-array substring dedup (the
+# "deduplicating training data" recipe): hash fixed W-char windows every
+# STRIDE chars; any exact duplicated span of length >= W + STRIDE - 1
+# contains at least one aligned window, so its fingerprint collides
+# across documents. W/STRIDE trade recall floor vs index size.
+SUBSTR_W = 40
+SUBSTR_STRIDE = 20
+
+
+def q_dedup_substring_windows(spark, sf_dir):
+    """Exact-substring duplication audit: per-document fraction of W-char
+    windows (every STRIDE chars) whose fingerprint appears in >= 2
+    distinct documents — the signal substring-level dedup trims on
+    (copied license blocks, syndicated paragraphs, boilerplate) that
+    document-level exact dedup can't see.
+
+    Plan: windows explode as 60-bit hashes (8-byte ints, never text),
+    one hash-grain groupBy counts distinct docs per fingerprint, and the
+    flags join back on the same hash key — there is NO pair stage at
+    all (unlike Jaccard/LSH this operator never emits doc pairs), so
+    cost is linear in corpus chars at any scale: the 100 TB shape is
+    two hash-keyed shuffles of (doc_id, int64). Window hashes are
+    de-duplicated per doc first, so `n_windows` counts distinct
+    fingerprints per doc and a within-doc repeat can't self-inflate the
+    cross-doc frequency."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= SUBSTR_W)
+    )
+    wins_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}), "
+        f"p -> {_h60_spark(f'substring(text, p, {SUBSTR_W})')}))"
+    )
+    raw = docs.withColumn("whs", F.expr(wins_expr))
+    wins = _barrier(raw, ["doc_id"], ["whs"]).select(
+        "doc_id", F.explode("whs").alias("wh")
+    )
+    # per-doc-distinct already, so count(*) per hash == distinct-doc count
+    dfreq = wins.groupBy("wh").agg(F.count("*").alias("nd"))
+    flagged = wins.join(dfreq, "wh").select(
+        "doc_id", (F.col("nd") >= 2).cast("int").alias("dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("dup").alias("n_dup_windows"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
 # --- MinHash signatures ------------------------------------------------------------
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature table (first 4 of 16 permutations exposed;
@@ -539,6 +591,7 @@ def q_leakage_safe_split(spark, sf_dir):
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring_windows": q_dedup_substring_windows,
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_incremental": q_dedup_incremental,
     "dedup_components": q_dedup_components,
@@ -608,6 +661,27 @@ def _components_oracle() -> str:
 
 
 ORACLES = {
+    "dedup_substring_windows": f"""
+        WITH wins AS (
+            SELECT DISTINCT doc_id, u.wh
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}),
+                           p -> {_h60_duck(f"substr(text, p, {SUBSTR_W})")}) AS whs
+                FROM documents
+                WHERE length(text) >= {SUBSTR_W}
+            ), LATERAL (SELECT UNNEST(whs) AS wh) u
+        ),
+        dfreq AS (SELECT wh, COUNT(*) AS nd FROM wins GROUP BY wh)
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
+               ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+                 AS dup_frac
+        FROM wins JOIN dfreq USING (wh)
+        GROUP BY doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,

@@ -438,7 +438,7 @@ KMEANS_ITERS = 2
 KMEANS_K = N_CENTROIDS  # seed centroids = vec_id < 8, same as IVF
 
 
-def _kmeans_fit(emb):
+def _kmeans_fit(emb, k: int = KMEANS_K):
     """KMEANS_ITERS Lloyd iterations, one Spark job per round — the
     iterative-algorithm pattern done the way MLlib does it: the k x dim
     centroid table is COLLECTED to the driver each round (k*dim doubles —
@@ -453,7 +453,7 @@ def _kmeans_fit(emb):
     accumulation. Returns (trained centroid rows [(cluster, [dim]) ...],
     last-round lazy assignment DataFrame)."""
     seed = (
-        emb.filter(F.col("vec_id") < KMEANS_K)
+        emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
         .collect()
     )
@@ -498,11 +498,96 @@ def q_kmeans(spark, sf_dir):
     )
 
 
-def _kmeans_ctes() -> str:
+# SemDeDup pruning threshold: within a cluster, a vector dominated by an
+# earlier-kept vector at cosine >= EPS is marked removed.
+SEMDEDUP_EPS = 0.30
+# SemDeDup trains its OWN quantizer, 4x finer than the IVF one: k is the
+# cost dial — the pairwise stage is Σ|cluster|², so k must grow ∝ corpus
+# to hold |cluster| (and the per-task quadratic) constant. Measured at
+# sf0.1: k=8 → 8.0 s, k=32 → ~4x fewer pairs per cluster. The published
+# recipe runs ~100k clusters on billion-scale corpora for the same
+# reason.
+SEMDEDUP_K = 32
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup — semantic deduplication via cluster-then-prune: cluster
+    embeddings with the trained k-means quantizer, order each cluster's
+    members by (centroid_sim ASC, vec_id) — the published rule keeps the
+    point LEAST like the centroid among semantic duplicates, maximizing
+    retained diversity — and mark a vector `removed` when any
+    earlier-ordered cluster-mate sits at cosine >= SEMDEDUP_EPS.
+    Report per vector: cluster, centroid_sim, max similarity to any
+    prior member, and the keep/remove verdict.
+
+    Plan: assignment is the map-side argmin projection (`_assign_expr`,
+    no shuffle); vectors then shuffle ONCE on the cluster id and the
+    pairwise stage is a per-cluster self-join guarded by the rank
+    predicate — |cluster|^2/2 cosines per cluster, embarrassingly
+    parallel across clusters, with per-vector (not per-pair) norm
+    folds. The 100 TB dial is k (SEMDEDUP_K — 4x the IVF quantizer
+    here): grow clusters ∝ corpus so |cluster| stays bounded and the
+    quadratic stage never exceeds |cluster|_max² per task. No all-pairs
+    stage exists outside a cluster."""
+    cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir), k=SEMDEDUP_K)
+    cents = spark.createDataFrame(
+        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    )
+    scored = (
+        assigned.join(F.broadcast(cents), "cluster")
+        .select(
+            "cluster",
+            "vec_id",
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+            F.expr(_cos_spark("embedding", "cv")).alias("centroid_sim"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("centroid_sim"), "vec_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    a = ranked.select(
+        "cluster",
+        F.col("rk").alias("rk_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pair_sim = F.expr(f"round({_dot_spark('ea', 'eb')} / (na * nb), 6)")
+    prior = (
+        a.join(
+            ranked.select(
+                "cluster",
+                F.col("vec_id").alias("vb"),
+                F.col("rk").alias("rk_b"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .select("cluster", F.col("vb").alias("vec_id"), pair_sim.alias("sim"))
+        .groupBy("cluster", "vec_id")
+        .agg(F.max("sim").alias("max_prior_sim"))
+    )
+    return (
+        ranked.join(prior, ["cluster", "vec_id"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            "max_prior_sim",
+            F.coalesce(
+                F.col("max_prior_sim") >= SEMDEDUP_EPS, F.lit(False)
+            ).alias("removed"),
+        )
+    )
+
+
+def _kmeans_ctes(k: int = KMEANS_K) -> str:
     """The shared Lloyd-round CTE chain (WITH ... cents_{KMEANS_ITERS}),
-    the twin of `_kmeans_fit` — used by both the kmeans audit oracle and
-    the IVF oracle (which probes against the trained centroids)."""
-    k, iters = KMEANS_K, KMEANS_ITERS
+    the twin of `_kmeans_fit` — used by the kmeans audit oracle, the IVF
+    oracle (which probes against the trained centroids), and the
+    semdedup oracle (its own, larger k)."""
+    iters = KMEANS_ITERS
     sql = [
         f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {k})"
     ]
@@ -645,7 +730,35 @@ QUERIES = {
     "neardup_embedding": q_neardup_embedding,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "kmeans_clusters": q_kmeans,
+    "semdedup": q_semdedup,
 }
+
+
+def _semdedup_oracle() -> str:
+    iters = KMEANS_ITERS
+    return f"""{_kmeans_ctes(SEMDEDUP_K)}
+        , scored AS (
+            SELECT a.cluster, a.vec_id, a.embedding,
+                   {_cos_duck("a.embedding", "c.cv")} AS centroid_sim
+            FROM assigned_{iters - 1} a JOIN cents_{iters} c USING (cluster)
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                         ORDER BY centroid_sim, vec_id) AS rk
+            FROM scored
+        ),
+        prior AS (
+            SELECT b.cluster, b.vec_id,
+                   MAX({_cos_duck("a.embedding", "b.embedding")}) AS max_prior_sim
+            FROM ranked a JOIN ranked b
+              ON a.cluster = b.cluster AND a.rk < b.rk
+            GROUP BY b.cluster, b.vec_id
+        )
+        SELECT r.vec_id, r.cluster, r.centroid_sim, p.max_prior_sim,
+               COALESCE(p.max_prior_sim >= {SEMDEDUP_EPS}, FALSE) AS removed
+        FROM ranked r LEFT JOIN prior p
+          ON r.cluster = p.cluster AND r.vec_id = p.vec_id
+    """
 
 ORACLES = {
     "ann_bruteforce_topk": f"""
@@ -709,6 +822,7 @@ ORACLES = {
         ) WHERE score >= {LSH_COSINE}
     """,
     "kmeans_clusters": _kmeans_oracle(),
+    "semdedup": _semdedup_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (
             SELECT vec_id, embedding,
