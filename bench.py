@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_containment",
     "cms_frequency",
     "ann_ivf_multiprobe",
+    "knn_join",
     "importance_sample",
     "events_attribution",
     "hll_multigrain_rollup",

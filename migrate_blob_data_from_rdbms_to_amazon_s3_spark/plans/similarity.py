@@ -327,6 +327,132 @@ def q_neardup_embedding(spark, sf_dir):
     )
 
 
+KNN_K = 3  # neighbors returned per query vector
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: top-KNN_K approximate neighbors for EVERY vector
+    (the RAG/embedding-enrichment primitive: one pass annotates the whole
+    corpus with its neighbor lists), candidates from the same 8-table
+    Hamming-1 multi-probe sign-LSH index as neardup_embedding but with NO
+    label constraint and both directions ranked — vec a lists b even
+    when b's own list omits a.
+
+    Plan shape is the index discipline proven on neardup: signatures
+    materialize once (localCheckpoint), the bucket join carries only
+    (ids, band keys), hot build-side buckets cap at ND_MAX_BUCKET, and
+    embeddings re-attach by two linear equi-joins AFTER the candidate
+    dedup with per-vector (not per-pair) norm folds. The final top-k is
+    a per-vector window over candidate-sized groups — never a global
+    sort. At 100 TB: O(n · tables · probes) candidate shuffle, and the
+    recall/cost dial is (tables, band bits, probes), same as the index
+    it reuses. Vectors whose buckets are empty after the cap emit no
+    rows (they have no measured neighbors)."""
+    emb = _emb(spark, sf_dir)
+    sigs = emb.select(
+        "vec_id",
+        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
+    ).localCheckpoint(eager=False)
+    exact = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
+    )
+    bucket_w = Window.partitionBy("tab", "bv")
+    exact = (
+        exact.withColumn("bdf", F.count("*").over(bucket_w))
+        .filter(F.col("bdf") <= ND_MAX_BUCKET)
+        .drop("bdf")
+    )
+    probes = sigs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
+    ).select(
+        "vec_a",
+        "tab",
+        F.explode(
+            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
+        ).alias("bv"),
+    )
+    cand = (
+        probes.join(exact, ["tab", "bv"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_spark("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_spark("embedding")).alias("norm_b"),
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= KNN_K)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            "nn_rank",
+            F.col("vec_b").alias("neighbor_id"),
+            "score",
+        )
+    )
+
+
+def _knn_join_oracle() -> str:
+    return f"""
+        WITH sigs AS MATERIALIZED (
+            SELECT vec_id,
+                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
+            FROM embeddings
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+        ),
+        probes AS (
+            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+        ),
+        bands_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY tab, bv) AS bdf
+                FROM bands
+            ) WHERE bdf <= {ND_MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM probes a JOIN bands_capped b
+              ON a.tab = b.tab AND a.bv = b.bv
+             AND a.vec_id != b.vec_id
+        ),
+        scored AS (
+            SELECT c.vec_a, c.vec_b,
+                   {_cos_duck("ea.embedding", "eb.embedding")} AS score
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+        )
+        SELECT vec_a AS vec_id, nn_rank, vec_b AS neighbor_id, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+                                         ORDER BY score DESC, vec_b) AS nn_rank
+            FROM scored
+        ) WHERE nn_rank <= {KNN_K}
+    """
+
+
 def _hyperplane_sig_spark() -> str:
     """16-bit LSH signature as one Spark SQL expression. Left-fold double
     accumulation — bit-identical to the DuckDB twin, so an ulp can never
@@ -544,7 +670,14 @@ def q_semdedup(spark, sf_dir):
         )
     )
     w = Window.partitionBy("cluster").orderBy(F.asc("centroid_sim"), "vec_id")
-    ranked = scored.withColumn("rk", F.row_number().over(w))
+    # ranked is referenced three times (pair a-side, pair b-side, final
+    # re-attach) — without a materialization each reference re-runs the
+    # k x dim argmin assignment + centroid cosine (the most expensive
+    # per-row work here). Same materialize-once discipline as
+    # neardup_embedding's signature checkpoint; (n x narrow) rows.
+    ranked = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     a = ranked.select(
         "cluster",
         F.col("rk").alias("rk_a"),
@@ -731,6 +864,7 @@ QUERIES = {
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "kmeans_clusters": q_kmeans,
     "semdedup": q_semdedup,
+    "knn_join": q_knn_join,
 }
 
 
@@ -823,6 +957,7 @@ ORACLES = {
     """,
     "kmeans_clusters": _kmeans_oracle(),
     "semdedup": _semdedup_oracle(),
+    "knn_join": _knn_join_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (
             SELECT vec_id, embedding,

@@ -324,9 +324,51 @@ def q_length_percentiles(spark, sf_dir):
     )
 
 
+# RAG chunking: fixed-size character windows with overlap. Stride =
+# CHUNK_CHARS - CHUNK_OVERLAP; the last chunk may run short.
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def q_chunk_documents(spark, sf_dir):
+    """RAG document chunking audit: split every document into
+    CHUNK_CHARS-char windows overlapping by CHUNK_OVERLAP (the
+    retrieval-index prep step), emitting per chunk its index, start
+    offset, actual length, and a 60-bit content fingerprint (the join
+    key a chunk-level dedup or an embedding cache would use).
+
+    Pure narrow projection: sequence() generates the start offsets,
+    one explode emits the chunk grain — no shuffle at all; at 100 TB
+    this runs at scan speed and the output partitioning inherits the
+    input's. The fingerprint is md5-derived, identical in both
+    engines."""
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunk = f"substring(text, p, {CHUNK_CHARS})"
+    fp = "CAST(conv(substring(md5(" + chunk + "), 1, 15), 16, 10) AS BIGINT)"
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(1, length(text)), {stride}), "
+        f"p -> struct(p AS start_pos, length({chunk}) AS chunk_chars, {fp} AS chunk_fp))"
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.start_pos").alias("start_pos"),
+            F.col("c.chunk_chars").alias("chunk_chars"),
+            F.col("c.chunk_fp").alias("chunk_fp"),
+        )
+        # drop zero-length tails (start beyond end can't happen with the
+        # greatest(1, len) floor, but an empty text yields one empty chunk)
+        .filter(F.col("chunk_chars") > 0)
+    )
+
+
 QUERIES = {
     "text_length_percentiles": q_length_percentiles,
     "text_token_count": q_token_count,
+    "chunk_documents": q_chunk_documents,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "pack_sequences": q_pack_sequences,
     "text_quality_score": q_quality_score,
@@ -337,6 +379,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chunk_documents": f"""
+        WITH c AS (
+            SELECT doc_id, text, u.p AS start_pos, u.pos AS pos1
+            FROM (SELECT doc_id, text,
+                         generate_series(1, greatest(1, length(text)),
+                                         {CHUNK_CHARS - CHUNK_OVERLAP}) AS ps
+                  FROM documents),
+                 LATERAL (SELECT UNNEST(ps) AS p,
+                                 generate_subscripts(ps, 1) AS pos) u
+        )
+        SELECT doc_id, pos1 - 1 AS chunk_idx, start_pos,
+               length(substr(text, start_pos, {CHUNK_CHARS})) AS chunk_chars,
+               CAST('0x' || substr(md5(substr(text, start_pos, {CHUNK_CHARS})), 1, 15) AS BIGINT)
+                 AS chunk_fp
+        FROM c
+        WHERE length(substr(text, start_pos, {CHUNK_CHARS})) > 0
+    """,
     "text_length_percentiles": r"""
         SELECT lang, COUNT(*) AS n_docs,
                ROUND(quantile_cont(n_toks, 0.25), 2) AS p25,

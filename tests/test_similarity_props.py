@@ -30,3 +30,44 @@ def test_multiprobe_plan_is_map_side(spark, sf_dir):
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_keeps_a_representative_per_cluster(spark, sf_dir):
+    """SemDeDup can never empty a cluster: the first-ordered member has
+    no prior, so every nonempty cluster keeps >= 1 vector; and a removed
+    verdict requires a prior mate at >= SEMDEDUP_EPS."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        SEMDEDUP_EPS,
+    )
+
+    rows = E.queries()["semdedup"](spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        assert any(not m.removed for m in members)
+    for r in rows:
+        if r.removed:
+            assert r.max_prior_sim is not None and r.max_prior_sim >= SEMDEDUP_EPS
+        elif r.max_prior_sim is not None:
+            assert r.max_prior_sim < SEMDEDUP_EPS
+
+
+def test_knn_join_ranks_are_dense_and_monotone(spark, sf_dir):
+    """Per vector: ranks are 1..n dense (n <= KNN_K), scores
+    non-increasing in rank, and no vector lists itself."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import KNN_K
+
+    rows = E.queries()["knn_join"](spark, sf_dir).collect()
+    assert rows
+    by_vec = {}
+    for r in rows:
+        assert r.neighbor_id != r.vec_id
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for members in by_vec.values():
+        members.sort(key=lambda r: r.nn_rank)
+        assert [m.nn_rank for m in members] == list(range(1, len(members) + 1))
+        assert len(members) <= KNN_K
+        for a, b in zip(members, members[1:]):
+            assert a.score >= b.score
