@@ -348,7 +348,14 @@ def q_knn_join(spark, sf_dir):
     recall/cost dial is (tables, band bits, probes), same as the index
     it reuses. Vectors whose buckets are empty after the cap emit no
     rows (they have no measured neighbors)."""
-    emb = _emb(spark, sf_dir)
+    return _knn_topk(_emb(spark, sf_dir))
+
+
+def _knn_topk(emb, probe_max: int | None = None):
+    """(vec_id, nn_rank, neighbor_id, score) — see q_knn_join. With
+    ``probe_max`` the PROBE side restricts to vec_id < probe_max (the
+    recall audit's fixed query sample) while the build side stays the
+    full corpus."""
     sigs = emb.select(
         "vec_id",
         *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
@@ -363,7 +370,8 @@ def q_knn_join(spark, sf_dir):
         .filter(F.col("bdf") <= ND_MAX_BUCKET)
         .drop("bdf")
     )
-    probes = sigs.select(
+    probe_src = sigs if probe_max is None else sigs.filter(F.col("vec_id") < probe_max)
+    probes = probe_src.select(
         F.col("vec_id").alias("vec_a"),
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
     ).select(
@@ -413,9 +421,90 @@ def q_knn_join(spark, sf_dir):
     )
 
 
-def _knn_join_oracle() -> str:
-    return f"""
-        WITH sigs AS MATERIALIZED (
+# ANN recall audit: fixed query sample size (sf-independent — the audit
+# cost is O(|sample| * n) by construction, linear in the corpus).
+RECALL_SAMPLE = 20
+RECALL_SALT = 16  # phase-1 shards for the exact top-k (source_quota discipline)
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """Index-quality measurement: recall@KNN_K of the LSH k-NN join
+    against the EXACT cosine top-k, for a fixed RECALL_SAMPLE-query
+    panel — the number that decides whether (tables, band bits, probes)
+    are tuned right before anyone trusts knn_join's output.
+
+    The exact baseline is intentionally the expensive path, bounded by
+    the fixed sample: broadcast the sample panel against the corpus
+    (map-side cosine, one linear pass), then salted two-phase top-k
+    (source_quota's discipline) so no single query's candidates ever
+    single-sort — phase 1 ranks within (qid, vec_id % SALT) shards,
+    phase 2 ranks the <= SALT*k survivors. The approx side reuses
+    _knn_topk with the probe side restricted to the sample (build side
+    stays the full corpus). Output per query: exact/approx/overlap
+    counts and recall@k."""
+    emb = _emb(spark, sf_dir)
+    approx = _knn_topk(emb, probe_max=RECALL_SAMPLE).select(
+        F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    queries = emb.filter(F.col("vec_id") < RECALL_SAMPLE).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qnorm"),
+    )
+    scored = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(f"round({_dot_spark('embedding', 'qv')} / (nrm * qnorm), 6)").alias(
+                "score"
+            ),
+        )
+    )
+    order = [F.desc("score"), F.asc("vec_id")]
+    w1 = Window.partitionBy("qid", F.col("vec_id") % RECALL_SALT).orderBy(*order)
+    phase1 = (
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KNN_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    exact = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KNN_K)
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    ex = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    ap = approx.groupBy("qid").agg(F.count("*").alias("n_approx"))
+    ov = exact.join(approx, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        ex.join(ap, "qid", "left")
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _knn_cte(probe_where: str = "") -> str:
+    """Shared DuckDB CTE chain for the LSH k-NN join: sigs → bands →
+    probes (optionally restricted) → capped buckets → candidate pairs →
+    scored → ranked `knn`. Twin of `_knn_topk`."""
+    return f"""sigs AS MATERIALIZED (
             SELECT vec_id,
                    {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
             FROM embeddings
@@ -424,7 +513,9 @@ def _knn_join_oracle() -> str:
             {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
         ),
         probes AS (
+            SELECT * FROM (
             {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+            ) p {probe_where}
         ),
         bands_capped AS (
             SELECT * FROM (
@@ -444,12 +535,52 @@ def _knn_join_oracle() -> str:
             FROM cand c
             JOIN embeddings ea ON ea.vec_id = c.vec_a
             JOIN embeddings eb ON eb.vec_id = c.vec_b
-        )
-        SELECT vec_a AS vec_id, nn_rank, vec_b AS neighbor_id, score FROM (
+        ),
+        knn AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
                                          ORDER BY score DESC, vec_b) AS nn_rank
             FROM scored
-        ) WHERE nn_rank <= {KNN_K}
+        )"""
+
+
+def _knn_join_oracle() -> str:
+    return f"""
+        WITH {_knn_cte()}
+        SELECT vec_a AS vec_id, nn_rank, vec_b AS neighbor_id, score
+        FROM knn WHERE nn_rank <= {KNN_K}
+    """
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+        WITH {_knn_cte(f"WHERE vec_id < {RECALL_SAMPLE}")},
+        approx AS (
+            SELECT vec_a AS qid, vec_b AS nid FROM knn WHERE nn_rank <= {KNN_K}
+        ),
+        exact AS (
+            SELECT qid, nid FROM (
+                SELECT q.vec_id AS qid, e.vec_id AS nid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_duck("e.embedding", "q.embedding")} DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+                WHERE q.vec_id < {RECALL_SAMPLE}
+            ) WHERE rn <= {KNN_K}
+        ),
+        ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+        ap AS (SELECT qid, COUNT(*) AS n_approx FROM approx GROUP BY qid),
+        ov AS (
+            SELECT e.qid, COUNT(*) AS n_overlap
+            FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+            GROUP BY e.qid
+        )
+        SELECT ex.qid AS vec_id, ex.n_exact,
+               COALESCE(ap.n_approx, 0) AS n_approx,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               ROUND(COALESCE(ov.n_overlap, 0) / ex.n_exact, 4) AS recall_at_k
+        FROM ex LEFT JOIN ap ON ex.qid = ap.qid
+                LEFT JOIN ov ON ex.qid = ov.qid
     """
 
 
@@ -865,6 +996,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans,
     "semdedup": q_semdedup,
     "knn_join": q_knn_join,
+    "ann_recall_audit": q_ann_recall_audit,
 }
 
 
@@ -958,6 +1090,7 @@ ORACLES = {
     "kmeans_clusters": _kmeans_oracle(),
     "semdedup": _semdedup_oracle(),
     "knn_join": _knn_join_oracle(),
+    "ann_recall_audit": _ann_recall_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (
             SELECT vec_id, embedding,
