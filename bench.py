@@ -72,6 +72,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "customer_rfm_segments",
     "unigram_logprob_score",
+    "dsir_importance",
     "source_quota",
     "tfidf_cosine_pairs",
     "dedup_incremental",

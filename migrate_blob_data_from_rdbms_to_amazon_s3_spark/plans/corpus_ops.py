@@ -356,6 +356,69 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     )
 
 
+# DSIR-style domain-importance weighting: hashed-unigram bucket LMs for a
+# target domain vs the raw pool; per-doc importance = mean log-ratio.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"  # the "looks like what I want" exemplar domain
+
+
+def q_dsir_importance(spark, sf_dir):
+    """Data-selection importance weighting (the hashed n-gram DSIR
+    recipe): train two hashed-unigram bucket LMs — target domain
+    (source = DSIR_TARGET_SOURCE) vs the raw pool (everything else) —
+    and score every document by its mean per-token log importance ratio
+    ln p_target(b)/p_raw(b) (add-1 smoothed). Docs scoring high look
+    like the target domain; resampling raw data ∝ exp(weight) steers
+    the mix toward it without a trained classifier.
+
+    Plan: one token-grain pass buckets tokens (md5 % B, identical in
+    both engines) and aggregates target/raw counts per bucket with a
+    conditional agg — ONE shuffle to the B-row (1024) grain. Scalar
+    totals re-agg the tiny bucket table and broadcast; the per-doc
+    score is the exploded tokens broadcast-joined to the 1024-row
+    ratio table and re-aggregated to the doc grain (second shuffle).
+    Same token-grain cost shape as unigram_logprob_score; the ratio
+    table is CONSTANT-sized (B buckets) at any corpus scale — hashing
+    is what makes DSIR 100 TB-shaped."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "is_target",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % "
+                f"{DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+    bstats = toks.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    tot = bstats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    ratios = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lr"), 3).alias("avg_domain_logratio"),
+        )
+    )
+
+
 # Temperature exponent for the multilingual mixture: p_l ∝ share_l^ALPHA.
 # ALPHA = 1 reproduces the corpus as-is; ALPHA -> 0 flattens toward
 # uniform; 0.3 is the published multilingual-pretraining default.
@@ -423,6 +486,7 @@ def q_temperature_mix(spark, sf_dir):
 
 QUERIES = {
     "temperature_mix": q_temperature_mix,
+    "dsir_importance": q_dsir_importance,
     "unigram_logprob_score": q_unigram_logprob,
     "quality_percentile_filter": q_quality_percentile_filter,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -439,6 +503,34 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "dsir_importance": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   source = '{DSIR_TARGET_SOURCE}' AS is_target,
+                   CAST('0x' || substr(md5(u.tok), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> t != '') AS ts
+                  FROM documents),
+                 LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        bstats AS (
+            SELECT b,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                   SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+            FROM toks GROUP BY b
+        ),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bstats),
+        ratios AS (
+            SELECT b, ln((ct + 1) / (tt + {DSIR_BUCKETS}))
+                      - ln((cr + 1) / (tr + {DSIR_BUCKETS})) AS lr
+            FROM bstats, tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(lr), 3) AS avg_domain_logratio
+        FROM toks JOIN ratios USING (b)
+        GROUP BY doc_id
+    """,
     "temperature_mix": f"""
         WITH counts AS (
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
