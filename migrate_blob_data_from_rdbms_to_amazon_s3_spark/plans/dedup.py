@@ -322,11 +322,17 @@ def q_dedup_substring_windows(spark, sf_dir):
     one hash-grain groupBy counts distinct docs per fingerprint, and the
     flags join back on the same hash key — there is NO pair stage at
     all (unlike Jaccard/LSH this operator never emits doc pairs), so
-    cost is linear in corpus chars at any scale: the 100 TB shape is
-    two hash-keyed shuffles of (doc_id, int64). Window hashes are
-    de-duplicated per doc first, so `n_windows` counts distinct
-    fingerprints per doc and a within-doc repeat can't self-inflate the
-    cross-doc frequency."""
+    cost is linear in corpus chars at any scale. The (doc_id, wh) rows
+    repartition on the fingerprint ONCE and MATERIALIZE there
+    (localCheckpoint): the frequency agg and the flag join both consume
+    that hashpartitioning, so neither re-runs the md5-window subtree
+    (column pruning makes the two branches canonically different, which
+    defeats ReuseExchange — measured: the whole fingerprint projection
+    executed twice without the checkpoint) and no further exchange
+    exists until the final doc-grain agg — three corpus-grain
+    exchanges total (barrier, fingerprint, doc). Window hashes are de-duplicated per doc first, so `n_windows`
+    counts distinct fingerprints per doc and a within-doc repeat can't
+    self-inflate the cross-doc frequency."""
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -338,8 +344,11 @@ def q_dedup_substring_windows(spark, sf_dir):
         f"p -> {_h60_spark(f'substring(text, p, {SUBSTR_W})')}))"
     )
     raw = docs.withColumn("whs", F.expr(wins_expr))
-    wins = _barrier(raw, ["doc_id"], ["whs"]).select(
-        "doc_id", F.explode("whs").alias("wh")
+    wins = (
+        _barrier(raw, ["doc_id"], ["whs"])
+        .select("doc_id", F.explode("whs").alias("wh"))
+        .repartition("wh")
+        .localCheckpoint(eager=False)
     )
     # per-doc-distinct already, so count(*) per hash == distinct-doc count
     dfreq = wins.groupBy("wh").agg(F.count("*").alias("nd"))
