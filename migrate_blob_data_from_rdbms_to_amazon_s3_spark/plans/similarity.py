@@ -443,8 +443,13 @@ def q_ann_recall_audit(spark, sf_dir):
     stays the full corpus). Output per query: exact/approx/overlap
     counts and recall@k."""
     emb = _emb(spark, sf_dir)
-    approx = _knn_topk(emb, probe_max=RECALL_SAMPLE).select(
-        F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    # approx and exact are each consumed by two branches (count + overlap
+    # join); without materialization every branch re-executes the whole
+    # LSH / broadcast-panel lineage. Both are <= |sample| * k rows.
+    approx = (
+        _knn_topk(emb, probe_max=RECALL_SAMPLE)
+        .select(F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("nid"))
+        .localCheckpoint(eager=False)
     )
     queries = emb.filter(F.col("vec_id") < RECALL_SAMPLE).select(
         F.col("vec_id").alias("qid"),
@@ -479,6 +484,7 @@ def q_ann_recall_audit(spark, sf_dir):
         phase1.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= KNN_K)
         .select("qid", F.col("vec_id").alias("nid"))
+        .localCheckpoint(eager=False)
     )
     ex = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
     ap = approx.groupBy("qid").agg(F.count("*").alias("n_approx"))
