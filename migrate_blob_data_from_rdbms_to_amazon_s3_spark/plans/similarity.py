@@ -791,8 +791,22 @@ def q_semdedup(spark, sf_dir):
     folds. The 100 TB dial is k (SEMDEDUP_K — 4x the IVF quantizer
     here): grow clusters ∝ corpus so |cluster| stays bounded and the
     quadratic stage never exceeds |cluster|_max² per task. No all-pairs
-    stage exists outside a cluster."""
-    cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir), k=SEMDEDUP_K)
+    stage exists outside a cluster.
+
+    Degenerate-cluster guard: BYTE-IDENTICAL embeddings collapse to one
+    representative BEFORE the pairwise stage (the keeper is the
+    earliest-ordered copy; every other copy is removed map-side with
+    max_prior_sim = 1.0 — exactly what the pair stage would have
+    computed, so the output is value-identical and the oracle is
+    unchanged). Mass-duplicated vectors — the realistic way a cluster
+    goes quadratic — therefore cost one keeper each in the |c|² stage,
+    the same division of labor as exact dedup vs LSH in plans/dedup."""
+    return _semdedup_frame(spark, _emb(spark, sf_dir))
+
+
+def _semdedup_frame(spark, emb):
+    """SemDeDup core over an embeddings DF — see q_semdedup."""
+    cent_rows, assigned = _kmeans_fit(emb, k=SEMDEDUP_K)
     cents = spark.createDataFrame(
         [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
@@ -802,6 +816,7 @@ def q_semdedup(spark, sf_dir):
             "cluster",
             "vec_id",
             "embedding",
+            F.expr("md5(cast(embedding as string))").alias("efp"),
             F.expr(_norm_spark("embedding")).alias("nrm"),
             F.expr(_cos_spark("embedding", "cv")).alias("centroid_sim"),
         )
@@ -812,10 +827,22 @@ def q_semdedup(spark, sf_dir):
     # k x dim argmin assignment + centroid cosine (the most expensive
     # per-row work here). Same materialize-once discipline as
     # neardup_embedding's signature checkpoint; (n x narrow) rows.
-    ranked = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        # identical embeddings share a cluster and a centroid_sim, so the
+        # min-rk member of an efp group is the group's keeper
+        .withColumn("min_rk", F.min("rk").over(Window.partitionBy("efp")))
+        .localCheckpoint(eager=False)
     )
-    a = ranked.select(
+    keepers = ranked.filter(F.col("rk") == F.col("min_rk"))
+    copies = ranked.filter(F.col("rk") != F.col("min_rk")).select(
+        "vec_id",
+        "cluster",
+        "centroid_sim",
+        F.lit(1.0).alias("max_prior_sim"),
+        F.lit(True).alias("removed"),
+    )
+    a = keepers.select(
         "cluster",
         F.col("rk").alias("rk_a"),
         F.col("embedding").alias("ea"),
@@ -824,7 +851,7 @@ def q_semdedup(spark, sf_dir):
     pair_sim = F.expr(f"round({_dot_spark('ea', 'eb')} / (na * nb), 6)")
     prior = (
         a.join(
-            ranked.select(
+            keepers.select(
                 "cluster",
                 F.col("vec_id").alias("vb"),
                 F.col("rk").alias("rk_b"),
@@ -839,7 +866,7 @@ def q_semdedup(spark, sf_dir):
         .agg(F.max("sim").alias("max_prior_sim"))
     )
     return (
-        ranked.join(prior, ["cluster", "vec_id"], "left")
+        keepers.join(prior, ["cluster", "vec_id"], "left")
         .select(
             "vec_id",
             "cluster",
@@ -849,6 +876,7 @@ def q_semdedup(spark, sf_dir):
                 F.col("max_prior_sim") >= SEMDEDUP_EPS, F.lit(False)
             ).alias("removed"),
         )
+        .unionByName(copies)
     )
 
 

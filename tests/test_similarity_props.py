@@ -71,3 +71,39 @@ def test_knn_join_ranks_are_dense_and_monotone(spark, sf_dir):
         assert len(members) <= KNN_K
         for a, b in zip(members, members[1:]):
             assert a.score >= b.score
+
+
+def test_semdedup_collapses_mass_identical_vectors(spark):
+    """Degenerate-cluster guard: 1000 byte-identical embeddings (plus a
+    few distinct ones) must yield exactly ONE keeper for the identical
+    group — every other copy removed map-side with max_prior_sim 1.0 —
+    so the per-cluster |c|^2 stage only ever sees distinct vectors."""
+    import pyspark.sql.functions as F
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        EMB_DIM,
+        SEMDEDUP_K,
+        _semdedup_frame,
+    )
+
+    n_copies, n_distinct = 1000, SEMDEDUP_K + 8
+    base = [0.5] * EMB_DIM
+    rows = [(int(1_000_000 + i), base) for i in range(n_copies)]
+    rows += [
+        (int(i), [float((i * 7 + d * 3) % 11 - 5) for d in range(EMB_DIM)])
+        for i in range(n_distinct)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _semdedup_frame(spark, emb).collect()
+    assert len(out) == n_copies + n_distinct
+    dup_rows = [r for r in out if r.vec_id >= 1_000_000]
+    keepers = [r for r in dup_rows if not r.removed]
+    removed = [r for r in dup_rows if r.removed]
+    # the earliest copy may itself be dominated by a distinct prior
+    # vector, so "at most one keeper" is the invariant; every non-keeper
+    # copy is removed at exactly the collapse's literal 1.0
+    assert len(keepers) <= 1
+    assert len(removed) >= n_copies - 1
+    group_keeper_id = min(r.vec_id for r in dup_rows)
+    for r in dup_rows:
+        if r.vec_id != group_keeper_id:
+            assert r.removed and r.max_prior_sim == 1.0
