@@ -120,6 +120,28 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.table("q_stream_interval_join")
 
 
+def q_stream_window_champions(spark, sf_dir):
+    """Append-mode tumbling-window champions (constant-state arg-max per
+    window x type), drained in ONE batch so the final no-data micro-batch
+    advances the watermark to max(ts) - delay and flushes exactly the
+    windows whose end is at or below it — the emission cutoff the oracle
+    reproduces with a scalar subquery. Windows still open at the cutoff
+    (the stream's trailing hour) stay in state, exactly as they would in
+    production."""
+    import shutil
+
+    src = _stage_stream_source(spark, sf_dir)
+    try:
+        with _bounded_state_partitions(spark):
+            result = SE.window_champions(
+                SE.read_event_stream(spark, src, files_per_trigger=None)
+            )
+            SE.run_to_memory_append(result, "q_stream_window_champions")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_window_champions")
+
+
 SPEND_TIER_CUT = 500.0
 
 
@@ -170,10 +192,39 @@ QUERIES = {
     "stream_enrich_static": q_stream_enrich_static,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_dedup_exact": q_stream_dedup,
+    "stream_window_champions": q_stream_window_champions,
     "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES = {
+    "stream_window_champions": """
+        WITH cut AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+        bucketed AS (
+            SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+                     AS ws,
+                   event_type, value, event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                                         ORDER BY value DESC, event_id DESC)
+                        AS rn
+            FROM bucketed
+        ),
+        agg AS (
+            SELECT ws, event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM bucketed GROUP BY ws, event_type
+        )
+        SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               a.event_type, a.n_events, a.sum_value,
+               r.event_id AS top_event_id,
+               r.value AS top_value
+        FROM agg a
+        JOIN ranked r ON r.ws = a.ws AND r.event_type = a.event_type
+                     AND r.rn = 1, cut
+        WHERE a.ws + INTERVAL 1 HOUR <= wm
+    """,
     "stream_enrich_static": f"""
         WITH dim AS (
             SELECT user_id,

@@ -64,6 +64,39 @@ def windowed_counts(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def window_champions(stream: DataFrame, window: str = "1 hour",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Per-(tumbling window, event_type) champion: the arg-max event by
+    (value, event_id) plus count/sum — the streaming top-1 that keeps
+    CONSTANT state per group (one struct), unlike a collect_list top-k
+    whose buffer grows with the window's row count. ``max`` over a
+    struct compares lexicographically, so the event_id tiebreak makes
+    the champion deterministic; drained append-mode in one batch, the
+    final no-data micro-batch advances the watermark to max(ts) -
+    delay and flushes exactly the windows whose end is at or below it
+    — a deterministic, SQL-expressible emission rule, so this drain
+    carries a full value oracle."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max(F.struct("value", "event_id")).alias("champ"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.col("champ.event_id").alias("top_event_id"),
+            F.col("champ.value").alias("top_value"),
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: first occurrence of each event_id wins;
     later copies are dropped while their key is inside the watermark

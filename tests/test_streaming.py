@@ -229,3 +229,37 @@ def test_registry_streaming_entries_drain_by_name(spark, sf_dir):
     ss_rows = ss.collect()
     assert len(ss_rows) > 0
     assert {"user_id", "session_seq", "n_events"} <= set(ss.columns)
+
+
+def test_window_champions_watermark_boundary_inclusive(spark, tmp_path):
+    """Pins the emission rule stream_window_champions' oracle depends on:
+    a window whose end is EXACTLY equal to the final watermark
+    (max(ts) - delay) IS flushed by the availableNow no-data batch —
+    Spark's eviction predicate is window.end <= watermark, so the oracle
+    cutoff must be `<=`, not `<`."""
+    import pyspark.sql.functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.streaming import (
+        events as SE,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 10, "click", 1.0, "{}"),
+        # max ts 01:10:00 -> watermark 01:00:00 == end of [00:00, 01:00)
+        (2, "2024-01-01 01:10:00", 10, "click", 2.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    src = str(tmp_path / "wm_boundary_src")
+    df.write.mode("overwrite").parquet(src)
+    res = SE.window_champions(SE.read_event_stream(spark, src, files_per_trigger=None))
+    SE.run_to_memory_append(res, "wm_boundary_t")
+    out = spark.table("wm_boundary_t").collect()
+    assert [(r.bucket_start, r.n_events, r.top_event_id) for r in out] == [
+        ("2024-01-01 00:00:00", 1, 1)
+    ]
