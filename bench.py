@@ -87,7 +87,11 @@ HEADLINE = [
     "grouped_mad_outliers_approx",
 ]
 
-STREAMING = ["stream_tumbling_windows", "stream_sessionize_stateful"]
+STREAMING = [
+    "stream_tumbling_windows",
+    "stream_sessionize_stateful",
+    "stream_window_champions",
+]
 
 CHUNK = 9          # queries per fresh-JVM subprocess
 OUTLIER_SEC = 2.5  # chunked median above this -> solo re-measure

@@ -381,10 +381,20 @@ def _knn_topk(emb, probe_max: int | None = None):
             F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
         ).alias("bv"),
     )
+    # Hamming-1 probing is symmetric (a's flipped key hits b's exact key
+    # iff b's flipped key hits a's), so the unordered candidate set fully
+    # determines both directions: canonicalize to vec_a < vec_b, compute
+    # each pair's cosine ONCE, then mirror the scored rows — halves the
+    # 64-dim fold work and the re-attach join volume. Full-corpus runs
+    # (probe_max=None) rank both directions; a restricted probe panel
+    # keeps only rows whose query side is in the panel after the mirror.
     cand = (
         probes.join(exact, ["tab", "bv"])
         .filter(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+        )
         .distinct()
     )
     ea = emb.select(
@@ -397,7 +407,7 @@ def _knn_topk(emb, probe_max: int | None = None):
         F.col("embedding").alias("eb"),
         F.expr(_norm_spark("embedding")).alias("norm_b"),
     )
-    scored = (
+    scored_half = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
@@ -407,7 +417,17 @@ def _knn_topk(emb, probe_max: int | None = None):
                 "score"
             ),
         )
+        .localCheckpoint(eager=False)
     )
+    scored = scored_half.unionByName(
+        scored_half.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "score",
+        )
+    )
+    if probe_max is not None:
+        scored = scored.filter(F.col("vec_a") < probe_max)
     w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
