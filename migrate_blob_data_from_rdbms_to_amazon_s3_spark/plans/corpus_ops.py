@@ -419,6 +419,61 @@ def q_dsir_importance(spark, sf_dir):
     )
 
 
+def q_source_kl_divergence(spark, sf_dir):
+    """Mix-drift monitor: KL(source ‖ corpus) over the same hashed-unigram
+    bucket space as dsir_importance — the per-source number a corpus
+    build tracks to catch a crawl domain drifting away from (or
+    collapsing into) the overall mix. Distributions are add-1 smoothed
+    over the buckets OBSERVED IN THE CORPUS (a deterministic support
+    set, identical in both engines); a source missing a bucket
+    contributes its smoothed floor.
+
+    Plan: ONE token-grain pass aggregates (source, bucket) counts —
+    everything after is arithmetic on a <= n_sources x 1024 grid:
+    corpus bucket marginals re-agg the tiny table, totals broadcast,
+    and the per-source sum is a combiner-friendly agg over the grid.
+    At 100 TB the only corpus-sized work is the first shuffle."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % "
+                f"{DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+    bsource = toks.groupBy("source", "b").agg(F.count("*").alias("csb"))
+    bcorpus = bsource.groupBy("b").agg(F.sum("csb").alias("cb"))
+    stot = bsource.groupBy("source").agg(F.sum("csb").alias("cs"))
+    ctot = bcorpus.agg(F.sum("cb").alias("c"))
+    grid = (
+        stot.crossJoin(bcorpus)
+        .join(bsource, ["source", "b"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "cs",
+            (
+                (F.coalesce("csb", F.lit(0)) + 1)
+                / (F.col("cs") + DSIR_BUCKETS)
+            ).alias("p"),
+            ((F.col("cb") + 1) / (F.col("c") + DSIR_BUCKETS)).alias("q"),
+        )
+    )
+    return (
+        grid.select("source", "cs", (F.col("p") * F.log(F.col("p") / F.col("q"))).alias("term"))
+        .groupBy("source", "cs")
+        .agg(F.round(F.sum("term"), 6).alias("kl_divergence"))
+        .select("source", F.col("cs").alias("n_tokens"), "kl_divergence")
+    )
+
+
 # Temperature exponent for the multilingual mixture: p_l ∝ share_l^ALPHA.
 # ALPHA = 1 reproduces the corpus as-is; ALPHA -> 0 flattens toward
 # uniform; 0.3 is the published multilingual-pretraining default.
@@ -487,6 +542,7 @@ def q_temperature_mix(spark, sf_dir):
 QUERIES = {
     "temperature_mix": q_temperature_mix,
     "dsir_importance": q_dsir_importance,
+    "source_kl_divergence": q_source_kl_divergence,
     "unigram_logprob_score": q_unigram_logprob,
     "quality_percentile_filter": q_quality_percentile_filter,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -503,6 +559,33 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "source_kl_divergence": rf"""
+        WITH toks AS (
+            SELECT source,
+                   CAST('0x' || substr(md5(u.tok), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+            FROM (SELECT source,
+                         list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> t != '') AS ts
+                  FROM documents),
+                 LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        bsource AS (SELECT source, b, COUNT(*) AS csb FROM toks GROUP BY 1, 2),
+        bcorpus AS (SELECT b, SUM(csb) AS cb FROM bsource GROUP BY b),
+        stot AS (SELECT source, SUM(csb) AS cs FROM bsource GROUP BY source),
+        ctot AS (SELECT SUM(cb) AS c FROM bcorpus),
+        grid AS (
+            SELECT s.source, s.cs,
+                   (COALESCE(x.csb, 0) + 1) / (s.cs + {DSIR_BUCKETS}) AS p,
+                   (g.cb + 1) / (t.c + {DSIR_BUCKETS}) AS q
+            FROM stot s CROSS JOIN bcorpus g
+            LEFT JOIN bsource x ON x.source = s.source AND x.b = g.b
+            CROSS JOIN ctot t
+        )
+        SELECT source, cs AS n_tokens,
+               ROUND(SUM(p * ln(p / q)), 6) AS kl_divergence
+        FROM grid
+        GROUP BY source, cs
+    """,
     "dsir_importance": rf"""
         WITH toks AS (
             SELECT doc_id,

@@ -160,10 +160,69 @@ def q_click_to_purchase_latency(spark, sf_dir):
     )
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series gap-filling with forward-fill (the resample/ffill
+    primitive Spark lacks as a built-in): each user's event stream is
+    down-sampled to a daily grid spanning [their first day, their last
+    day]; days with no events are emitted with the LAST observed day's
+    value carried forward. Per day the representative value is the
+    arg-max event by (ts, event_id) — "last write wins", deterministic
+    under timestamp ties.
+
+    Plan: one (user, day)-grain agg (combiner-friendly; the arg-max is
+    a constant-state struct max), a per-user span agg, the grid
+    explodes from sequence() map-side, and the fill is one per-user
+    window (`last value IGNORE NULLS` over rows preceding — O(1) state
+    per row). Grid size is span/step per user — bounded by the
+    calendar, not the event count — and every stage shuffles on
+    user-grain keys, so the plan survives any corpus size; hot users
+    cost their span, never their event count, in the window."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.struct("ts", "event_id", "value").alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_obs"), F.max("s").alias("last_s"))
+        .select(
+            "user_id",
+            "day",
+            "n_obs",
+            F.round(F.col("last_s.value"), 4).alias("day_value"),
+        )
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_obs").isNotNull().alias("observed"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "click_to_purchase_latency": q_click_to_purchase_latency,
+    "events_gap_fill": q_events_gap_fill,
 }
 
 ORACLES = {
@@ -214,5 +273,40 @@ ORACLES = {
                COUNT(*) AS n_clicks
         FROM nxt
         GROUP BY 1
+    """,
+    "events_gap_fill": """
+        WITH daily AS (
+            SELECT user_id, day, n_obs, ROUND(day_value, 4) AS day_value
+            FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, value AS day_value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                          ORDER BY ts DESC, event_id DESC) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE))
+                         AS n_obs
+                FROM events
+            ) WHERE rn = 1
+        ),
+        span AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+                   MAX(CAST(ts AS DATE)) AS d1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, CAST(u.d AS DATE) AS day
+            FROM span,
+                 LATERAL (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                                 AS d) u
+        ),
+        j AS (
+            SELECT g.user_id, g.day, d.n_obs, d.day_value
+            FROM grid g LEFT JOIN daily d USING (user_id, day)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               n_obs IS NOT NULL AS observed,
+               COALESCE(n_obs, 0) AS n_obs,
+               last_value(day_value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS value_filled
+        FROM j
     """,
 }
