@@ -44,6 +44,7 @@ HEADLINE = [
     "q10_returned_items",
     "asof_join",
     "range_join",
+    "events_gap_fill",
     "grouped_percentiles",
     "grouped_percentiles_approx",
     "window_running_sum",
