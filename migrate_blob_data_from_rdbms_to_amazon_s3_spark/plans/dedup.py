@@ -446,6 +446,40 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# --- MinHash estimation-error audit ------------------------------------------
+def q_minhash_estimate_error(spark, sf_dir):
+    """MinHash calibration table: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching sigs / 16) next to the EXACT
+    hash-set Jaccard and the absolute estimation error — the audit that
+    justifies trusting 16 permutations (expected |err| ~ 1/sqrt(16))
+    before thresholding candidate pairs on the estimate at scale.
+
+    Plan: the candidate pairs and estimates come from the banded-LSH
+    machinery (id-only band join, hot-bucket cap); the exact side
+    re-attaches each doc's shingle-hash SET by two linear equi-joins
+    and intersects per pair — pair-grain work on the LSH candidate
+    set only, never all pairs."""
+    est = q_dedup_minhash_lsh(spark, sf_dir)
+    d = _with_shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
+    ha = d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    hb = d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    na = F.size(F.array_distinct("ha"))
+    nb = F.size(F.array_distinct("hb"))
+    exact = F.round(inter / (na + nb - inter), 4)
+    return (
+        est.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------------------
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document: per-bit majority vote over md5-derived
@@ -609,6 +643,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_estimate_error": q_minhash_estimate_error,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
@@ -799,6 +834,50 @@ ORACLES = {
              AND a.doc_id < b.doc_id
         )
         GROUP BY doc_a, doc_b
+    """,
+    "minhash_estimate_error": f"""
+        WITH {_DOCS_SH_DUCK},
+        hashed AS (
+            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs
+            FROM sh_t WHERE len(sh) > 0
+        ),
+        sigs AS (
+            SELECT doc_id,
+{_SIGS_DUCK}
+            FROM hashed
+        ),
+        bands AS (
+{_BANDS_DUCK}
+        ),
+        bands_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bdf
+                FROM bands
+            ) WHERE bdf <= {MAX_BAND_BUCKET}
+        ),
+        est AS (
+            SELECT doc_a, doc_b, ROUND(MAX(n_match) / 16.0, 4) AS est_jaccard
+            FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       {_N_MATCH_DUCK} AS n_match
+                FROM bands_capped a JOIN bands_capped b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+            )
+            GROUP BY doc_a, doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               ROUND(len(list_intersect(a.hs, b.hs))
+                     / (len(list_distinct(a.hs)) + len(list_distinct(b.hs))
+                        - len(list_intersect(a.hs, b.hs))), 4) AS exact_jaccard,
+               ROUND(ABS(e.est_jaccard
+                     - ROUND(len(list_intersect(a.hs, b.hs))
+                             / (len(list_distinct(a.hs)) + len(list_distinct(b.hs))
+                                - len(list_intersect(a.hs, b.hs))), 4)), 4)
+                 AS abs_err
+        FROM est e
+        JOIN hashed a ON a.doc_id = e.doc_a
+        JOIN hashed b ON b.doc_id = e.doc_b
     """,
     "simhash": f"""
         WITH hashed AS (
