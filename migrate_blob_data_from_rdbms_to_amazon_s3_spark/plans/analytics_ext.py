@@ -456,7 +456,56 @@ def _pagerank_oracle() -> str:
     """
 
 
+ANOMALY_Z = 3.0
+ANOMALY_MIN_BASELINE = 3  # need >= this many trailing days for a z-score
+
+
+def q_events_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection: per (event_type, day) volume scored
+    against its own 7-day TRAILING baseline (mean/stddev over the
+    preceding days, current day excluded — no target leakage); |z| >=
+    ANOMALY_Z flags the day. Days with fewer than ANOMALY_MIN_BASELINE
+    trailing observations, or a degenerate zero-variance baseline, emit
+    NULL z and are never flagged — the monitoring-pipeline semantics
+    (warm-up and flat-line must not alert).
+
+    Plan: one combiner-friendly shuffle to the (type, day) grain — tiny
+    at any corpus size (grain is calendar x type, not events) — then a
+    key-partitioned window over that aggregate. The corpus-sized work is
+    exactly one aggregation pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    base_n = F.count("n_events").over(w)
+    base_mean = F.avg("n_events").over(w)
+    base_std = F.stddev_samp("n_events").over(w)
+    z = F.when(
+        base_n >= ANOMALY_MIN_BASELINE,
+        F.try_divide(F.col("n_events") - base_mean, base_std),
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        base_n.alias("n_baseline"),
+        F.round(base_mean, 4).alias("baseline_mean"),
+        F.round(base_std, 4).alias("baseline_std"),
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(F.abs(z) >= ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
+    "events_rate_anomaly": q_events_rate_anomaly,
     "q4_order_priority": q4_order_priority,
     "part_pagerank": q_part_pagerank,
     "event_transitions": q_event_transitions,
@@ -480,6 +529,27 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "events_rate_anomaly": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+               COUNT(n_events) OVER w AS n_baseline,
+               ROUND(AVG(n_events) OVER w, 4) AS baseline_mean,
+               ROUND(stddev_samp(n_events) OVER w, 4) AS baseline_std,
+               ROUND(CASE WHEN COUNT(n_events) OVER w >= {ANOMALY_MIN_BASELINE}
+                          THEN (n_events - AVG(n_events) OVER w)
+                               / NULLIF(stddev_samp(n_events) OVER w, 0) END, 4)
+                 AS z_score,
+               COALESCE(ABS(CASE WHEN COUNT(n_events) OVER w >= {ANOMALY_MIN_BASELINE}
+                                 THEN (n_events - AVG(n_events) OVER w)
+                                      / NULLIF(stddev_samp(n_events) OVER w, 0) END)
+                        >= {ANOMALY_Z}, FALSE) AS is_anomaly
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
     "part_pagerank": _pagerank_oracle(),
     "event_transitions": """
         WITH trans AS (
