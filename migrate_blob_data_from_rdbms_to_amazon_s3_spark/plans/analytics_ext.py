@@ -456,6 +456,162 @@ def _pagerank_oracle() -> str:
     """
 
 
+KMV_K = 256
+KMV_SALT = 16
+_KMV_RANGE = 1152921504606846976.0  # 2^60, the h60 hash range
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch per order priority: keep
+    the KMV_K smallest 60-bit hashes of the member keys; the k-th
+    smallest value h_k estimates distinct = (k-1) * 2^60 / h_k. The
+    audit reports estimate vs exact and the relative error (expected
+    ~1/sqrt(k) ≈ 6% at k=256). Unlike HLL, a KMV sketch supports SET
+    INTERSECTION estimates (the union sketch's observed Jaccard scales
+    the union estimate), which is why a warehouse keeps both.
+
+    Scale shape: the sketch is a bounded top-k-min, built with the
+    salted two-phase discipline (source_quota): phase 1 keeps each
+    (priority, key-shard)'s k smallest hashes — bounded per task —
+    phase 2 merges <= SALT*k survivors per priority. A group with
+    fewer than k distinct keys yields its exact count (the sketch IS
+    the value set). Hashes are md5-derived, identical in both
+    engines, so estimate arithmetic is value-exact cross-engine."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    hashes = (
+        orders.select(F.col("o_orderpriority").alias("pri"), h.alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("pri", F.col("h") % KMV_SALT).orderBy("h")
+    phase1 = (
+        hashes.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("pri").orderBy("h")
+    sketch = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("pri")
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("hk"))
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk").cast("double")
+    )
+    return (
+        sketch.join(exact, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "exact_distinct",
+            F.round(est, 2).alias("est_distinct"),
+            F.round(
+                F.abs(F.round(est, 2) - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+KMV_PAIR = ("1-URGENT", "2-HIGH")
+
+
+def q_kmv_intersection(spark, sf_dir):
+    """KMV set-intersection estimate — the query HLL sketches cannot
+    answer: estimated |distinct customers in priority A ∩ B| from the
+    two KMV sketches alone. The union sketch (k smallest of the merged
+    sketches) observes a Jaccard sample: jac = |{h ∈ U : h in A's
+    sketch AND h in B's sketch}| / |U|; intersection ≈ jac * union
+    estimate. Reported next to the exact intersection and the absolute
+    relative error.
+
+    Plan: sketch build is the same salted two-phase bounded top-k-min
+    as kmv_distinct (the only corpus-grain work); everything after
+    operates on <= 2k sketch rows — the union top-k is a TakeOrdered
+    limit, never a global sort or an unpartitioned window. This is the
+    mergeable-summary property in action: at 100 TB the per-segment
+    sketches are built once and every pairwise intersection after is
+    arithmetic on k-row tables."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    hashes = (
+        orders.filter(F.col("o_orderpriority").isin(*KMV_PAIR))
+        .select(F.col("o_orderpriority").alias("pri"), h.alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("pri", F.col("h") % KMV_SALT).orderBy("h")
+    phase1 = (
+        hashes.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("pri").orderBy("h")
+    sk = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .select("pri", "h")
+        .localCheckpoint(eager=False)
+    )
+    ska = sk.filter(F.col("pri") == KMV_PAIR[0]).select("h")
+    skb = sk.filter(F.col("pri") == KMV_PAIR[1]).select("h")
+    u = ska.union(skb).distinct().orderBy("h").limit(KMV_K)
+    flags = u.join(
+        ska.withColumn("in_a", F.lit(1)), "h", "left"
+    ).join(skb.withColumn("in_b", F.lit(1)), "h", "left")
+    stats = flags.agg(
+        F.count("*").alias("n_sketch"),
+        F.max("h").alias("hk"),
+        F.sum(
+            (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast("int")
+        ).alias("n_common"),
+    )
+    exact = (
+        orders.filter(F.col("o_orderpriority") == KMV_PAIR[0])
+        .select("o_custkey")
+        .distinct()
+        .join(
+            orders.filter(F.col("o_orderpriority") == KMV_PAIR[1])
+            .select("o_custkey")
+            .distinct(),
+            "o_custkey",
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    union_est = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk").cast("double")
+    )
+    est = F.round(F.col("n_common") / F.col("n_sketch") * union_est, 2)
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_PAIR[0]).alias("pri_a"),
+            F.lit(KMV_PAIR[1]).alias("pri_b"),
+            "exact_intersection",
+            est.alias("est_intersection"),
+            F.round(F.col("n_common") / F.col("n_sketch"), 4).alias("jaccard_est"),
+            F.round(
+                F.abs(est - F.col("exact_intersection"))
+                / F.col("exact_intersection"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 ANOMALY_Z = 3.0
 ANOMALY_MIN_BASELINE = 3  # need >= this many trailing days for a z-score
 
@@ -506,6 +662,8 @@ def q_events_rate_anomaly(spark, sf_dir):
 
 QUERIES = {
     "events_rate_anomaly": q_events_rate_anomaly,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_intersection": q_kmv_intersection,
     "q4_order_priority": q4_order_priority,
     "part_pagerank": q_part_pagerank,
     "event_transitions": q_event_transitions,
@@ -529,6 +687,88 @@ _PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "kmv_distinct": f"""
+        WITH hashes AS (
+            SELECT DISTINCT o_orderpriority AS pri,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM orders
+        ),
+        ranked AS (
+            SELECT pri, h,
+                   ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h) AS rn
+            FROM hashes
+        ),
+        sk AS (
+            SELECT pri, COUNT(*) AS n_sketch, MAX(h) AS hk
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY pri
+        ),
+        ex AS (
+            SELECT o_orderpriority AS pri,
+                   COUNT(DISTINCT o_custkey) AS exact_distinct
+            FROM orders GROUP BY 1
+        ),
+        j AS (
+            SELECT sk.pri, ex.exact_distinct,
+                   ROUND(CASE WHEN sk.n_sketch < {KMV_K}
+                              THEN CAST(sk.n_sketch AS DOUBLE)
+                              ELSE {float(KMV_K - 1)} * {_KMV_RANGE}
+                                   / CAST(sk.hk AS DOUBLE) END, 2) AS est_distinct
+            FROM sk JOIN ex USING (pri)
+        )
+        SELECT pri AS o_orderpriority, exact_distinct, est_distinct,
+               ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4)
+                 AS rel_err
+        FROM j
+    """,
+    "kmv_intersection": f"""
+        WITH hashes AS (
+            SELECT DISTINCT o_orderpriority AS pri,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM orders
+            WHERE o_orderpriority IN ('{KMV_PAIR[0]}', '{KMV_PAIR[1]}')
+        ),
+        sk AS (
+            SELECT pri, h FROM (
+                SELECT pri, h,
+                       ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h) AS rn
+                FROM hashes
+            ) WHERE rn <= {KMV_K}
+        ),
+        u AS (
+            SELECT DISTINCT h FROM sk ORDER BY h LIMIT {KMV_K}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_sketch, MAX(h) AS hk,
+                   SUM(CASE WHEN h IN (SELECT h FROM sk WHERE pri = '{KMV_PAIR[0]}')
+                             AND h IN (SELECT h FROM sk WHERE pri = '{KMV_PAIR[1]}')
+                            THEN 1 ELSE 0 END) AS n_common
+            FROM u
+        ),
+        ex AS (
+            SELECT COUNT(*) AS exact_intersection FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '{KMV_PAIR[0]}'
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '{KMV_PAIR[1]}'
+            )
+        ),
+        calc AS (
+            SELECT s.n_sketch, s.n_common, e.exact_intersection,
+                   CASE WHEN s.n_sketch < {KMV_K}
+                        THEN CAST(s.n_sketch AS DOUBLE)
+                        ELSE {float(KMV_K - 1)} * {_KMV_RANGE}
+                             / CAST(s.hk AS DOUBLE) END AS union_est
+            FROM stats s, ex e
+        )
+        SELECT '{KMV_PAIR[0]}' AS pri_a, '{KMV_PAIR[1]}' AS pri_b,
+               exact_intersection,
+               ROUND(n_common / n_sketch * union_est, 2) AS est_intersection,
+               ROUND(n_common / n_sketch, 4) AS jaccard_est,
+               ROUND(ABS(ROUND(n_common / n_sketch * union_est, 2)
+                         - exact_intersection) / exact_intersection, 4) AS rel_err
+        FROM calc
+    """,
     "events_rate_anomaly": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
