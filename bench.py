@@ -86,6 +86,11 @@ HEADLINE = [
     "hll_multigrain_rollup",
     "grouped_mad_outliers",
     "grouped_mad_outliers_approx",
+    "graph_triangles",
+    "association_rules",
+    "rolling_active_users",
+    "pareto_frontier",
+    "key_skew_audit",
 ]
 
 STREAMING = [

@@ -29,12 +29,14 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         quality,
         corpus_ops,
         streaming_entries,
+        profiling,
+        graph_ops,
     )
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, multimodal,
-        quality, corpus_ops, streaming_entries,
+        quality, corpus_ops, streaming_entries, profiling, graph_ops,
     )
     queries: dict = {}
     oracles: dict = {}

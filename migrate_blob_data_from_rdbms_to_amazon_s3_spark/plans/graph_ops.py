@@ -1,0 +1,202 @@
+"""Graph analytics over the part co-purchase graph: triangle counting /
+clustering coefficient, and association-rule mining (confidence + lift)
+over co-purchase pairs (SURVEY §7 M2 breadth — the graph/recommendation
+workloads next to part_pagerank).
+
+Scale notes (100 TB):
+- Triangles use DEGREE-ORDERED orientation (each undirected edge points
+  from its lower-(degree, id) endpoint to the higher one), so every wedge
+  is enumerated exactly once FROM ITS LOWEST-DEGREE VERTEX: the wedge
+  join fan-out per vertex is outdeg² with outdeg ≤ O(√m), bounding total
+  wedge work to O(m^1.5) — the classic trick that keeps a hub vertex from
+  exploding the pair join (an id-ordered enumeration would fan out on
+  whichever hub has a small id). The closing check is a left-semi join
+  against the oriented edge list: candidates never leave the join as
+  data. The DuckDB oracle uses the simple id-ordered triple join — same
+  count, O(n²)-prone shape allowed only because it's the sf0.01 oracle.
+- Association rules reuse the bounded per-basket pair fan-out of
+  basket_part_pairs (|basket|² per order, baskets are small), one count
+  shuffle per grain (item, pair), a broadcast 1-row basket total, and a
+  TakeOrdered top-k — never a part×part join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+RULE_MIN_SUPPORT = 2  # baskets a pair must appear in before it can form a rule
+RULE_TOPK = 20
+
+
+def _canonical_edges(spark, sf_dir):
+    """Undirected co-purchase edges (a < b), deduplicated: parts are
+    nodes, an edge when two parts share an order (the part_pagerank
+    graph, canonicalized)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle census of the co-purchase graph: nodes, edges, wedges
+    (open two-paths), triangles, and the global clustering coefficient
+    3·T / W. Degree-ordered orientation (see module scale notes) keeps
+    the wedge join O(m^1.5); the triangle check is a left-semi join so
+    candidate pairs never materialize past the probe."""
+    edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient each edge from lower-(deg, id) to higher-(deg, id).
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ed = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    ).localCheckpoint(eager=False)
+    # Wedges from the low-degree apex; close with a semi-join on the edge set.
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("dw"))
+    wedge = e1.join(e2, "src").filter(
+        (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.select("v", "w").join(closing, ["v", "w"], "left_semi")
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    summary = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+        )
+    )
+    return summary.crossJoin(F.broadcast(n_tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering_coeff"),
+    )
+
+
+def q_association_rules(spark, sf_dir):
+    """Association rules over co-purchase baskets: for each directed rule
+    a→b with pair support ≥ RULE_MIN_SUPPORT, confidence = sup(a,b) /
+    sup(a) and lift = N·sup(a,b) / (sup(a)·sup(b)). Top-RULE_TOPK by
+    (lift, confidence) with deterministic tiebreaks — the
+    recommendation-rule mining pass over the basket_part_pairs grain."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(F.count("*").alias("item_n"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= RULE_MIN_SUPPORT)
+    )
+    # Both rule directions from the canonical pair grain.
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "sup"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "sup"
+        )
+    )
+    ia = item.select(F.col("item").alias("antecedent"), F.col("item_n").alias("n_a"))
+    ib = item.select(F.col("item").alias("consequent"), F.col("item_n").alias("n_c"))
+    return (
+        rules.join(ia, "antecedent")
+        .join(ib, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup").alias("support_n"),
+            F.round(F.col("sup") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_baskets") * F.col("sup") / (F.col("n_a") * F.col("n_c")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("confidence"), "antecedent", "consequent")
+        .limit(RULE_TOPK)
+    )
+
+
+QUERIES = {
+    "graph_triangles": q_graph_triangles,
+    "association_rules": q_association_rules,
+}
+
+ORACLES = {
+    "graph_triangles": """
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM b x JOIN b y USING (l_orderkey)
+            WHERE x.l_partkey < y.l_partkey
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+            ) GROUP BY v
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        summary AS (
+            SELECT COUNT(*) AS n_nodes,
+                   CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+        FROM summary, tri
+    """,
+    "association_rules": f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+        item AS (SELECT l_partkey AS item, COUNT(*) AS item_n FROM b GROUP BY 1),
+        pairs AS (
+            SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+            FROM b x JOIN b y USING (l_orderkey)
+            WHERE x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
+        ),
+        rules AS (
+            SELECT pa AS antecedent, pb AS consequent, sup FROM pairs
+            UNION ALL
+            SELECT pb AS antecedent, pa AS consequent, sup FROM pairs
+        )
+        SELECT r.antecedent, r.consequent, r.sup AS support_n,
+               ROUND(r.sup / ia.item_n, 6) AS confidence,
+               ROUND(nb.n_baskets * r.sup / (ia.item_n * ic.item_n), 6) AS lift
+        FROM rules r
+        JOIN item ia ON ia.item = r.antecedent
+        JOIN item ic ON ic.item = r.consequent
+        CROSS JOIN nb
+        ORDER BY lift DESC, confidence DESC, r.antecedent, r.consequent
+        LIMIT {RULE_TOPK}
+    """,
+}

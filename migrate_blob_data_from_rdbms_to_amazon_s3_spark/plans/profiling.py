@@ -1,0 +1,395 @@
+"""Data-profiling and pipeline-maintenance operators: equi-width
+histograms, join-key skew audits, A/B experiment tests, exact rolling
+distinct users, incremental aggregate maintenance, Pareto frontiers, and
+weighted reservoir sampling (SURVEY §7 M2/M4 breadth — the profiling pass
+every large ingest runs before choosing partitioning and join strategy).
+
+Scale notes (100 TB):
+- Every query here is scan → (broadcast 1-row bounds) → one keyed shuffle.
+  Global scalars (min/max, totals) are 1-row aggregates attached through
+  ``crossJoin(broadcast(...))`` — a BroadcastNestedLoopJoin over one row,
+  never a real cartesian.
+- ``key_skew_audit`` aggregates at the key grain first (combiner-side
+  partial counts), then reduces the counts table — the second pass touches
+  |distinct keys| rows, not |rows|.
+- ``rolling_active_users`` inflates by exactly the window length (7×) at
+  the (user, day) grain — bounded, unlike a range self-join whose fan-out
+  is data-dependent. The sketch twin for unbounded windows is
+  ``hll_multigrain_rollup``.
+- ``incremental_agg_merge`` is the materialized-view maintenance pattern:
+  merge algebraic partial states (count/sum) instead of rescanning the
+  base table — at 100 TB the delta scan is the whole job.
+- ``pareto_frontier`` never compares point pairs: an equi-width bucketing
+  of x (monotone, so bucket order ⇒ x order) reduces cross-bucket
+  dominance to a B-row prefix-min table, and intra-bucket dominance to a
+  window PARTITIONED BY bucket — the O(n²) NOT EXISTS is the oracle only.
+- ``weighted_sample_topk`` is one pass + per-group top-k (Efraimidis-
+  Spirakis A-Res keys); no global sort, no rejection loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+HIST_BINS = 20
+SKEW_KEY = "l_suppkey"
+ROLL_DAYS = 7  # rolling window length in days (inclusive of the target day)
+INC_CUTOFF = "1997-01-01"  # materialized state covers orders strictly before
+WSAMPLE_K = 5  # docs kept per source by the weighted sampler
+_MD5_RANGE = float(1 << 60)  # 15 hex digits of md5 → [0, 2^60)
+
+
+# --- equi-width histogram --------------------------------------------------------------
+def q_histogram_equiwidth(spark, sf_dir):
+    """Equi-width histogram of order totals: HIST_BINS fixed-width bins
+    between the global min and max. The bounds are a 1-row aggregate
+    broadcast to the scan; bin assignment is pure arithmetic (identical
+    IEEE ops in both engines), so the whole profile is two passes with one
+    tiny shuffle. The classic first query of any profiling pass."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    bounds = o.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .cast("bigint")
+        .alias("bin"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.first(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / HIST_BINS),
+                4,
+            ).alias("bin_lo"),
+            F.round(
+                F.first(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / HIST_BINS),
+                4,
+            ).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- join-key skew audit ---------------------------------------------------------------
+def q_key_skew_audit(spark, sf_dir):
+    """Skew profile of a join key (lineitem.l_suppkey): distinct keys,
+    top-1 key share, coefficient of variation, and normalized Shannon
+    entropy of the key distribution. This is the audit that decides
+    between a plain shuffle join, AQE skew handling, and manual salting
+    (cf. salted_hot_key_agg) BEFORE the 100 TB join runs. Two-level
+    aggregation: per-key counts (map-side partials), then a single
+    reduction over the counts table."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(SKEW_KEY).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"), F.count("*").alias("nk"))
+    p = F.col("cnt") / F.col("total")
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.first("nk").alias("n_keys"),
+        F.first("total").alias("n_rows"),
+        F.round(F.max("cnt") / F.first("total"), 6).alias("top1_share"),
+        F.round(F.stddev_pop("cnt") / F.avg("cnt"), 6).alias("cv"),
+        F.round((-F.sum(p * F.log(p))) / F.log(F.first("nk")), 6).alias("entropy_norm"),
+    )
+
+
+# --- A/B experiment: Welch t-test ------------------------------------------------------
+def q_ab_test_welch(spark, sf_dir):
+    """A/B experiment readout: users are deterministically assigned to
+    variant A/B by md5(user_id) parity, the per-user metric is the mean
+    event value, and the variants are compared with a Welch t-test
+    (unequal variances). One pass to the user grain, one 2-row variant
+    aggregate, driver-free scalar math via a self-pivot — the experiment
+    analysis every growth pipeline runs, expressed as pure aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.avg("value").alias("metric"))
+    variant = (
+        F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2")
+    ).alias("variant")
+    stats = (
+        per_user.select(variant, "metric")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("metric").alias("mean"),
+            F.var_samp("metric").alias("var"),
+        )
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / se, 4).alias("t_stat"),
+    )
+
+
+# --- exact rolling distinct users ------------------------------------------------------
+def q_rolling_active_users(spark, sf_dir):
+    """Exact rolling 7-day active users per day. Spark windows cannot
+    express COUNT(DISTINCT) over a range frame, so the (user, day) grain
+    is exploded to the ROLL_DAYS target days each activity contributes to
+    — a fixed 7× inflation of the deduplicated grain, then one
+    count-distinct shuffle per day. Trailing days beyond the data's edge
+    carry partial windows by construction (both engines agree). For
+    unbounded window lengths use the mergeable-sketch twin
+    (hll_multigrain_rollup) instead of exact expansion."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    return (
+        ud.select(
+            F.explode(
+                F.expr(f"sequence(d, date_add(d, {ROLL_DAYS - 1}), interval 1 day)")
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("day")
+    )
+
+
+# --- incremental aggregate maintenance -------------------------------------------------
+def q_incremental_agg_merge(spark, sf_dir):
+    """Materialized-view maintenance: a monthly revenue aggregate is kept
+    as algebraic partial state (count, sum) for orders before INC_CUTOFF;
+    the new batch (orders on/after the cutoff) is aggregated alone and
+    MERGED into the state — counts add, sums add, avg derives from the
+    merged pair. The result provably equals the full recompute (the
+    oracle), which is the whole point: at 100 TB you scan the delta, not
+    the base. Non-algebraic metrics (distinct, percentiles) use the
+    mergeable-sketch twins (hll_partial_merge, approx percentiles)."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(month).agg(
+            F.count("*").alias("cnt"), F.sum("o_totalprice").alias("s")
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("s").alias("s"))
+        .select(
+            "month",
+            "n_orders",
+            F.round("s", 2).alias("sum_price"),
+            F.round(F.col("s") / F.col("n_orders"), 4).alias("avg_price"),
+        )
+        .drop("s")
+    )
+
+
+# --- Pareto frontier (2-D skyline) -----------------------------------------------------
+PARETO_BUCKETS = 32
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts minimizing (p_retailprice,
+    p_size): the parts no other part beats on both axes. Never compares
+    point pairs. x (price) is cut into PARETO_BUCKETS equi-width buckets
+    (monotone binning ⇒ bucket order respects x order), so a dominator
+    is either (a) in a strictly earlier bucket — handled by a B-row
+    bucket-prefix-min table (tiny non-equi self-join, broadcast), or
+    (b) in the same bucket — handled by a window PARTITIONED BY bucket
+    over the distinct-x grain (strict-x prefix min via lag of the running
+    min). The O(n²) NOT EXISTS exists only as the DuckDB oracle."""
+    pts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    bounds = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / PARETO_BUCKETS
+    pb = pts.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        "x",
+        "y",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("x") - F.col("lo")) / width), F.lit(PARETO_BUCKETS - 1))
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    # (a) cross-bucket: min y of every strictly earlier bucket (B rows).
+    bmin = pb.groupBy("b").agg(F.min("y").alias("bmin_y"))
+    prev = bmin.select(F.col("b").alias("pb"), F.col("bmin_y").alias("py"))
+    prefix = (
+        bmin.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.min("py").alias("prefix_min_y"))
+    )
+    # (b) intra-bucket, on the distinct-x grain: strict-x prefix min.
+    xg = pb.groupBy("b", "x").agg(F.min("y").alias("gy"))
+    w = Window.partitionBy("b").orderBy("x")
+    xg = xg.withColumn(
+        "strict_min_y", F.lag(F.min("gy").over(w.rowsBetween(Window.unboundedPreceding, 0))).over(w)
+    )
+    dominated = (
+        F.least(
+            F.coalesce(F.col("strict_min_y"), F.lit(float("inf"))),
+            F.coalesce(F.col("prefix_min_y"), F.lit(float("inf"))),
+        )
+        <= F.col("y")
+    ) | (F.col("gy") < F.col("y"))
+    return (
+        pb.join(xg, ["b", "x"])
+        .join(F.broadcast(prefix), "b")
+        .filter(~dominated)
+        .select("p_partkey", F.round("x", 2).alias("price"), F.col("y").cast("int").alias("size"))
+        .orderBy("price", "size", "p_partkey")
+    )
+
+
+# --- weighted reservoir sampling (Efraimidis-Spirakis) ---------------------------------
+def q_weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling without replacement, per source: Efraimidis-
+    Spirakis A-Res — each doc draws u ∈ (0,1] from a deterministic md5
+    coin and gets key ln(u)/w (w = n_chars); the top-K keys per source
+    are exactly a weighted sample without replacement. One scan + one
+    per-group top-k window; no global sort, no rejection loop, and the
+    md5 coin makes the draw reproducible across engines and reruns (the
+    importance_sample / dataset_split discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    u = (h + 1) / F.lit(_MD5_RANGE)  # (0, 1]
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select("source", "rk", "doc_id", "n_chars", F.round("k", 8).alias("sample_key"))
+        .orderBy("source", "rk")
+    )
+
+
+QUERIES = {
+    "histogram_equiwidth": q_histogram_equiwidth,
+    "key_skew_audit": q_key_skew_audit,
+    "ab_test_welch": q_ab_test_welch,
+    "rolling_active_users": q_rolling_active_users,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "pareto_frontier": q_pareto_frontier,
+    "weighted_sample_topk": q_weighted_sample_topk,
+}
+
+ORACLES = {
+    "histogram_equiwidth": f"""
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+        ),
+        binned AS (
+            SELECT CASE WHEN hi = lo THEN 0
+                        ELSE LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {HIST_BINS}))
+                                        AS BIGINT), {HIST_BINS - 1}) END AS bin,
+                   lo, hi
+            FROM orders, bounds
+        )
+        SELECT bin, COUNT(*) AS n,
+               ROUND(MIN(lo + bin * (hi - lo) / {HIST_BINS}), 4) AS bin_lo,
+               ROUND(MIN(lo + (bin + 1) * (hi - lo) / {HIST_BINS}), 4) AS bin_hi
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "key_skew_audit": f"""
+        WITH counts AS (
+            SELECT {SKEW_KEY} AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nk FROM counts)
+        SELECT MIN(nk) AS n_keys,
+               MIN(total) AS n_rows,
+               ROUND(MAX(cnt) / MIN(total), 6) AS top1_share,
+               ROUND(STDDEV_POP(cnt) / AVG(cnt), 6) AS cv,
+               ROUND((-SUM((cnt / total) * LN(cnt / total))) / LN(MIN(nk)), 6)
+                 AS entropy_norm
+        FROM counts, tot
+    """,
+    "ab_test_welch": """
+        WITH per_user AS (
+            SELECT user_id, AVG(value) AS metric FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                     AS variant,
+                   COUNT(*) AS n, AVG(metric) AS mean, VAR_SAMP(metric) AS var
+            FROM per_user GROUP BY 1
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+               ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 4) AS t_stat
+        FROM (SELECT * FROM stats WHERE variant = 0) a,
+             (SELECT * FROM stats WHERE variant = 1) b
+    """,
+    "rolling_active_users": f"""
+        WITH ud AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        expanded AS (
+            SELECT CAST(UNNEST(generate_series(d, d + INTERVAL {ROLL_DAYS - 1} DAY,
+                                               INTERVAL 1 DAY)) AS DATE) AS day,
+                   user_id
+            FROM ud
+        )
+        SELECT day, COUNT(DISTINCT user_id) AS active_users
+        FROM expanded GROUP BY day ORDER BY day
+    """,
+    "incremental_agg_merge": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_price
+        FROM orders GROUP BY 1
+    """,
+    "pareto_frontier": """
+        SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price, p.p_size AS size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+        )
+        ORDER BY price, size, p.p_partkey
+    """,
+    "weighted_sample_topk": f"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                      / {_MD5_RANGE}) / n_chars AS k
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_chars, k,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+            FROM keyed
+        )
+        SELECT source, rk, doc_id, n_chars, ROUND(k, 8) AS sample_key
+        FROM ranked WHERE rk <= {WSAMPLE_K} ORDER BY source, rk
+    """,
+}
