@@ -91,6 +91,8 @@ HEADLINE = [
     "rolling_active_users",
     "pareto_frontier",
     "key_skew_audit",
+    "bloom_prefilter_semijoin",
+    "bigram_logprob_score",
 ]
 
 STREAMING = [

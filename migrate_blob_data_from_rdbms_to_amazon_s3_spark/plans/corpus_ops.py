@@ -539,7 +539,54 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency score: the sharper perplexity proxy next to
+    unigram_logprob_score — every document scored by its mean
+    -ln p(w_i | w_{i-1}) under the corpus's own bigram model (MLE:
+    c(w1,w2) / c(w1·), no smoothing needed since the model trains on the
+    corpus it scores, so every observed bigram has mass). Plan: one
+    bigram-grain aggregation trains the model (map-side combine), the
+    prefix counts re-aggregate IT (bigram-grain, far smaller than token
+    grain), and scoring is one equi-join on the bigram string + one doc
+    aggregation — the _BIGRAMS_SPARK array materializes behind the dedup
+    barrier discipline so the HOF isn't re-evaluated per exploded row.
+    Zipf bounds the bigram table; docs with < 2 tokens have no bigrams
+    and drop out in both engines."""
+    from .dedup import _barrier
+
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+        .withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+        .select("doc_id", "bigrams")
+    )
+    bg = _barrier(raw, ["doc_id"], ["bigrams"]).select(
+        "doc_id", F.explode("bigrams").alias("bigram")
+    )
+    model = (
+        bg.groupBy("bigram").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
+    )
+    prefix = (
+        model.withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = model.withColumn("w1", F.expr("split(bigram, ' ')[0]")).join(
+        prefix, "w1"
+    ).select("bigram", (-F.log(F.col("c2") / F.col("c1"))).alias("neg_logp"))
+    return (
+        bg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("neg_logp"), 3).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "bigram_logprob_score": q_bigram_logprob,
     "temperature_mix": q_temperature_mix,
     "dsir_importance": q_dsir_importance,
     "source_kl_divergence": q_source_kl_divergence,
@@ -559,6 +606,34 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "bigram_logprob_score": r"""
+        WITH ts_t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t != '') AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, u.bigram
+            FROM ts_t, LATERAL (
+                SELECT UNNEST(list_transform(generate_series(1, len(ts) - 1),
+                                             i -> ts[i] || ' ' || ts[i+1])) AS bigram
+            ) u
+        ),
+        model AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+        prefix AS (
+            SELECT string_split(bigram, ' ')[1] AS w1, SUM(c2) AS c1
+            FROM model GROUP BY 1
+        ),
+        scored AS (
+            SELECT m.bigram, -LN(m.c2 / p.c1) AS neg_logp
+            FROM model m JOIN prefix p ON string_split(m.bigram, ' ')[1] = p.w1
+        )
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(s.neg_logp), 3) AS avg_neg_logprob
+        FROM bg JOIN scored s USING (bigram)
+        GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
     "source_kl_divergence": rf"""
         WITH toks AS (
             SELECT source,

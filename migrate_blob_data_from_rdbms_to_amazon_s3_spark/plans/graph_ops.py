@@ -141,12 +141,85 @@ def q_association_rules(spark, sf_dir):
     )
 
 
+def q_event_type_pmi(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, day) basket: PMI(a,b) = ln(N·c_ab / (c_a·c_b)) — the
+    information-theoretic twin of association_rules' lift (PMI = ln lift),
+    at the behavioral-sessions grain instead of purchase baskets. The
+    basket grain is deduplicated FIRST (user-day-type distinct), so the
+    pair fan-out is |types-per-basket|² ≤ 5² per basket regardless of raw
+    event volume; N and the per-type counts attach as broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n = basket.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    tcount = basket.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("tn")
+    )
+    a = basket.select("user_id", "day", F.col("event_type").alias("ta"))
+    b = basket.select("user_id", "day", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ca = tcount.select(F.col("t").alias("ta"), F.col("tn").alias("c_a"))
+    cb = tcount.select(F.col("t").alias("tb"), F.col("tn").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            F.round(
+                F.log(F.col("n_baskets") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "ta", "tb")
+    )
+
+
 QUERIES = {
     "graph_triangles": q_graph_triangles,
     "association_rules": q_association_rules,
+    "event_type_pmi": q_event_type_pmi,
 }
 
 ORACLES = {
+    "event_type_pmi": """
+        WITH basket AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+            FROM events
+        ),
+        n AS (
+            SELECT COUNT(*) AS n_baskets
+            FROM (SELECT DISTINCT user_id, day FROM basket)
+        ),
+        tcount AS (
+            SELECT event_type AS t, COUNT(*) AS tn FROM basket GROUP BY 1
+        ),
+        pairs AS (
+            SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c_ab
+            FROM basket x JOIN basket y
+              ON x.user_id = y.user_id AND x.day = y.day
+            WHERE x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.ta, p.tb, p.c_ab,
+               ROUND(LN(n.n_baskets * p.c_ab / (ca.tn * cb.tn)), 6) AS pmi
+        FROM pairs p
+        JOIN tcount ca ON ca.t = p.ta
+        JOIN tcount cb ON cb.t = p.tb
+        CROSS JOIN n
+        ORDER BY pmi DESC, p.ta, p.tb
+    """,
     "graph_triangles": """
         WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e AS (

@@ -291,8 +291,151 @@ def q_weighted_sample_topk(spark, sf_dir):
     )
 
 
+# --- distributed Bloom-filter semi-join prefilter --------------------------------------
+BLOOM_BITS = 1 << 16  # m: filter size in bits (2048 32-bit words; shifts stay sign-safe)
+BLOOM_K = 4  # probes per key
+BLOOM_SEGMENT = "AUTOMOBILE"  # build side: customers in this segment
+
+
+def q_bloom_prefilter_semijoin(spark, sf_dir):
+    """Distributed Bloom-filter semi-join prefilter — the runtime-filter
+    pattern that cuts a 100 TB probe scan before the real join: build a
+    Bloom filter over the small side's keys (customers in one segment),
+    ship it as a 2048-row word table (bit_or per 32-bit word — mergeable,
+    combiner-friendly), and probe every distinct order custkey with
+    BLOOM_K double-hashed bits. Reports the measured false-positive rate
+    against the exact semi-join. No false negatives by construction; the
+    md5 double-hash (h1 + i·h2 mod m) makes the filter bit-identical in
+    both engines. At scale the word table replaces shuffling the whole
+    probe side into a join that drops most of it."""
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
+        F.col("c_custkey").alias("key")
+    )
+    h1 = F.expr("CAST(conv(substring(md5(CAST(key AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    h2 = F.expr("CAST(conv(substring(md5(CAST(key AS STRING)), 9, 8), 16, 10) AS BIGINT)")
+
+    def probe_bits(df):
+        return (
+            df.select("key", h1.alias("h1"), h2.alias("h2"))
+            .select(
+                "key",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {BLOOM_K - 1}),"
+                        f" i -> pmod(h1 + i * h2, {BLOOM_BITS}))"
+                    )
+                ).alias("bit"),
+            )
+            .select(
+                "key",
+                (F.col("bit") / 32).cast("bigint").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").alias("mask"),
+            )
+        )
+
+    words = probe_bits(build).groupBy("word").agg(F.bit_or("mask").alias("w"))
+    probe_keys = (
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    )
+    member = (
+        probe_bits(probe_keys)
+        .join(F.broadcast(words), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask"))
+                .cast("int")
+            ).alias("pass_all")
+        )
+    )
+    exact = build.distinct().select("key", F.lit(1).alias("is_true"))
+    joined = member.join(F.broadcast(exact), "key", "left").select(
+        "pass_all", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    return joined.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum("pass_all").alias("n_bloom_pass"),
+        F.sum("is_true").alias("n_true_members"),
+        F.sum(F.col("pass_all") * (1 - F.col("is_true"))).alias("n_false_pos"),
+        F.round(
+            F.sum(F.col("pass_all") * (1 - F.col("is_true")))
+            / F.sum(1 - F.col("is_true")),
+            6,
+        ).alias("fpr"),
+    )
+
+
+# --- CUSUM change-point detection ------------------------------------------------------
+def q_events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily event-count series, per
+    event type: the running sum of deviations from the series mean peaks
+    (in absolute value) at the most likely level-shift day. The series is
+    first reduced to the (type, day) grain — tiny — so the windows
+    (running sum, arg-max) partition by event_type over at most
+    |types|×|days| rows regardless of raw event volume. The monitoring
+    pass that catches an ingest-rate regime change."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    means = daily.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(means, "event_type")
+        .withColumn("cusum", F.sum(F.col("n") - F.col("mu")).over(w_run))
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum"))), "day")
+    return (
+        cusum.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round("mu", 4).alias("daily_mean"),
+            F.round(F.abs(F.col("cusum")), 4).alias("max_cusum_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- time-weighted average -------------------------------------------------------------
+def q_events_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the event value: each reading
+    holds until the user's next event (step interpolation), so the mean
+    weights each value by its holding duration — the TWAP/telemetry
+    aggregation a last-value-carried-forward pipeline needs. One window
+    (lead ts, PARTITIONED BY user) + one keyed aggregation; durations are
+    exact integer milliseconds (no float time math); users with a single
+    event have no holding interval and drop out in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    held = ev.select(
+        "user_id",
+        "value",
+        (F.lead(ms).over(w) - ms).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa_value"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "histogram_equiwidth": q_histogram_equiwidth,
+    "bloom_prefilter_semijoin": q_bloom_prefilter_semijoin,
+    "events_cusum_changepoint": q_events_cusum_changepoint,
+    "events_time_weighted_avg": q_events_time_weighted_avg,
     "key_skew_audit": q_key_skew_audit,
     "ab_test_welch": q_ab_test_welch,
     "rolling_active_users": q_rolling_active_users,
@@ -317,6 +460,91 @@ ORACLES = {
                ROUND(MIN(lo + bin * (hi - lo) / {HIST_BINS}), 4) AS bin_lo,
                ROUND(MIN(lo + (bin + 1) * (hi - lo) / {HIST_BINS}), 4) AS bin_hi
         FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "bloom_prefilter_semijoin": f"""
+        WITH build AS (
+            SELECT c_custkey AS key FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+        ),
+        build_bits AS (
+            SELECT key,
+                   (CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+                    + i * CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 9, 8) AS BIGINT))
+                   % {BLOOM_BITS} AS bit
+            FROM build, (SELECT UNNEST(generate_series(0, {BLOOM_K - 1})) AS i)
+        ),
+        words AS (
+            SELECT (bit // 32) AS word,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS w
+            FROM build_bits GROUP BY 1
+        ),
+        probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        probe_bits AS (
+            SELECT key,
+                   (CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+                    + i * CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 9, 8) AS BIGINT))
+                   % {BLOOM_BITS} AS bit
+            FROM probe, (SELECT UNNEST(generate_series(0, {BLOOM_K - 1})) AS i)
+        ),
+        member AS (
+            SELECT pb.key,
+                   MIN(CASE WHEN (COALESCE(wd.w, 0)
+                                  & (CAST(1 AS BIGINT) << CAST(pb.bit % 32 AS INTEGER)))
+                                 = (CAST(1 AS BIGINT) << CAST(pb.bit % 32 AS INTEGER))
+                            THEN 1 ELSE 0 END) AS pass_all
+            FROM probe_bits pb
+            LEFT JOIN words wd ON wd.word = (pb.bit // 32)
+            GROUP BY pb.key
+        ),
+        joined AS (
+            SELECT m.pass_all,
+                   CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS is_true
+            FROM member m LEFT JOIN (SELECT DISTINCT key FROM build) b USING (key)
+        )
+        SELECT COUNT(*) AS n_probe_keys,
+               CAST(SUM(pass_all) AS BIGINT) AS n_bloom_pass,
+               CAST(SUM(is_true) AS BIGINT) AS n_true_members,
+               CAST(SUM(pass_all * (1 - is_true)) AS BIGINT) AS n_false_pos,
+               ROUND(SUM(pass_all * (1 - is_true)) / SUM(1 - is_true), 6) AS fpr
+        FROM joined
+    """,
+    "events_cusum_changepoint": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        means AS (
+            SELECT event_type, AVG(n) AS mu FROM daily GROUP BY 1
+        ),
+        cusum AS (
+            SELECT d.event_type, d.day, m.mu,
+                   SUM(d.n - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                         ROWS UNBOUNDED PRECEDING) AS c
+            FROM daily d JOIN means m USING (event_type)
+        ),
+        picked AS (
+            SELECT event_type, day, mu, ABS(c) AS dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(c) DESC, day) AS rk
+            FROM cusum
+        )
+        SELECT event_type, day AS changepoint_day,
+               ROUND(mu, 4) AS daily_mean, ROUND(dev, 4) AS max_cusum_dev
+        FROM picked WHERE rk = 1 ORDER BY event_type
+    """,
+    "events_time_weighted_avg": """
+        WITH held AS (
+            SELECT user_id, value,
+                   LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                     - epoch_ms(ts) AS dt
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               ROUND(SUM(value * dt) / SUM(dt), 6) AS twa_value,
+               ROUND(AVG(value), 6) AS plain_avg
+        FROM held WHERE dt IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
     """,
     "key_skew_audit": f"""
         WITH counts AS (
