@@ -93,6 +93,8 @@ HEADLINE = [
     "key_skew_audit",
     "bloom_prefilter_semijoin",
     "bigram_logprob_score",
+    "events_trend_theilsen",
+    "price_psi_drift",
 ]
 
 STREAMING = [

@@ -431,9 +431,157 @@ def q_events_time_weighted_avg(spark, sf_dir):
     )
 
 
+# --- EWMA smoothing --------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily event count,
+    per event type — the smoothing/forecast baseline next to the CUSUM
+    detector. The recursive definition ewma_t = α·x_t + (1−α)·ewma_{t−1}
+    is closed-form over a running sum: ewma_t = α(1−α)^t·Σ_{s≤t}
+    x_s(1−α)^{−s} + (1−α)^t·x_1, so one window (PARTITIONED BY type)
+    computes the whole series with no recursion. The (1−α)^{−s} factor
+    grows with series length — exact for bounded reporting windows like
+    this daily grain; unbounded streams use the stateful streaming twin
+    (applyInPandasWithState keeps ewma as O(1) state)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.withColumn("rn", F.row_number().over(w)).withColumn(
+        "term", F.col("n") * F.pow(F.lit(1 - EWMA_ALPHA), -F.col("rn"))
+    )
+    decay = F.pow(F.lit(1 - EWMA_ALPHA), F.col("rn"))
+    s_run = F.sum("term").over(w_run)
+    first_x = F.first("n").over(w_run)
+    return staged.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.lit(EWMA_ALPHA) * decay * s_run + decay * first_x, 4).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+# --- Theil-Sen robust trend ------------------------------------------------------------
+def q_events_trend_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend of daily event volume per type: the median
+    of all pairwise slopes (y_j − y_i)/(day_j − day_i) — immune to the
+    outlier days that wreck least squares. The pair join is keyed on
+    event_type over the DAILY grain (|days|² pairs per type, bounded by
+    the reporting window, never raw-event-sized); the median is one exact
+    percentile per type (group = slope pairs, bounded likewise). Output:
+    slope per type plus the OLS slope for comparison."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("n").alias("y1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("n").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            ((F.col("y2") - F.col("y1")) / F.datediff("d2", "d1")).alias("slope"),
+        )
+    )
+    ts = slopes.groupBy("event_type").agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theilsen_slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.round(
+            F.covar_pop(F.datediff("day", F.lit("2024-01-01").cast("date")), "n")
+            / F.var_pop(F.datediff("day", F.lit("2024-01-01").cast("date"))),
+            6,
+        ).alias("ols_slope")
+    )
+    return ts.join(ols, "event_type").orderBy("event_type")
+
+
+# --- population stability index --------------------------------------------------------
+PSI_BINS = 10
+PSI_YEAR_P, PSI_YEAR_Q = 1996, 1997
+
+
+def q_price_psi_drift(spark, sf_dir):
+    """Population Stability Index of the order-total distribution between
+    two periods (1996 vs 1997) — the drift metric scoring models and
+    ingest monitors alarm on (rule of thumb: <0.1 stable, >0.25 shifted).
+    Global equi-width bins from a broadcast 1-row bounds aggregate;
+    Laplace-smoothed shares ((c+1)/(n+B)) so empty bins never divide by
+    zero; PSI = Σ (p−q)·ln(p/q) over the B-row bin table. Three scans of
+    the filtered column, one tiny shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("x")
+    ).filter(F.col("yr").isin(PSI_YEAR_P, PSI_YEAR_Q))
+    bounds = o.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / PSI_BINS
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "yr",
+        F.least(F.floor((F.col("x") - F.col("lo")) / width), F.lit(PSI_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    per = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum((F.col("yr") == PSI_YEAR_P).cast("int")).alias("c_p"),
+            F.sum((F.col("yr") == PSI_YEAR_Q).cast("int")).alias("c_q"),
+        )
+    )
+    tot = per.agg(F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q"))
+    p = (F.col("c_p") + 1) / (F.col("n_p") + PSI_BINS)
+    q = (F.col("c_q") + 1) / (F.col("n_q") + PSI_BINS)
+    return per.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_p").alias("n_p"),
+        F.first("n_q").alias("n_q"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
+
+
+# --- Benford first-digit audit ---------------------------------------------------------
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law audit of order totals: observed first-significant-
+    digit shares vs the log10(1+1/d) expectation, with each digit's
+    chi-square contribution — the data-quality screen for fabricated or
+    truncated numeric columns. The first digit comes from the DECIMAL
+    string rendering (exact in both engines; floor(log10(x)) is NOT used
+    because libm rounding at exact powers of ten flips the digit). One
+    scan, one 9-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = per.agg(F.sum("n_obs").alias("n"))
+    expected = F.log10(1 + 1 / F.col("digit"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("n") * expected, 2) / (F.col("n") * expected),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "histogram_equiwidth": q_histogram_equiwidth,
     "bloom_prefilter_semijoin": q_bloom_prefilter_semijoin,
+    "events_ewma": q_events_ewma,
+    "events_trend_theilsen": q_events_trend_theilsen,
+    "price_psi_drift": q_price_psi_drift,
+    "benford_audit": q_benford_audit,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_time_weighted_avg": q_events_time_weighted_avg,
     "key_skew_audit": q_key_skew_audit,
@@ -506,6 +654,100 @@ ORACLES = {
                CAST(SUM(pass_all * (1 - is_true)) AS BIGINT) AS n_false_pos,
                ROUND(SUM(pass_all * (1 - is_true)) / SUM(1 - is_true), 6) AS fpr
         FROM joined
+    """,
+    "events_ewma": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT event_type, day, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+            FROM daily
+        ),
+        runs AS (
+            SELECT event_type, day, n, rn,
+                   SUM(n * POWER({1 - EWMA_ALPHA}, -rn))
+                     OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS s_run,
+                   FIRST_VALUE(n) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS UNBOUNDED PRECEDING) AS first_x
+            FROM staged
+        )
+        SELECT event_type, day, n,
+               ROUND({EWMA_ALPHA} * POWER({1 - EWMA_ALPHA}, rn) * s_run
+                     + POWER({1 - EWMA_ALPHA}, rn) * first_x, 4) AS ewma
+        FROM runs ORDER BY event_type, day
+    """,
+    "events_trend_theilsen": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.n - a.n) / CAST(b.day - a.day AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ),
+        ts AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(slope, 0.5), 6) AS theilsen_slope,
+                   COUNT(*) AS n_pairs
+            FROM slopes GROUP BY 1
+        ),
+        ols AS (
+            SELECT event_type,
+                   ROUND(COVAR_POP(day - DATE '2024-01-01', n)
+                         / VAR_POP(day - DATE '2024-01-01'), 6) AS ols_slope
+            FROM daily GROUP BY 1
+        )
+        SELECT ts.event_type, ts.theilsen_slope, ts.n_pairs, ols.ols_slope
+        FROM ts JOIN ols USING (event_type) ORDER BY ts.event_type
+    """,
+    "price_psi_drift": f"""
+        WITH o AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS yr, o_totalprice AS x
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) IN ({PSI_YEAR_P}, {PSI_YEAR_Q})
+        ),
+        bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM o),
+        binned AS (
+            SELECT yr,
+                   LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / {PSI_BINS})) AS BIGINT),
+                         {PSI_BINS - 1}) AS bin
+            FROM o, bounds
+        ),
+        per AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN yr = {PSI_YEAR_P} THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+                   CAST(SUM(CASE WHEN yr = {PSI_YEAR_Q} THEN 1 ELSE 0 END) AS BIGINT) AS c_q
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_p) AS BIGINT) AS n_p, CAST(SUM(c_q) AS BIGINT) AS n_q
+            FROM per
+        )
+        SELECT MIN(n_p) AS n_p, MIN(n_q) AS n_q,
+               ROUND(SUM(((c_p + 1.0) / (n_p + {PSI_BINS}) - (c_q + 1.0) / (n_q + {PSI_BINS}))
+                         * LN(((c_p + 1.0) / (n_p + {PSI_BINS}))
+                              / ((c_q + 1.0) / (n_q + {PSI_BINS})))), 6) AS psi
+        FROM per, tot
+    """,
+    "benford_audit": """
+        WITH per AS (
+            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   COUNT(*) AS n_obs
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM per)
+        SELECT digit, n_obs,
+               ROUND(n_obs / CAST(n AS DOUBLE), 6) AS obs_share,
+               ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share,
+               ROUND(POWER(n_obs - n * LOG10(1 + 1.0 / digit), 2)
+                     / (n * LOG10(1 + 1.0 / digit)), 4) AS chi2_term
+        FROM per, tot ORDER BY digit
     """,
     "events_cusum_changepoint": """
         WITH daily AS (
