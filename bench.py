@@ -95,6 +95,8 @@ HEADLINE = [
     "bigram_logprob_score",
     "events_trend_theilsen",
     "price_psi_drift",
+    "weighted_median_price",
+    "histogram_equidepth",
 ]
 
 STREAMING = [

@@ -30,13 +30,15 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         corpus_ops,
         streaming_entries,
         profiling,
+        profiling_stats,
         graph_ops,
     )
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, multimodal,
-        quality, corpus_ops, streaming_entries, profiling, graph_ops,
+        quality, corpus_ops, streaming_entries, profiling, profiling_stats,
+        graph_ops,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -1,0 +1,242 @@
+"""Statistical profiling operators: weighted medians, equi-depth
+histograms, correlation / completeness audits, and a chi-square
+independence test (SURVEY §7 M2/M4 — the column-statistics pass a
+catalog or feature store runs over every ingested table).
+
+Scale notes (100 TB):
+- ``weighted_median_price`` uses Spark's frequency-weighted exact
+  percentile — the weight rides INSIDE the aggregation buffer, no row
+  expansion; the DuckDB oracle expands rows (generate_series per unit of
+  weight) precisely because that naive shape is what the operator avoids.
+- ``histogram_equidepth`` derives its cut-points from ONE exact
+  percentile aggregate (broadcast as an array scalar) and buckets with a
+  pure `aggregate()` fold over that array — no rank/ntile, so no
+  single-partition global sort (the customer_rfm_segments discipline).
+- ``numeric_corr_audit`` / ``completeness_audit`` are single partial+
+  final aggregations: every statistic (corr pairs, null counts, distinct
+  counts) shares one scan.
+- ``chisq_independence`` contracts to the contingency grain first
+  (|types|×|weekdays| cells), so margins and the statistic are joins over
+  a constant-size table regardless of raw volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median (and quartiles) of the lineitem extended
+    price per return flag: each row counts l_quantity times. Spark's
+    percentile(col, p, frequency) keeps the weight inside the aggregation
+    buffer — the oracle materializes the weight by row expansion, the
+    exact anti-pattern this operator exists to avoid at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    freq = F.col("l_quantity").cast("int")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(freq).alias("total_weight"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25, CAST(l_quantity AS INT))"), 4).alias("wq1"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5, CAST(l_quantity AS INT))"), 4).alias("wmedian"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75, CAST(l_quantity AS INT))"), 4).alias("wq3"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-depth histogram of order totals: EQUIDEPTH_BUCKETS buckets
+    holding ~equal row counts, bounded by exact percentile cut-points.
+    The cut array is one aggregate broadcast to the scan; bucket id is a
+    fold over the array (count of cuts strictly below x) — never a global
+    rank. The histogram a cost-based optimizer actually wants (equi-width
+    twin: histogram_equiwidth)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    ps = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    cuts = o.agg(
+        F.expr(
+            "percentile(x, array(" + ", ".join(str(p) for p in ps) + "))"
+        ).alias("cuts")
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr("aggregate(cuts, 0, (acc, c) -> acc + IF(x > c, 1, 0))").alias("bucket"),
+            "x",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("x"), 2).alias("lo"),
+            F.round(F.max("x"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_numeric_corr_audit(spark, sf_dir):
+    """Pairwise Pearson correlations between the lineitem numeric columns
+    (price, quantity, discount, tax) in ONE aggregation — the
+    feature-redundancy screen before model training. All six pairs share
+    a single scan's partial moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_extendedprice", "l_quantity"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    return li.agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+            for a, b in pairs
+        ],
+    )
+
+
+def q_completeness_audit(spark, sf_dir):
+    """Column-completeness profile of orders: per column, the null count
+    and distinct cardinality, plus blank-string counts for text columns —
+    the ingest gate that catches a broken upstream export. One shared
+    scan; distincts are exact (the approx twin at 100 TB is
+    approx_count_distinct, cf. approx_distinct)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def nulls(c):
+        return F.sum(F.col(c).isNull().cast("int")).alias(f"nulls_{c[2:]}")
+
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        nulls("o_custkey"),
+        nulls("o_orderdate"),
+        nulls("o_totalprice"),
+        nulls("o_orderstatus"),
+        F.sum((F.trim(F.col("o_orderstatus")) == "").cast("int")).alias("blank_status"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.countDistinct("o_orderpriority").alias("distinct_priority"),
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+    )
+
+
+def q_chisq_independence(spark, sf_dir):
+    """Chi-square independence test between event type and day-of-week:
+    are clicks/purchases uniform across the week? Contracts to the
+    contingency grain first (≤ |types|·7 cells), then margins and the
+    Σ(O−E)²/E statistic are constant-size joins — raw event volume only
+    touches the first aggregation. Output: chi2, degrees of freedom,
+    cells."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_m = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)).alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+QUERIES = {
+    "weighted_median_price": q_weighted_median_price,
+    "histogram_equidepth": q_histogram_equidepth,
+    "numeric_corr_audit": q_numeric_corr_audit,
+    "completeness_audit": q_completeness_audit,
+    "chisq_independence": q_chisq_independence,
+}
+
+ORACLES = {
+    "weighted_median_price": """
+        WITH expanded AS (
+            SELECT l_returnflag, l_extendedprice
+            FROM lineitem, UNNEST(generate_series(1, CAST(l_quantity AS INTEGER)))
+        ),
+        base AS (
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_weight
+            FROM lineitem GROUP BY 1
+        )
+        SELECT b.l_returnflag, b.n_rows, b.total_weight,
+               ROUND(quantile_cont(e.l_extendedprice, 0.25), 4) AS wq1,
+               ROUND(quantile_cont(e.l_extendedprice, 0.5), 4) AS wmedian,
+               ROUND(quantile_cont(e.l_extendedprice, 0.75), 4) AS wq3
+        FROM expanded e JOIN base b USING (l_returnflag)
+        GROUP BY b.l_returnflag, b.n_rows, b.total_weight
+        ORDER BY b.l_returnflag
+    """,
+    "histogram_equidepth": f"""
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice,
+                       [{", ".join(str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS))}])
+                   AS cs
+            FROM orders
+        ),
+        binned AS (
+            SELECT CAST(len(list_filter(cs, c -> o_totalprice > c)) AS INTEGER) AS bucket,
+                   o_totalprice AS x
+            FROM orders, cuts
+        )
+        SELECT bucket, COUNT(*) AS n,
+               ROUND(MIN(x), 2) AS lo, ROUND(MAX(x), 2) AS hi
+        FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+    "numeric_corr_audit": """
+        SELECT COUNT(*) AS n,
+               ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_extendedprice_quantity,
+               ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_extendedprice_discount,
+               ROUND(CORR(l_extendedprice, l_tax), 6) AS corr_extendedprice_tax,
+               ROUND(CORR(l_quantity, l_discount), 6) AS corr_quantity_discount,
+               ROUND(CORR(l_quantity, l_tax), 6) AS corr_quantity_tax,
+               ROUND(CORR(l_discount, l_tax), 6) AS corr_discount_tax
+        FROM lineitem
+    """,
+    "completeness_audit": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_custkey,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_orderdate,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_totalprice,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_orderstatus,
+               CAST(SUM(CASE WHEN TRIM(o_orderstatus) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_status,
+               COUNT(DISTINCT o_orderstatus) AS distinct_status,
+               COUNT(DISTINCT o_orderpriority) AS distinct_priority,
+               COUNT(DISTINCT o_custkey) AS distinct_custkey
+        FROM orders
+    """,
+    "chisq_independence": """
+        WITH cells AS (
+            SELECT event_type, EXTRACT(dow FROM ts) AS dow_raw, COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        canon AS (
+            SELECT event_type, dow_raw + 1 AS dow, o FROM cells
+        ),
+        row_m AS (SELECT event_type, SUM(o) AS rt FROM canon GROUP BY 1),
+        col_m AS (SELECT dow, SUM(o) AS ct FROM canon GROUP BY 1),
+        tot AS (SELECT SUM(o) AS n FROM canon)
+        SELECT ROUND(SUM(POWER(c.o - (r.rt * cm.ct / t.n), 2)
+                         / (r.rt * cm.ct / t.n)), 4) AS chi2,
+               (COUNT(DISTINCT c.event_type) - 1) * (COUNT(DISTINCT c.dow) - 1) AS dof,
+               COUNT(*) AS n_cells
+        FROM canon c
+        JOIN row_m r USING (event_type)
+        JOIN col_m cm USING (dow)
+        CROSS JOIN tot t
+    """,
+}
