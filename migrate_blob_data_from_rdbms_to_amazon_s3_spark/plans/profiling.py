@@ -444,7 +444,9 @@ def q_events_ewma(spark, sf_dir):
     computes the whole series with no recursion. The (1−α)^{−s} factor
     grows with series length — exact for bounded reporting windows like
     this daily grain; unbounded streams use the stateful streaming twin
-    (applyInPandasWithState keeps ewma as O(1) state)."""
+    (streaming/ewma.py: applyInPandasWithState keeps ewma as one double
+    of state per key — tests/test_streaming_ewma.py proves stream ==
+    recursion == this closed form)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n")
