@@ -97,6 +97,8 @@ HEADLINE = [
     "price_psi_drift",
     "weighted_median_price",
     "histogram_equidepth",
+    "event_path_topk",
+    "order_reconciliation_audit",
 ]
 
 STREAMING = [

@@ -32,13 +32,14 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         profiling,
         profiling_stats,
         graph_ops,
+        insights,
     )
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, multimodal,
         quality, corpus_ops, streaming_entries, profiling, profiling_stats,
-        graph_ops,
+        graph_ops, insights,
     )
     queries: dict = {}
     oracles: dict = {}

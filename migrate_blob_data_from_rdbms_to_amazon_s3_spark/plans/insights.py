@@ -1,0 +1,243 @@
+"""Behavioral-path and reconciliation insights: ordered event paths,
+hierarchy share-of-parent, order↔lineitem reconciliation, and
+near-duplicate order detection (SURVEY §7 M2 — the business-facing
+audits a migration validates with and an analyst runs daily).
+
+Scale notes (100 TB):
+- ``event_path_topk`` truncates each basket to its first PATH_LEN events
+  BEFORE collecting (window rank at the (user, day) grain), so the path
+  string is bounded; the frequency count is one shuffle over
+  basket-grain rows and the top-k is a TakeOrdered.
+- ``hierarchy_share`` aggregates at the nation grain once; the region
+  parent totals are a second aggregation OVER THE FIRST (25-row input),
+  re-attached by broadcast — no window over raw rows, no re-scan.
+- ``order_reconciliation_audit`` is the migration-validation join: both
+  sides pre-aggregate to the order grain before the equi-join, and only
+  mismatch counts leave the final aggregation.
+- ``duplicate_order_detection`` windows PARTITIONED BY the candidate
+  identity (custkey, totalprice) — each partition is a handful of rows
+  even at 100 TB because the identity itself is selective; a pair
+  self-join would square the hot identities instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+PATH_LEN = 5
+PATH_TOPK = 20
+RECON_TOL = 0.05  # relative deviation that flags an order
+DUP_WINDOW_DAYS = 90
+DUP_BUCKET = 1000  # totals in the same $1000 band count as "the same amount"
+
+
+def q_event_path_topk(spark, sf_dir):
+    """Top-PATH_TOPK ordered behavioral paths: each (user, day) basket's
+    first PATH_LEN event types joined with '>', counted across baskets —
+    the navigation-pattern mining every product-analytics pipeline runs.
+    Deterministic order by (ts, event_id); paths truncate at the window
+    rank, never collect unbounded arrays."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+        .select("user_id", F.to_date("ts").alias("day"), "rn", "event_type")
+    )
+    paths = steps.groupBy("user_id", "day").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, event_type))),"
+            " s -> s.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+def q_hierarchy_share(spark, sf_dir):
+    """Share-of-parent rollup: each nation's order revenue as a share of
+    its region's total. One customer→orders aggregation to the nation
+    grain; the region totals aggregate THAT (25 rows), broadcast back —
+    the hierarchy ratio without a window over raw rows."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("nat_rev"))
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .select("r_name", "n_name", "nat_rev")
+    )
+    reg = nat.groupBy(F.col("r_name").alias("rr")).agg(F.sum("nat_rev").alias("reg_rev"))
+    return (
+        nat.join(F.broadcast(reg), nat.r_name == reg.rr)
+        .select(
+            "r_name",
+            "n_name",
+            F.round("nat_rev", 2).alias("nation_revenue"),
+            F.round(F.col("nat_rev") / F.col("reg_rev"), 6).alias("share_of_region"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_order_reconciliation_audit(spark, sf_dir):
+    """Order↔lineitem reconciliation: per order, the lineitem-derived
+    charge Σ price·(1−disc)·(1+tax) vs o_totalprice; report how many
+    orders deviate beyond RECON_TOL relative tolerance, how many have no
+    lineitems at all, and the worst relative deviation. The validation
+    every RDBMS→lake migration runs before cutover (the engine's
+    validate_migration counterpart at the business-value grain)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem")
+    derived = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("derived")
+    )
+    joined = orders.join(derived, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        "derived",
+        F.when(
+            F.col("derived").isNotNull(),
+            F.abs(F.col("derived") - F.col("o_totalprice")) / F.col("o_totalprice"),
+        ).alias("rel_dev"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("derived").isNull().cast("int")).alias("n_no_lineitems"),
+        F.sum((F.col("rel_dev") > RECON_TOL).cast("int")).alias("n_mismatched"),
+        F.round(F.max("rel_dev"), 6).alias("worst_rel_dev"),
+        F.round(F.avg("rel_dev"), 6).alias("avg_rel_dev"),
+    )
+
+
+def q_duplicate_order_detection(spark, sf_dir):
+    """Near-duplicate order screen: orders by the same customer with a
+    similar total (same DUP_BUCKET-dollar band — floor, not round, so
+    both engines bucket identically at band edges) within
+    DUP_WINDOW_DAYS — the double-submit / double-charge candidates. The
+    window partitions by the candidate identity (custkey, price band);
+    lag gives the previous occurrence, so each flagged row carries its
+    predecessor and the day gap. Output: the flagged pairs, oldest
+    first."""
+    o = _t(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / DUP_BUCKET).alias("band")
+    w = Window.partitionBy("o_custkey", "band").orderBy("o_orderdate", "o_orderkey")
+    flagged = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", band)
+        .withColumn("prev_key", F.lag("o_orderkey").over(w))
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+        .filter(F.col("prev_key").isNotNull() & (F.col("gap_days") <= DUP_WINDOW_DAYS))
+    )
+    return flagged.select(
+        "o_custkey",
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("dup_orderkey"),
+        F.col("band").cast("bigint").alias("price_band"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "gap_days",
+    ).orderBy("o_custkey", "first_orderkey", "dup_orderkey")
+
+
+QUERIES = {
+    "event_path_topk": q_event_path_topk,
+    "hierarchy_share": q_hierarchy_share,
+    "order_reconciliation_audit": q_order_reconciliation_audit,
+    "duplicate_order_detection": q_duplicate_order_detection,
+}
+
+ORACLES = {
+    "event_path_topk": f"""
+        WITH steps AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id, day,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM steps WHERE rn <= {PATH_LEN}
+            GROUP BY user_id, day
+        )
+        SELECT path, COUNT(*) AS n_baskets
+        FROM paths GROUP BY path
+        ORDER BY n_baskets DESC, path LIMIT {PATH_TOPK}
+    """,
+    "hierarchy_share": """
+        WITH nat AS (
+            SELECT r.r_name, n.n_name, SUM(o.o_totalprice) AS nat_rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        reg AS (SELECT r_name, SUM(nat_rev) AS reg_rev FROM nat GROUP BY 1)
+        SELECT nat.r_name, nat.n_name,
+               ROUND(nat.nat_rev, 2) AS nation_revenue,
+               ROUND(nat.nat_rev / reg.reg_rev, 6) AS share_of_region
+        FROM nat JOIN reg USING (r_name)
+        ORDER BY nat.r_name, nat.n_name
+    """,
+    "order_reconciliation_audit": f"""
+        WITH derived AS (
+            SELECT l_orderkey AS o_orderkey,
+                   SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS derived
+            FROM lineitem GROUP BY 1
+        ),
+        joined AS (
+            SELECT o.o_orderkey, o.o_totalprice, d.derived,
+                   CASE WHEN d.derived IS NOT NULL
+                        THEN ABS(d.derived - o.o_totalprice) / o.o_totalprice
+                   END AS rel_dev
+            FROM orders o LEFT JOIN derived d USING (o_orderkey)
+        )
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN derived IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_no_lineitems,
+               CAST(SUM(CASE WHEN rel_dev > {RECON_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mismatched,
+               ROUND(MAX(rel_dev), 6) AS worst_rel_dev,
+               ROUND(AVG(rel_dev), 6) AS avg_rel_dev
+        FROM joined
+    """,
+    "duplicate_order_detection": f"""
+        WITH banded AS (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                   CAST(FLOOR(o_totalprice / {DUP_BUCKET}) AS BIGINT) AS band
+            FROM orders
+        ),
+        lagged AS (
+            SELECT *,
+                   LAG(o_orderkey) OVER (PARTITION BY o_custkey, band
+                                         ORDER BY o_orderdate, o_orderkey) AS prev_key,
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey, band
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_date
+            FROM banded
+        )
+        SELECT o_custkey,
+               prev_key AS first_orderkey,
+               o_orderkey AS dup_orderkey,
+               band AS price_band,
+               ROUND(o_totalprice, 2) AS totalprice,
+               CAST(date_diff('day', prev_date, o_orderdate) AS INTEGER) AS gap_days
+        FROM lagged
+        WHERE prev_key IS NOT NULL
+          AND date_diff('day', prev_date, o_orderdate) <= {DUP_WINDOW_DAYS}
+        ORDER BY o_custkey, first_orderkey, dup_orderkey
+    """,
+}
