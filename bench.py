@@ -99,6 +99,8 @@ HEADLINE = [
     "histogram_equidepth",
     "event_path_topk",
     "order_reconciliation_audit",
+    "distributed_global_rank",
+    "join_cardinality_estimate",
 ]
 
 STREAMING = [

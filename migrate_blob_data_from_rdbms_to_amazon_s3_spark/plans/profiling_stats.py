@@ -154,7 +154,92 @@ def q_chisq_independence(spark, sf_dir):
     )
 
 
+RANK_BUCKETS = 16
+
+
+def q_distributed_global_rank(spark, sf_dir):
+    """Global row-number over ALL orders by (totalprice DESC, orderkey)
+    WITHOUT a single-partition window — the distributed-ranking pattern
+    (sample-sort / TeraSort shape): exact percentile cut-points split the
+    key space into RANK_BUCKETS monotone buckets (equal values never
+    straddle a boundary because bucketing counts cuts STRICTLY above x);
+    per-bucket counts prefix-sum into offsets over a B-row broadcast;
+    rank = bucket offset + intra-bucket row_number (window PARTITIONED BY
+    bucket). The naive ROW_NUMBER() OVER (ORDER BY ...) — one partition
+    holding the entire table — is the oracle only. Output: the global
+    top-500 slice (rank, key, price)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ps = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(" + ", ".join(str(p) for p in ps) + "))"
+        ).alias("cuts")
+    )
+    bucketed = o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "aggregate(cuts, 0, (acc, c) -> acc + IF(o_totalprice < c, 1, 0))"
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
+    prev = counts.select(F.col("b").alias("pb"), F.col("n").alias("pn"))
+    offsets = (
+        counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("offset"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("b").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .withColumn("rk", F.col("offset") + F.row_number().over(w))
+        .select(
+            F.col("rk").cast("bigint").alias("global_rank"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+    return ranked.orderBy("global_rank").limit(500)
+
+
+def q_join_cardinality_estimate(spark, sf_dir):
+    """Join-size pre-flight: the exact output cardinality of
+    orders⋈lineitem on the order key, computed from the two key-count
+    tables (Σ c_o(k)·c_l(k)) WITHOUT running the join — the estimate a
+    planner wants before committing shuffle resources, here exact because
+    the full histograms are cheap at the key grain. The actual join count
+    is computed too, and the match column proves the identity."""
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").alias("c_o"))
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").alias("c_l"))
+    predicted = o.join(li, "k").agg(
+        F.sum(F.col("c_o") * F.col("c_l")).alias("predicted"),
+        F.count("*").alias("n_join_keys"),
+    )
+    actual = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count("*").alias("actual"))
+    )
+    return predicted.crossJoin(F.broadcast(actual)).select(
+        "n_join_keys",
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("match"),
+    )
+
+
 QUERIES = {
+    "distributed_global_rank": q_distributed_global_rank,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
     "weighted_median_price": q_weighted_median_price,
     "histogram_equidepth": q_histogram_equidepth,
     "numeric_corr_audit": q_numeric_corr_audit,
@@ -163,6 +248,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "distributed_global_rank": """
+        SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                 AS global_rank,
+               o_orderkey,
+               ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        ORDER BY global_rank
+        LIMIT 500
+    """,
+    "join_cardinality_estimate": """
+        WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1),
+        li AS (SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem GROUP BY 1),
+        p AS (
+            SELECT CAST(SUM(c_o * c_l) AS BIGINT) AS predicted,
+                   COUNT(*) AS n_join_keys
+            FROM o JOIN li USING (k)
+        ),
+        a AS (
+            SELECT COUNT(*) AS actual
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT n_join_keys, predicted, actual, predicted = actual AS match
+        FROM p, a
+    """,
     "weighted_median_price": """
         WITH expanded AS (
             SELECT l_returnflag, l_extendedprice
