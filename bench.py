@@ -101,6 +101,7 @@ HEADLINE = [
     "order_reconciliation_audit",
     "distributed_global_rank",
     "join_cardinality_estimate",
+    "hard_negative_mining",
 ]
 
 STREAMING = [

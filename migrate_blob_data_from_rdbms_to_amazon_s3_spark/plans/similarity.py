@@ -356,6 +356,23 @@ def _knn_topk(emb, probe_max: int | None = None):
     ``probe_max`` the PROBE side restricts to vec_id < probe_max (the
     recall audit's fixed query sample) while the build side stays the
     full corpus."""
+    scored = _knn_scored_pairs(emb, probe_max)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= KNN_K)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            "nn_rank",
+            F.col("vec_b").alias("neighbor_id"),
+            "score",
+        )
+    )
+
+
+def _knn_scored_pairs(emb, probe_max: int | None = None):
+    """Directed (vec_a, vec_b, score) over the LSH candidate set — the
+    shared half of q_knn_join and q_hard_negative_mining."""
     sigs = emb.select(
         "vec_id",
         *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
@@ -428,17 +445,7 @@ def _knn_topk(emb, probe_max: int | None = None):
     )
     if probe_max is not None:
         scored = scored.filter(F.col("vec_a") < probe_max)
-    w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .filter(F.col("nn_rank") <= KNN_K)
-        .select(
-            F.col("vec_a").alias("vec_id"),
-            "nn_rank",
-            F.col("vec_b").alias("neighbor_id"),
-            "score",
-        )
-    )
+    return scored
 
 
 # ANN recall audit: fixed query sample size (sf-independent — the audit
@@ -567,6 +574,62 @@ def _knn_cte(probe_where: str = "") -> str:
                                          ORDER BY score DESC, vec_b) AS nn_rank
             FROM scored
         )"""
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every vector,
+    the most-similar vector with a DIFFERENT label — the negatives that
+    actually teach a metric model, surfaced from the same multi-probe
+    sign-LSH index as knn_join (candidates are index hits, so cost stays
+    O(n · tables · probes), never label-pair × label-pair). Labels attach
+    to the id-only candidate set by two linear equi-joins; the top-1 is a
+    per-vector window over candidate-sized groups. Vectors whose capped
+    buckets yield no cross-label candidate emit no row (both engines)."""
+    emb = _emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    la = labels.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    scored = (
+        _knn_scored_pairs(emb)
+        .join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("label_a").alias("label"),
+            F.col("vec_b").alias("hard_negative_id"),
+            F.col("label_b").alias("neg_label"),
+            "score",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+        WITH {_knn_cte()},
+        labeled AS (
+            SELECT s.vec_a, ea.label AS label_a, s.vec_b, eb.label AS label_b,
+                   s.score
+            FROM scored s
+            JOIN embeddings ea ON ea.vec_id = s.vec_a
+            JOIN embeddings eb ON eb.vec_id = s.vec_b
+            WHERE ea.label != eb.label
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+                                         ORDER BY score DESC, vec_b) AS rk
+            FROM labeled
+        )
+        SELECT vec_a AS vec_id, label_a AS label,
+               vec_b AS hard_negative_id, label_b AS neg_label, score
+        FROM ranked WHERE rk = 1 ORDER BY vec_id
+    """
 
 
 def _knn_join_oracle() -> str:
@@ -1050,6 +1113,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans,
     "semdedup": q_semdedup,
     "knn_join": q_knn_join,
+    "hard_negative_mining": q_hard_negative_mining,
     "ann_recall_audit": q_ann_recall_audit,
 }
 
@@ -1144,6 +1208,7 @@ ORACLES = {
     "kmeans_clusters": _kmeans_oracle(),
     "semdedup": _semdedup_oracle(),
     "knn_join": _knn_join_oracle(),
+    "hard_negative_mining": _hard_negative_oracle(),
     "ann_recall_audit": _ann_recall_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (
