@@ -152,7 +152,34 @@ def q_duplicate_order_detection(spark, sf_dir):
     ).orderBy("o_custkey", "first_orderkey", "dup_orderkey")
 
 
+CONC_PCTL = 0.8  # customers at/above this revenue percentile form the "top"
+
+
+def q_revenue_concentration(spark, sf_dir):
+    """Revenue-concentration (Pareto 80/20) audit: what share of total
+    revenue comes from the top quintile of customers? Per-customer
+    revenue aggregates once; the quintile boundary is ONE exact
+    percentile broadcast back as a scalar cut (the rfm/quality-filter
+    discipline — a rank formulation would single-partition every
+    customer); the report is one more aggregation over the customer
+    grain. Ties at the cut land in the top group in both engines (>=)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    cut = per_cust.agg(F.percentile("rev", F.lit(CONC_PCTL)).alias("cut"))
+    top = F.col("rev") >= F.col("cut")
+    return per_cust.crossJoin(F.broadcast(cut)).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(top.cast("int")).alias("n_top"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(F.sum(F.when(top, F.col("rev")).otherwise(0.0)) / F.sum("rev"), 6).alias(
+            "top_revenue_share"
+        ),
+        F.round(F.first("cut"), 4).alias("cut_revenue"),
+    )
+
+
 QUERIES = {
+    "revenue_concentration": q_revenue_concentration,
     "event_path_topk": q_event_path_topk,
     "hierarchy_share": q_hierarchy_share,
     "order_reconciliation_audit": q_order_reconciliation_audit,
@@ -160,6 +187,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_concentration": f"""
+        WITH per_cust AS (
+            SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
+        ),
+        cut AS (SELECT quantile_cont(rev, {CONC_PCTL}) AS cut FROM per_cust)
+        SELECT COUNT(*) AS n_customers,
+               CAST(SUM(CASE WHEN rev >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               ROUND(SUM(rev), 2) AS total_revenue,
+               ROUND(SUM(CASE WHEN rev >= cut THEN rev ELSE 0 END) / SUM(rev), 6)
+                 AS top_revenue_share,
+               ROUND(MIN(cut), 4) AS cut_revenue
+        FROM per_cust, cut
+    """,
     "event_path_topk": f"""
         WITH steps AS (
             SELECT user_id, CAST(ts AS DATE) AS day, event_type,
