@@ -1,8 +1,12 @@
 """Data-profiling and pipeline-maintenance operators: equi-width
-histograms, join-key skew audits, A/B experiment tests, exact rolling
-distinct users, incremental aggregate maintenance, Pareto frontiers, and
-weighted reservoir sampling (SURVEY §7 M2/M4 breadth — the profiling pass
-every large ingest runs before choosing partitioning and join strategy).
+histograms, join-key skew audits, Bloom-prefilter semi-joins, A/B
+experiment tests, exact rolling distinct users, incremental aggregate
+maintenance, Pareto frontiers, weighted reservoir sampling, and the
+monitoring family (CUSUM change-points, EWMA smoothing, Theil-Sen
+trends, PSI drift, Benford audits, time-weighted averages) — SURVEY §7
+M2/M4 breadth: the profiling pass every large ingest runs before
+choosing partitioning and join strategy, and the drift monitors it runs
+forever after.
 
 Scale notes (100 TB):
 - Every query here is scan → (broadcast 1-row bounds) → one keyed shuffle.
