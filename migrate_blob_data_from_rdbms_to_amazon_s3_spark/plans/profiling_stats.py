@@ -34,7 +34,14 @@ def q_weighted_median_price(spark, sf_dir):
     price per return flag: each row counts l_quantity times. Spark's
     percentile(col, p, frequency) keeps the weight inside the aggregation
     buffer — the oracle materializes the weight by row expansion, the
-    exact anti-pattern this operator exists to avoid at scale."""
+    exact anti-pattern this operator exists to avoid at scale.
+
+    SCALE CUTOVER RULE (the grouped_percentiles family rule): exact
+    percentile still buffers every VALUE of a group; fine while the
+    largest group is bounded (3 return flags here), but unbounded/hot
+    groups swap to approx_percentile — weights then pre-expand into the
+    sketch via the value's count, or quantize weights to integer repeats
+    of a capped resolution."""
     li = _t(spark, sf_dir, "lineitem")
     freq = F.col("l_quantity").cast("int")
     return (
