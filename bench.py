@@ -102,6 +102,8 @@ HEADLINE = [
     "distributed_global_rank",
     "join_cardinality_estimate",
     "hard_negative_mining",
+    "ngram_novelty",
+    "coreset_kcenter",
 ]
 
 STREAMING = [

@@ -225,6 +225,37 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     )
 
 
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: the near-dup pairs found by the
+    3-gram Jaccard index, contracted to the (source, source) grain — the
+    audit that answers "which sources copy from each other" before a
+    corpus mixes them. Sources attach to the id-only pair set by two
+    linear equi-joins (the LSH re-attach discipline); the unordered
+    source pair canonicalizes with least/greatest so the matrix is
+    direction-free. Constant-size output regardless of corpus size."""
+    from ..sources.tables import load_table
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
 def _ngram_common(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     """(doc_a, doc_b, na, nb, c): common-shingle count per candidate pair
     from the inverted 3-gram index, shared by the Jaccard and containment
@@ -640,6 +671,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_containment": q_dedup_containment,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -771,6 +803,43 @@ ORACLES = {
         SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
         FROM common
         WHERE ROUND(c / (na + nb - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_source_matrix": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        df AS (SELECT lang, s, COUNT(*) AS dfc FROM ex GROUP BY 1, 2),
+        surv AS (
+            SELECT ex.doc_id, ex.lang, ex.n_sh, ex.s
+            FROM ex JOIN df USING (lang, s)
+            WHERE df.dfc BETWEEN 2 AND {MAX_POSTING_DF}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM surv a JOIN surv b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
+            FROM common
+            WHERE ROUND(c / (na + nb - c), 4) >= {JACCARD_THRESHOLD}
+        ),
+        m AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT source_a, source_b, COUNT(*) AS n_pairs,
+               ROUND(AVG(jaccard), 4) AS avg_jaccard
+        FROM m GROUP BY 1, 2
+        ORDER BY n_pairs DESC, source_a, source_b
     """,
     "dedup_containment": f"""
         WITH {_DOCS_SH_DUCK},

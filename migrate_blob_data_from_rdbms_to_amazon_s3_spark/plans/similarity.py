@@ -610,6 +610,129 @@ def q_hard_negative_mining(spark, sf_dir):
     )
 
 
+CORESET_K = 8
+
+
+def q_embedding_norm_audit(spark, sf_dir):
+    """Embedding-norm drift audit per label: n, mean/std of the L2 norm,
+    and how many vectors sit beyond 2 sigma of their label's mean — the
+    screen that catches a mis-scaled or collapsed embedding batch before
+    it poisons ANN indexes. Two-level aggregation: norms are a narrow
+    projection (bit-identical fold), label stats re-aggregate the norm
+    grain, outliers count against the broadcast stats."""
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id", "label", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    stats = norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.avg("nrm").alias("mu"),
+        F.stddev_samp("nrm").alias("sd"),
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("mu"), 6).alias("mean_norm"),
+            F.round(F.first("sd"), 6).alias("std_norm"),
+            F.sum(
+                (F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (farthest-point traversal): the
+    CORESET_K vectors that 2-approximate the optimal k-center cover —
+    the diversity-sampling pass data-selection pipelines run to pick
+    representative training subsets. Seeded at vec_id 0; each round
+    computes every vector's distance to the chosen set (one scan, the
+    chosen vectors ride along as broadcast literals built from driver
+    floats — bit-identical doubles in both engines) and takes the argmax
+    (TakeOrdered 1, deterministic (dist DESC, vec_id) tie-break). k-1
+    one-row collects total, the k-means scalar discipline. Output:
+    selection order, vec id, and the coverage radius at selection (the
+    distance that pick closed)."""
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding").collect()[0]
+
+    def lit_vec(vals):
+        return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+    chosen = [(int(seed.vec_id), list(seed.embedding), None)]
+    for _ in range(1, CORESET_K):
+        d = "least(" + ", ".join(
+            _sq_dist_spark("embedding", lit_vec(vals)) for _, vals, _ in chosen
+        ) + ")" if len(chosen) > 1 else _sq_dist_spark(
+            "embedding", lit_vec(chosen[0][1])
+        )
+        row = (
+            emb.select("vec_id", "embedding", F.expr(d).alias("d"))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(row.vec_id), list(row.embedding), float(row.d)))
+    import math
+
+    out = [
+        (rank, vid, None if dd is None else round(math.sqrt(dd), 6))
+        for rank, (vid, _, dd) in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        out, "selection_rank int, vec_id bigint, coverage_radius double"
+    )
+
+
+def _coreset_oracle() -> str:
+    ctes = [
+        "c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)",
+        f"m1 AS (SELECT e.vec_id, e.embedding, {_sq_dist_duck('e.embedding', 'c.embedding')} AS d"
+        " FROM embeddings e, c0 c)",
+    ]
+    picks = []
+    for r in range(1, CORESET_K):
+        ctes.append(
+            f"p{r} AS (SELECT vec_id, embedding, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        picks.append(r)
+        if r < CORESET_K - 1:
+            ctes.append(
+                f"m{r + 1} AS (SELECT m.vec_id, m.embedding,"
+                f" LEAST(m.d, {_sq_dist_duck('m.embedding', 'p.embedding')}) AS d"
+                f" FROM m{r} m, p{r} p)"
+            )
+    selects = ["SELECT 0 AS selection_rank, vec_id, CAST(NULL AS DOUBLE) AS coverage_radius FROM c0"]
+    for r in picks:
+        selects.append(
+            f"SELECT {r} AS selection_rank, vec_id, ROUND(sqrt(d), 6) AS coverage_radius FROM p{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY selection_rank"
+
+
+def _norm_audit_oracle() -> str:
+    nrm = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+        WITH norms AS (
+            SELECT vec_id, label, {nrm} AS nrm FROM embeddings
+        ),
+        stats AS (
+            SELECT label, COUNT(*) AS n, AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd
+            FROM norms GROUP BY 1
+        )
+        SELECT s.label, MIN(s.n) AS n,
+               ROUND(MIN(s.mu), 6) AS mean_norm,
+               ROUND(MIN(s.sd), 6) AS std_norm,
+               CAST(SUM(CASE WHEN ABS(nr.nrm - s.mu) > 2 * s.sd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM norms nr JOIN stats s USING (label)
+        GROUP BY s.label ORDER BY s.label
+    """
+
+
 def _hard_negative_oracle() -> str:
     return f"""
         WITH {_knn_cte()},
@@ -1114,6 +1237,8 @@ QUERIES = {
     "semdedup": q_semdedup,
     "knn_join": q_knn_join,
     "hard_negative_mining": q_hard_negative_mining,
+    "embedding_norm_audit": q_embedding_norm_audit,
+    "coreset_kcenter": q_coreset_kcenter,
     "ann_recall_audit": q_ann_recall_audit,
 }
 
@@ -1209,6 +1334,8 @@ ORACLES = {
     "semdedup": _semdedup_oracle(),
     "knn_join": _knn_join_oracle(),
     "hard_negative_mining": _hard_negative_oracle(),
+    "embedding_norm_audit": _norm_audit_oracle(),
+    "coreset_kcenter": _coreset_oracle(),
     "ann_recall_audit": _ann_recall_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (

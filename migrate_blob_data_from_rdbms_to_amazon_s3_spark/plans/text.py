@@ -365,7 +365,49 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """N-gram novelty score: per document, the share of its word-3-gram
+    OCCURRENCES that appear in no other document (corpus df == 1) — high
+    novelty marks genuinely new content, low novelty marks boilerplate
+    and templated text; the selection signal data-curation pipelines rank
+    by before sampling. One gram-grain df aggregation (distinct-doc
+    count, combiner-friendly), one score join on the gram, one doc
+    aggregation. The gram array materializes behind the dedup barrier so
+    the HOF isn't re-evaluated per exploded row; docs under 3 tokens have
+    no grams and drop out in both engines."""
+    from .dedup import _barrier
+    from ..sources.tables import load_table
+
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+                "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+                "ELSE array() END"
+            ).alias("grams"),
+        )
+    )
+    grams = _barrier(raw, ["doc_id"], ["grams"]).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    df = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.avg((F.col("df") == 1).cast("int")), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
     "text_length_percentiles": q_length_percentiles,
     "text_token_count": q_token_count,
     "chunk_documents": q_chunk_documents,
@@ -379,6 +421,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_novelty": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS gram
+            FROM t
+        ),
+        d AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               ROUND(AVG(CASE WHEN d.df = 1 THEN 1 ELSE 0 END), 4) AS novelty
+        FROM g JOIN d USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
     "chunk_documents": f"""
         WITH c AS (
             SELECT doc_id, text, u.p AS start_pos, u.pos AS pos1
