@@ -581,8 +581,75 @@ def q_benford_audit(spark, sf_dir):
     )
 
 
+# --- consistent-hashing rebalance audit ------------------------------------------------
+CH_BUCKETS = 8  # shard count before scale-out (after: CH_BUCKETS + 1)
+
+
+def q_consistent_hash_rebalance(spark, sf_dir):
+    """Shard-rebalance audit: when a cluster grows from N to N+1 shards,
+    what fraction of keys move under (a) modulo placement (~N/(N+1) — a
+    full reshuffle) vs (b) HRW/rendezvous hashing (~1/(N+1) — only the
+    keys the new shard claims)? Computed exactly over the distinct order
+    custkeys with the deterministic md5 coin. Per key the HRW winner is
+    an argmax over a BOUNDED bucket list (explode ≤ N+1 rows per key,
+    then one per-key window) — the placement lesson behind every shuffle
+    partitioner and the engine's own bucketing (operators/bucketing.py).
+    Output: one row with both movement shares; modulo's reshuffle cost
+    is the reason bucket counts are chosen once and kept."""
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    kh = "CAST(conv(substring(md5(CAST(key AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    mod = keys.select(
+        "key",
+        F.expr(f"{kh} % {CH_BUCKETS}").alias("before"),
+        F.expr(f"{kh} % {CH_BUCKETS + 1}").alias("after"),
+    )
+
+    def hrw(n):
+        # per-(key, bucket) weight; argmax bucket wins the key
+        return (
+            keys.select(
+                "key",
+                F.explode(F.expr(f"sequence(0, {n - 1})")).alias("b"),
+            )
+            .withColumn(
+                "w",
+                F.expr(
+                    "CAST(conv(substring(md5(concat(CAST(key AS STRING), '#', "
+                    "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key").orderBy(F.desc("w"), "b")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("key", F.col("b").alias("bucket"))
+        )
+
+    h_before = hrw(CH_BUCKETS).withColumnRenamed("bucket", "hb")
+    h_after = hrw(CH_BUCKETS + 1).withColumnRenamed("bucket", "ha")
+    joined = (
+        mod.join(h_before, "key")
+        .join(h_after, "key")
+        .select(
+            (F.col("before") != F.col("after")).cast("int").alias("moved_mod"),
+            (F.col("hb") != F.col("ha")).cast("int").alias("moved_hrw"),
+        )
+    )
+    return joined.agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("moved_mod"), 4).alias("moved_mod_share"),
+        F.round(F.avg("moved_hrw"), 4).alias("moved_hrw_share"),
+    )
+
+
 QUERIES = {
     "histogram_equiwidth": q_histogram_equiwidth,
+    "consistent_hash_rebalance": q_consistent_hash_rebalance,
     "bloom_prefilter_semijoin": q_bloom_prefilter_semijoin,
     "events_ewma": q_events_ewma,
     "events_trend_theilsen": q_events_trend_theilsen,
@@ -614,6 +681,43 @@ ORACLES = {
                ROUND(MIN(lo + bin * (hi - lo) / {HIST_BINS}), 4) AS bin_lo,
                ROUND(MIN(lo + (bin + 1) * (hi - lo) / {HIST_BINS}), 4) AS bin_hi
         FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "consistent_hash_rebalance": f"""
+        WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        mod AS (
+            SELECT key,
+                   CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
+                     % {CH_BUCKETS} AS before,
+                   CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
+                     % {CH_BUCKETS + 1} AS after
+            FROM keys
+        ),
+        wb AS (
+            SELECT key, b,
+                   CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                           || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS w
+            FROM keys, (SELECT UNNEST(generate_series(0, {CH_BUCKETS})) AS b)
+        ),
+        hb AS (
+            SELECT key, b AS hb FROM (
+                SELECT key, b, ROW_NUMBER() OVER (PARTITION BY key
+                                                  ORDER BY w DESC, b) AS rk
+                FROM wb WHERE b < {CH_BUCKETS}
+            ) WHERE rk = 1
+        ),
+        ha AS (
+            SELECT key, b AS ha FROM (
+                SELECT key, b, ROW_NUMBER() OVER (PARTITION BY key
+                                                  ORDER BY w DESC, b) AS rk
+                FROM wb
+            ) WHERE rk = 1
+        )
+        SELECT COUNT(*) AS n_keys,
+               ROUND(AVG(CASE WHEN m.before != m.after THEN 1 ELSE 0 END), 4)
+                 AS moved_mod_share,
+               ROUND(AVG(CASE WHEN hb.hb != ha.ha THEN 1 ELSE 0 END), 4)
+                 AS moved_hrw_share
+        FROM mod m JOIN hb USING (key) JOIN ha USING (key)
     """,
     "bloom_prefilter_semijoin": f"""
         WITH build AS (
