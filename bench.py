@@ -104,6 +104,7 @@ HEADLINE = [
     "hard_negative_mining",
     "ngram_novelty",
     "coreset_kcenter",
+    "consistent_hash_rebalance",
 ]
 
 STREAMING = [
