@@ -88,6 +88,63 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def audio_window_stats(
+    df: DataFrame, id_col: str, blob_col: str, window_bytes: int = 64
+) -> DataFrame:
+    """Windowed audio-feature plumbing: the payload is treated as
+    unsigned 8-bit PCM and reduced to per-window (mean, peak, RMS) — the
+    shape a real feature extractor (spectrogram, VAD) emits. Stats use
+    exact integer sums before one final float division/sqrt, so the
+    numbers are bit-reproducible against the SQL oracle. Arrow-batched
+    mapInPandas; a real decoder swaps in at decode_audio."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def r4(x: float) -> float:
+            # SQL ROUND is half-away-from-zero; Python round() is
+            # half-to-even — sum/64 means hit exact binary halves, so the
+            # difference is real, not theoretical (x >= 0 here)
+            return math.floor(x * 10_000 + 0.5) / 10_000
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                for idx, off in enumerate(range(0, len(arr), window_bytes)):
+                    w = arr[off : off + window_bytes]
+                    n = int(len(w))
+                    ss = int(np.sum(w * w))
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            n,
+                            r4(int(np.sum(w)) / n),
+                            int(w.max()),
+                            r4(math.sqrt(ss / n)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_idx", "n_samples", "mean_amp", "peak", "rms"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+
+
 def resize_images(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "payload",
     width: int = 64, height: int = 64,

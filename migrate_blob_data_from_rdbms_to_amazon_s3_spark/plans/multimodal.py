@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_media_meta, sample_frames
+from ..operators.multimodal import audio_window_stats, extract_media_meta, sample_frames
 
 FRAME_BYTES = 64  # small stride so fixture docs produce multiple "frames"
 
@@ -35,12 +35,47 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(_payloads(spark, sf_dir), "doc_id", "payload", FRAME_BYTES)
 
 
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Per-window amplitude stats over the fake-PCM payload (see
+    operators/multimodal.audio_window_stats): integer-exact sums inside
+    the Arrow kernel make every float bit-reproducible in DuckDB."""
+    return audio_window_stats(_payloads(spark, sf_dir), "doc_id", "payload", FRAME_BYTES)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
 ORACLES = {
+    "multimodal_audio_windows": f"""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        ),
+        w AS (
+            SELECT doc_id, text, n,
+                   UNNEST(generate_series(0, n - 1, {FRAME_BYTES})) AS off
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id, off,
+                   CAST(off / {FRAME_BYTES} AS INTEGER) AS window_idx,
+                   LEAST({FRAME_BYTES}, n - off) AS n_samples,
+                   list_transform(generate_series(1, LEAST({FRAME_BYTES}, n - off)),
+                                  i -> ascii(substr(text, off + i, 1))) AS codes
+            FROM w
+        )
+        SELECT doc_id, window_idx, CAST(n_samples AS INTEGER) AS n_samples,
+               ROUND(list_reduce(codes, (x, y) -> x + y) / CAST(n_samples AS DOUBLE), 4)
+                 AS mean_amp,
+               CAST(list_reduce(codes, (x, y) -> CASE WHEN x > y THEN x ELSE y END)
+                    AS INTEGER) AS peak,
+               ROUND(sqrt(list_reduce(list_transform(codes, c -> c * c),
+                                      (x, y) -> x + y) / CAST(n_samples AS DOUBLE)), 4)
+                 AS rms
+        FROM s
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
