@@ -178,7 +178,73 @@ def q_revenue_concentration(spark, sf_dir):
     )
 
 
+def q_markov_prediction_accuracy(spark, sf_dir):
+    """Self-evaluation of the first-order Markov model: train the
+    transition matrix on the whole stream (event_transitions' grain),
+    predict each next event as the argmax of its source row
+    (deterministic alphabetical tie-break), and score accuracy per source
+    type — the eval loop that decides whether first-order navigation
+    structure exists at all. The model is a ≤|types|² table: training,
+    argmax (window over the tiny matrix), and scoring joins all contract
+    to the transition grain before touching raw volume."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    trans = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    pick_w = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    pred = (
+        trans.withColumn("rk", F.row_number().over(pick_w))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.first("predicted").alias("predicted"),
+            F.count("*").alias("n_transitions"),
+            F.round(
+                F.avg((F.col("to_type") == F.col("predicted")).cast("int")), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+def q_monthly_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth: the monthly series contracts to
+    ≤12 rows per year, so the lag window partitions by year (each
+    January's growth is NULL — no cross-partition lag, stated contract)
+    — the dashboard query every finance pipeline materializes. Growth =
+    (rev − prev) / prev, exact month grain."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("yr").orderBy("mo")
+    return (
+        monthly.withColumn("prev", F.lag("revenue").over(w))
+        .select(
+            "yr",
+            "mo",
+            "revenue",
+            F.round(F.try_divide(F.col("revenue") - F.col("prev"), F.col("prev")), 6).alias(
+                "mom_growth"
+            ),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
 QUERIES = {
+    "markov_prediction_accuracy": q_markov_prediction_accuracy,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
     "revenue_concentration": q_revenue_concentration,
     "event_path_topk": q_event_path_topk,
     "hierarchy_share": q_hierarchy_share,
@@ -187,6 +253,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "markov_prediction_accuracy": """
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+            QUALIFY from_type IS NOT NULL
+        ),
+        trans AS (
+            SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT from_type, to_type AS predicted FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                                             ORDER BY n DESC, to_type) AS rk
+                FROM trans
+            ) WHERE rk = 1
+        )
+        SELECT p.from_type, MIN(pr.predicted) AS predicted,
+               COUNT(*) AS n_transitions,
+               ROUND(AVG(CASE WHEN p.to_type = pr.predicted THEN 1 ELSE 0 END), 4)
+                 AS accuracy
+        FROM pairs p JOIN pred pr USING (from_type)
+        GROUP BY p.from_type ORDER BY p.from_type
+    """,
+    "monthly_revenue_growth": """
+        WITH monthly AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   EXTRACT(month FROM o_orderdate) AS mo,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT yr, mo, revenue,
+               ROUND((revenue - LAG(revenue) OVER (PARTITION BY yr ORDER BY mo))
+                     / LAG(revenue) OVER (PARTITION BY yr ORDER BY mo), 6)
+                 AS mom_growth
+        FROM monthly ORDER BY yr, mo
+    """,
     "revenue_concentration": f"""
         WITH per_cust AS (
             SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
