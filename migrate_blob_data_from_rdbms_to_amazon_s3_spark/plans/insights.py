@@ -242,7 +242,127 @@ def q_monthly_revenue_growth(spark, sf_dir):
     )
 
 
+PAGE_SIZE = 5
+SESSION_GAP_SEC = 1800
+
+
+def q_session_length_stats(spark, sf_dir):
+    """Corpus-level session-shape profile: sessions form by the 30-min
+    gap rule (the events_sessionize grain), then ONE aggregate over the
+    session grain reports count, mean/median/p90 of events-per-session,
+    and mean/p90 duration — the distribution a capacity planner and a
+    session-window tuner both read. The exact percentile here aggregates
+    the SESSION grain (bounded: ≤ one row per user-gap), not raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ms = F.unix_millis("ts")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > SESSION_GAP_SEC * 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = (
+        seq.withColumn("session_seq", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max(ms) - F.min(ms)) / 1000.0).alias("duration_sec"),
+        )
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.percentile("n_events", F.lit(0.5)), 4).alias("p50_events"),
+        F.round(F.percentile("n_events", F.lit(0.9)), 4).alias("p90_events"),
+        F.round(F.avg("duration_sec"), 2).alias("avg_duration_sec"),
+        F.round(F.percentile("duration_sec", F.lit(0.9)), 2).alias("p90_duration_sec"),
+    )
+
+
+def q_order_frequency_histogram(spark, sf_dir):
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders — the engagement histogram behind retention models and the
+    sanity check on key-skew assumptions (cf. key_skew_audit). Two
+    aggregations, each combiner-friendly; output is ≤ max-k rows."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("k"))
+    return (
+        per_cust.groupBy("k")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("k")
+    )
+
+
+def q_keyset_page_aggregates(spark, sf_dir):
+    """Keyset pagination over a DERIVED table: page 2 of nations ranked
+    by revenue, fetched by seeking past page 1's boundary row instead of
+    OFFSET-scanning — the parity pagination lesson (operators/
+    pagination.keyset_page) applied to aggregate results, where OFFSET
+    would recompute and discard the whole prefix. Boundary and pages are
+    all TakeOrdered top-k; no global window anywhere. The oracle is the
+    OFFSET formulation, equivalent under the (revenue DESC, name) total
+    order."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    page1 = rev.orderBy(F.desc("revenue"), "n_name").limit(PAGE_SIZE)
+    boundary = page1.orderBy("revenue", F.desc("n_name")).limit(1).select(
+        F.col("revenue").alias("b_rev"), F.col("n_name").alias("b_name")
+    )
+    return (
+        rev.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("revenue") < F.col("b_rev"))
+            | ((F.col("revenue") == F.col("b_rev")) & (F.col("n_name") > F.col("b_name")))
+        )
+        .select("n_name", "revenue")
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(PAGE_SIZE)
+    )
+
+
+def q_events_props_stats(spark, sf_dir):
+    """Schema-on-read over the semi-structured props column: extract the
+    JSON field k per event type with null-tolerant casting, report
+    count / missing / range / distinct — the first query anyone runs on
+    a landed JSON side-channel before promoting it to a real column.
+    Extraction is a JVM-side json path (no Python), one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").isNull().cast("int")).alias("n_missing"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "session_length_stats": q_session_length_stats,
+    "order_frequency_histogram": q_order_frequency_histogram,
+    "keyset_page_aggregates": q_keyset_page_aggregates,
+    "events_props_stats": q_events_props_stats,
     "markov_prediction_accuracy": q_markov_prediction_accuracy,
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "revenue_concentration": q_revenue_concentration,
@@ -253,6 +373,72 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_length_stats": f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ms IS NULL
+                             OR (epoch_ms(ts) - prev_ms) > {SESSION_GAP_SEC * 1000}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, ts, event_id,
+                       LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_ms
+                FROM events
+            )
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq,
+                   epoch_ms(ts) AS ms
+            FROM seq
+        ),
+        grains AS (
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   (MAX(ms) - MIN(ms)) / 1000.0 AS duration_sec
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_sessions,
+               ROUND(AVG(n_events), 4) AS avg_events,
+               ROUND(quantile_cont(n_events, 0.5), 4) AS p50_events,
+               ROUND(quantile_cont(n_events, 0.9), 4) AS p90_events,
+               ROUND(AVG(duration_sec), 2) AS avg_duration_sec,
+               ROUND(quantile_cont(duration_sec, 0.9), 2) AS p90_duration_sec
+        FROM grains
+    """,
+    "order_frequency_histogram": """
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1
+        )
+        SELECT k, COUNT(*) AS n_customers FROM per_cust GROUP BY k ORDER BY k
+    """,
+    "keyset_page_aggregates": f"""
+        WITH rev AS (
+            SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        )
+        SELECT n_name, revenue FROM rev
+        ORDER BY revenue DESC, n_name
+        LIMIT {PAGE_SIZE} OFFSET {PAGE_SIZE}
+    """,
+    "events_props_stats": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               ROUND(AVG(k), 4) AS avg_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k,
+               COUNT(DISTINCT k) AS distinct_k
+        FROM (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
     "markov_prediction_accuracy": """
         WITH pairs AS (
             SELECT LAG(event_type) OVER (PARTITION BY user_id

@@ -406,7 +406,36 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+DOC_TOP_TOKENS = 3
+
+
+def q_doc_top_tokens(spark, sf_dir):
+    """Per-document top-3 tokens by frequency (keyword extraction's
+    zeroth-order baseline): one (doc, token) aggregation, then a window
+    PARTITIONED BY doc over the per-doc vocabulary — never a global
+    sort; ties break alphabetically so the ranking is deterministic in
+    both engines."""
+    from ..sources.tables import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOC_TOP_TOKENS)
+        .select("doc_id", "rk", F.col("tok").alias("token"), "n")
+        .orderBy("doc_id", "rk")
+    )
+
+
 QUERIES = {
+    "doc_top_tokens": q_doc_top_tokens,
     "ngram_novelty": q_ngram_novelty,
     "text_length_percentiles": q_length_percentiles,
     "text_token_count": q_token_count,
@@ -421,6 +450,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_top_tokens": rf"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        counts AS (
+            SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id, rk, tok AS token, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, tok) AS rk
+            FROM counts
+        ) WHERE rk <= {DOC_TOP_TOKENS}
+        ORDER BY doc_id, rk
+    """,
     "ngram_novelty": """
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
