@@ -891,6 +891,34 @@ def q_window_navigation(spark, sf_dir):
     )
 
 
+def q_window_cume_nth(spark, sf_dir):
+    """Distribution + positional windows: cumulative distribution of each
+    order's price within its (priority, year) cohort, plus the cohort's
+    cheapest order (nth_value 1 over the full frame) — completes the
+    window family next to window_navigation's rank/ntile/percent_rank.
+    Cohort partitioning keeps every window group bounded (priority ×
+    year), never a global ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    ).filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority", "yr").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "yr",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.cume_dist().over(w), 4).alias("price_cume_dist"),
+        F.round(F.nth_value("o_totalprice", 1).over(w_full), 2).alias("cohort_min_price"),
+    ).orderBy("o_orderkey")
+
+
 # --- top-k per group ------------------------------------------------------------------------------
 def q_top3_orders_per_segment(spark, sf_dir):
     """Top-3 orders by price within each market segment: rank window +
@@ -935,6 +963,7 @@ QUERIES = {
     "window_running_sum": q_window_running_sum,
     "window_time_range_avg": q_window_time_range_avg,
     "window_navigation": q_window_navigation,
+    "window_cume_nth": q_window_cume_nth,
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "rollup_sales": q_rollup_sales,
     "distinct_counts": q_distinct_counts,
@@ -1029,6 +1058,21 @@ ORACLES = {
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders JOIN customer ON o_custkey = c_custkey
         ) WHERE rk <= 3
+    """,
+    "window_cume_nth": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority,
+                                                    EXTRACT(year FROM o_orderdate)
+                                       ORDER BY o_totalprice, o_orderkey), 4)
+                 AS price_cume_dist,
+               ROUND(MIN(o_totalprice) OVER (PARTITION BY o_orderpriority,
+                                                          EXTRACT(year FROM o_orderdate)), 2)
+                 AS cohort_min_price
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
     """,
     "window_navigation": """
         SELECT o_custkey, o_orderkey,

@@ -244,7 +244,37 @@ def q_join_cardinality_estimate(spark, sf_dir):
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized preprocessing audit: order totals clipped at the exact
+    p1/p99 cut-points (one percentile aggregate broadcast back — no
+    global sort), with raw-vs-winsorized mean/stddev side by side and the
+    clip counts — the robust-feature preparation step, and the audit of
+    how much tail mass it moved. At unbounded scale swap the exact cuts
+    for approx_percentile (the grouped_percentiles family rule)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    cuts = o.agg(
+        F.percentile("x", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("x", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    return o.crossJoin(F.broadcast(cuts)).agg(
+        F.count("*").alias("n"),
+        F.round(F.first("lo"), 4).alias("p01"),
+        F.round(F.first("hi"), 4).alias("p99"),
+        F.sum((F.col("x") < F.col("lo")).cast("int")).alias("n_clipped_low"),
+        F.sum((F.col("x") > F.col("hi")).cast("int")).alias("n_clipped_high"),
+        F.round(F.avg("x"), 4).alias("raw_mean"),
+        F.round(F.avg(w), 4).alias("winsor_mean"),
+        F.round(F.stddev_samp("x"), 4).alias("raw_std"),
+        F.round(F.stddev_samp(w), 4).alias("winsor_std"),
+    )
+
+
 QUERIES = {
+    "winsorized_stats": q_winsorized_stats,
     "distributed_global_rank": q_distributed_global_rank,
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "weighted_median_price": q_weighted_median_price,
@@ -255,6 +285,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorized_stats": f"""
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+                   quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+            FROM orders
+        )
+        SELECT COUNT(*) AS n,
+               ROUND(MIN(lo), 4) AS p01,
+               ROUND(MIN(hi), 4) AS p99,
+               CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_low,
+               CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_high,
+               ROUND(AVG(o_totalprice), 4) AS raw_mean,
+               ROUND(AVG(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS winsor_mean,
+               ROUND(STDDEV_SAMP(o_totalprice), 4) AS raw_std,
+               ROUND(STDDEV_SAMP(LEAST(GREATEST(o_totalprice, lo), hi)), 4)
+                 AS winsor_std
+        FROM orders, cuts
+    """,
     "distributed_global_rank": """
         SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                  AS global_rank,

@@ -60,13 +60,83 @@ def q_monthly_revenue(spark, sf_dir):
     """)
 
 
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() disambiguation: status-only,
+    priority-only, and grand-total aggregates in ONE pass (partial agg per
+    set, single shuffle) — the OLAP grouping family's third member next to
+    cube_orders / rollup_sales, where NULL group slots are told apart from
+    genuine NULL data by the grouping flags."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """)
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt: the lineitem numeric columns reshaped to a long
+    (metric, value) table and re-aggregated — the inverse of
+    pivot_events, used when a wide table feeds a metric-generic pipeline.
+    The stack() generator is a narrow projection (no shuffle until the
+    aggregate)."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        SELECT metric,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(MIN(value), 4) AS min_value,
+               ROUND(MAX(value), 4) AS max_value
+        FROM (
+            SELECT stack(3, 'quantity', l_quantity,
+                            'price', l_extendedprice,
+                            'discount', l_discount) AS (metric, value)
+            FROM lineitem
+        )
+        GROUP BY metric ORDER BY metric
+    """)
+
+
 QUERIES = {
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "unpivot_metrics": q_unpivot_metrics,
     "sql_top_customer_per_nation": q_top_customer_per_nation,
     "sql_orders_of_rich_customers": q_orders_of_rich_customers,
     "sql_monthly_revenue": q_monthly_revenue,
 }
 
 ORACLES = {
+    "grouping_sets_orders": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """,
+    "unpivot_metrics": """
+        WITH long AS (
+            SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT 'price', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'discount', l_discount FROM lineitem
+        )
+        SELECT metric, COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(MIN(value), 4) AS min_value,
+               ROUND(MAX(value), 4) AS max_value
+        FROM long GROUP BY metric ORDER BY metric
+    """,
     "sql_top_customer_per_nation": """
         SELECT n.n_name AS nation, c.c_name AS customer,
                ROUND(c.c_acctbal, 2) AS acctbal
