@@ -273,7 +273,101 @@ def q_winsorized_stats(spark, sf_dir):
     )
 
 
+QQ_YEAR_P, QQ_YEAR_Q = 1996, 1997
+BOOT_REPLICATES = 16
+# Poisson(1) inverse-CDF ladder (cumulative pmf), enough mass through k=6
+_POIS_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406, 0.999917]
+
+
+def q_price_qq_drift(spark, sf_dir):
+    """Quantile-quantile drift table: the order-total deciles of 1996 vs
+    1997 side by side with their gaps — the location-aware complement to
+    price_psi_drift's single number (PSI says THAT the distribution
+    moved; the Q-Q table says WHERE). Two grouped exact-percentile
+    arrays, exploded to the 9-row decile grid — no global sort, constant
+    output."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("x")
+    ).filter(F.col("yr").isin(QQ_YEAR_P, QQ_YEAR_Q))
+    ps = [i / 10 for i in range(1, 10)]
+    arr = "percentile(x, array(" + ", ".join(str(p) for p in ps) + "))"
+    per_yr = o.groupBy("yr").agg(F.expr(arr).alias("qs"))
+    grid = per_yr.select(
+        "yr", F.posexplode("qs").alias("i", "q")
+    ).select("yr", ((F.col("i") + 1) * 10).alias("pctl"), "q")
+    p_side = grid.filter(F.col("yr") == QQ_YEAR_P).select(
+        "pctl", F.col("q").alias("q_p")
+    )
+    q_side = grid.filter(F.col("yr") == QQ_YEAR_Q).select(
+        "pctl", F.col("q").alias("q_q")
+    )
+    return (
+        p_side.join(q_side, "pctl")
+        .select(
+            "pctl",
+            F.round("q_p", 4).alias(f"q{QQ_YEAR_P}"),
+            F.round("q_q", 4).alias(f"q{QQ_YEAR_Q}"),
+            F.round(F.col("q_q") - F.col("q_p"), 4).alias("shift"),
+        )
+        .orderBy("pctl")
+    )
+
+
+def q_bootstrap_mean_se(spark, sf_dir):
+    """Poisson bootstrap standard error of the mean order total — THE
+    resampling method that scales: instead of materializing B resamples,
+    each row draws a deterministic Poisson(1) weight per replicate (md5
+    coin → inverse-CDF ladder), so one pass computes all B replicate
+    means (weighted, map-side partial aggregation; the shuffle carries B
+    partial rows per partition, not B× the data). Reports the bootstrap
+    SE next to the analytic se = s/√n — the agreement check that
+    validates the coin. Kleiner et al.'s BLB / Chamandy et al.'s Poisson
+    bootstrap lineage, Spark-shaped."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", F.col("o_totalprice").alias("x"))
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    ) + " ELSE 7 END"
+    rep = (
+        o.select(
+            "o_orderkey",
+            "x",
+            F.explode(F.expr(f"sequence(0, {BOOT_REPLICATES - 1})")).alias("b"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
+                "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1) / "
+                f"{float(1 << 60)}"
+            ),
+        )
+        .withColumn("w", F.expr(ladder))
+        .groupBy("b")
+        .agg(F.try_divide(F.sum(F.col("x") * F.col("w")), F.sum("w")).alias("rep_mean"))
+    )
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mean_x"),
+        (F.stddev_samp("x") / F.sqrt(F.count("*"))).alias("analytic_se"),
+    )
+    return rep.agg(
+        F.count("*").alias("n_replicates"),
+        F.round(F.avg("rep_mean"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("rep_mean"), 4).alias("boot_se"),
+    ).crossJoin(F.broadcast(base)).select(
+        "n_replicates",
+        "n",
+        F.round("mean_x", 4).alias("mean_x"),
+        "boot_mean",
+        "boot_se",
+        F.round("analytic_se", 4).alias("analytic_se"),
+        F.round(F.col("boot_se") / F.col("analytic_se"), 2).alias("se_ratio"),
+    )
+
+
 QUERIES = {
+    "price_qq_drift": q_price_qq_drift,
+    "bootstrap_mean_se": q_bootstrap_mean_se,
     "winsorized_stats": q_winsorized_stats,
     "distributed_global_rank": q_distributed_global_rank,
     "join_cardinality_estimate": q_join_cardinality_estimate,
@@ -285,6 +379,62 @@ QUERIES = {
 }
 
 ORACLES = {
+    "price_qq_drift": f"""
+        WITH o AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS yr, o_totalprice AS x
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) IN ({QQ_YEAR_P}, {QQ_YEAR_Q})
+        ),
+        per_yr AS (
+            SELECT yr, quantile_cont(x, [{", ".join(str(i / 10) for i in range(1, 10))}])
+                     AS qs
+            FROM o GROUP BY yr
+        ),
+        grid AS (
+            SELECT yr, (i * 10) AS pctl, qs[i] AS q
+            FROM per_yr, (SELECT UNNEST(generate_series(1, 9)) AS i)
+        )
+        SELECT p.pctl,
+               ROUND(p.q, 4) AS q{QQ_YEAR_P},
+               ROUND(q.q, 4) AS q{QQ_YEAR_Q},
+               ROUND(q.q - p.q, 4) AS shift
+        FROM (SELECT pctl, q FROM grid WHERE yr = {QQ_YEAR_P}) p
+        JOIN (SELECT pctl, q FROM grid WHERE yr = {QQ_YEAR_Q}) q USING (pctl)
+        ORDER BY p.pctl
+    """,
+    "bootstrap_mean_se": f"""
+        WITH o AS (SELECT o_orderkey, o_totalprice AS x FROM orders),
+        rep AS (
+            SELECT b,
+                   SUM(x * w) / SUM(w) AS rep_mean
+            FROM (
+                SELECT x, b,
+                       CASE {" ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))}
+                            ELSE 7 END AS w
+                FROM (
+                    SELECT x, b,
+                           (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                                                   || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                            + 1) / {float(1 << 60)} AS u
+                    FROM o, (SELECT UNNEST(generate_series(0, {BOOT_REPLICATES - 1})) AS b)
+                )
+            )
+            GROUP BY b
+        ),
+        base AS (
+            SELECT COUNT(*) AS n, AVG(x) AS mean_x,
+                   STDDEV_SAMP(x) / SQRT(COUNT(*)) AS analytic_se
+            FROM o
+        )
+        SELECT COUNT(*) AS n_replicates,
+               MIN(base.n) AS n,
+               ROUND(MIN(base.mean_x), 4) AS mean_x,
+               ROUND(AVG(rep_mean), 4) AS boot_mean,
+               ROUND(STDDEV_SAMP(rep_mean), 4) AS boot_se,
+               ROUND(MIN(base.analytic_se), 4) AS analytic_se,
+               ROUND(STDDEV_SAMP(rep_mean) / MIN(base.analytic_se), 2) AS se_ratio
+        FROM rep, base
+    """,
     "winsorized_stats": f"""
         WITH cuts AS (
             SELECT quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
