@@ -687,6 +687,28 @@ def q_coreset_kcenter(spark, sf_dir):
     )
 
 
+DIM_VAR_TOPK = 5
+
+
+def q_embedding_dim_variance(spark, sf_dir):
+    """Per-dimension variance screen: the DIM_VAR_TOPK highest-variance
+    embedding dimensions — the feature-selection / whitening diagnostic
+    (a dead dimension wastes index bits; a dominant one distorts cosine).
+    One posexplode to the (dim, value) grain, one 64-row aggregation, a
+    TakeOrdered top-k."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            F.round(F.var_samp(F.col("v").cast("double")), 6).alias("var_v"),
+        )
+        .orderBy(F.desc("var_v"), "dim")
+        .limit(DIM_VAR_TOPK)
+    )
+
+
 def _coreset_oracle() -> str:
     ctes = [
         "c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)",
@@ -1239,6 +1261,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_norm_audit": q_embedding_norm_audit,
     "coreset_kcenter": q_coreset_kcenter,
+    "embedding_dim_variance": q_embedding_dim_variance,
     "ann_recall_audit": q_ann_recall_audit,
 }
 
@@ -1336,6 +1359,15 @@ ORACLES = {
     "hard_negative_mining": _hard_negative_oracle(),
     "embedding_norm_audit": _norm_audit_oracle(),
     "coreset_kcenter": _coreset_oracle(),
+    "embedding_dim_variance": f"""
+        WITH g AS (
+            SELECT u.dim - 1 AS dim, embedding[u.dim]::DOUBLE AS v
+            FROM embeddings, LATERAL (SELECT UNNEST(generate_series(1, {EMB_DIM})) AS dim) u
+        )
+        SELECT dim, ROUND(AVG(v), 6) AS mean_v, ROUND(VAR_SAMP(v), 6) AS var_v
+        FROM g GROUP BY dim
+        ORDER BY var_v DESC, dim LIMIT {DIM_VAR_TOPK}
+    """,
     "ann_recall_audit": _ann_recall_oracle(),
     "embedding_quantize_int8": f"""
         WITH s AS (
