@@ -358,7 +358,92 @@ def q_events_props_stats(spark, sf_dir):
     )
 
 
+DIV_YEAR = 1996
+
+
+def q_relational_division(spark, sf_dir):
+    """Relational division ("for all"): suppliers with lineitem activity
+    in EVERY month of 1996 — the one relational-algebra operator SQL has
+    no keyword for, expressed as the scale-right reduction: contract to
+    the (supplier, month) grain first (combiner-friendly distinct), then
+    divide via count(distinct month) == 12. Never a 12-way self-join.
+    Output: qualifying suppliers and their year revenue."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == DIV_YEAR
+    ).select("o_orderkey", F.month("o_orderdate").alias("mo"))
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    cov = joined.groupBy("l_suppkey").agg(
+        F.countDistinct("mo").alias("n_months"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("year_revenue"),
+    )
+    return (
+        cov.filter(F.col("n_months") == 12)
+        .join(supp, cov.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "year_revenue")
+        .orderBy("suppkey")
+    )
+
+
+GINI_BUCKETS = 16
+
+
+def q_revenue_gini(spark, sf_dir):
+    """Exact Gini coefficient of customer revenue WITHOUT a global
+    window: ascending ranks come from the distributed_global_rank
+    machinery (percentile cut buckets + B-row prefix offsets + bucket-
+    partitioned row_number), then G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. The
+    single-partition ROW_NUMBER formulation is oracle-only. The
+    inequality number every mix/quota audit wants next to
+    revenue_concentration's top-share."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ps = [i / GINI_BUCKETS for i in range(1, GINI_BUCKETS)]
+    cuts = per_cust.agg(
+        F.expr(
+            "percentile(rev, array(" + ", ".join(str(p) for p in ps) + "))"
+        ).alias("cuts")
+    )
+    bucketed = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "rev",
+        F.expr("aggregate(cuts, 0, (acc, c) -> acc + IF(rev > c, 1, 0))").alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
+    prev = counts.select(F.col("b").alias("pb"), F.col("n").alias("pn"))
+    offsets = (
+        counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("b").orderBy("rev", "o_custkey")
+    ranked = bucketed.join(F.broadcast(offsets), "b").withColumn(
+        "i", F.col("offset") + F.row_number().over(w)
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2 * F.sum(F.col("i") * F.col("rev")) / (F.count("*") * F.sum("rev"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
+    "relational_division": q_relational_division,
+    "revenue_gini": q_revenue_gini,
     "session_length_stats": q_session_length_stats,
     "order_frequency_histogram": q_order_frequency_histogram,
     "keyset_page_aggregates": q_keyset_page_aggregates,
@@ -373,6 +458,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "relational_division": f"""
+        WITH joined AS (
+            SELECT l.l_suppkey,
+                   EXTRACT(month FROM o.o_orderdate) AS mo,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE EXTRACT(year FROM o.o_orderdate) = {DIV_YEAR}
+        ),
+        cov AS (
+            SELECT l_suppkey, COUNT(DISTINCT mo) AS n_months,
+                   ROUND(SUM(rev), 2) AS year_revenue
+            FROM joined GROUP BY 1
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name, cov.year_revenue
+        FROM cov JOIN supplier s ON cov.l_suppkey = s.s_suppkey
+        WHERE cov.n_months = 12
+        ORDER BY suppkey
+    """,
+    "revenue_gini": """
+        WITH per_cust AS (
+            SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT rev,
+                   ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+            FROM per_cust
+        )
+        SELECT COUNT(*) AS n_customers,
+               ROUND(SUM(rev), 2) AS total_revenue,
+               ROUND(2 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
     "session_length_stats": f"""
         WITH seq AS (
             SELECT user_id, ts, event_id,

@@ -103,7 +103,44 @@ def q_unpivot_metrics(spark, sf_dir):
     """)
 
 
+def q_recursive_calendar(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the full
+    month calendar between the corpus's first and last order dates, then
+    left-join monthly revenue so SILENT GAP MONTHS surface as explicit
+    zero rows — the completeness join a reporting pipeline needs and a
+    plain GROUP BY can never produce (it only sees months that exist).
+    Recursion depth = month span (bounded by the data's own range);
+    DuckDB runs the identical recursion."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        months(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months, bounds
+            WHERE m < hi
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               CAST(rev.m IS NULL AS BOOLEAN) AS is_gap
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month
+    """)
+
+
 QUERIES = {
+    "recursive_calendar": q_recursive_calendar,
     "grouping_sets_orders": q_grouping_sets_orders,
     "unpivot_metrics": q_unpivot_metrics,
     "sql_top_customer_per_nation": q_top_customer_per_nation,
@@ -112,6 +149,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "recursive_calendar": """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        months(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds
+            WHERE m < hi
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               (rev.m IS NULL) AS is_gap
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month
+    """,
     "grouping_sets_orders": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
