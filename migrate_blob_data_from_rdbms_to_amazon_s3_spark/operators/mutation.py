@@ -38,13 +38,25 @@ def insert_rows(existing: DataFrame, new_rows: DataFrame, pk: str) -> DataFrame:
     return existing.unionByName(fresh)
 
 
-def update_rows(existing: DataFrame, updates: DataFrame, pk: str) -> DataFrame:
+def update_rows(
+    existing: DataFrame, updates: DataFrame, pk: str, bulk: bool = False
+) -> DataFrame:
     """A7/A8 keyed update: for every non-PK column present in ``updates``,
     take the update value when a matching key exists, else keep the old one
-    (UPDATE ... SET col = ? WHERE order_id = ?, order.js:707-718)."""
+    (UPDATE ... SET col = ? WHERE order_id = ?, order.js:707-718).
+
+    The default shape is the reference's point-mutation CRUD: a handful of
+    updated rows against a big table, where the explicit broadcast hint
+    skips a full shuffle of ``existing`` even when the update side has no
+    stats (e.g. a fresh parquet read). For a BULK batch (backfills,
+    CDC replay — anything that could exceed executor memory when
+    broadcast) pass ``bulk=True``: no hint is planted and AQE picks the
+    join strategy from runtime sizes, mirroring ``insert_rows``'s
+    documented no-hint discipline. tests/test_plan_shapes.py asserts both
+    plan shapes."""
     upd_cols = [c for c in updates.columns if c != pk]
     renamed = updates.select(pk, *[F.col(c).alias(f"__upd_{c}") for c in upd_cols])
-    joined = existing.join(F.broadcast(renamed), pk, "left")
+    joined = existing.join(renamed if bulk else F.broadcast(renamed), pk, "left")
     out_cols = []
     for c in existing.columns:
         if c in upd_cols:
@@ -54,19 +66,94 @@ def update_rows(existing: DataFrame, updates: DataFrame, pk: str) -> DataFrame:
     return joined.select(*out_cols)
 
 
-def delete_rows(existing: DataFrame, keys: DataFrame, pk: str) -> DataFrame:
+def delete_rows(
+    existing: DataFrame, keys: DataFrame, pk: str, bulk: bool = False
+) -> DataFrame:
     """A9 keyed delete: left-anti join (DELETE WHERE order_id = ?,
     order.js:673-684). Deleting an absent key is a no-op, matching the
-    reference's idempotent-delete probe (test/order.test.js:433-445)."""
-    return existing.join(F.broadcast(keys.select(pk)), pk, "left_anti")
+    reference's idempotent-delete probe (test/order.test.js:433-445).
+    ``bulk=True`` drops the broadcast hint for key sets too large to
+    broadcast — see ``update_rows``."""
+    key_set = keys.select(pk)
+    return existing.join(
+        key_set if bulk else F.broadcast(key_set), pk, "left_anti"
+    )
 
 
-def upsert_rows(existing: DataFrame, rows: DataFrame, pk: str) -> DataFrame:
+def upsert_rows(
+    existing: DataFrame, rows: DataFrame, pk: str, bulk: bool = False
+) -> DataFrame:
     """MERGE-style upsert = update matched + insert unmatched, one shuffle."""
-    return insert_rows(update_rows(existing, rows, pk), rows, pk)
+    return insert_rows(update_rows(existing, rows, pk, bulk=bulk), rows, pk)
 
 
-def rewrite(df: DataFrame, path: str) -> None:
+class WriterLockTimeout(RuntimeError):
+    """Another writer held the table lease past the acquire timeout."""
+
+
+class _writer_lock:
+    """Lease-file writer lock enforcing ``rewrite``/``recover``'s documented
+    single-writer contract (VERDICT r4 item 7) instead of assuming it.
+
+    ``<path>.__lock`` is created with O_CREAT|O_EXCL (atomic on POSIX local
+    filesystems) and holds pid + acquire-time. A second writer polls until
+    the lease frees, the holder's lease goes STALE (mtime older than
+    ``ttl_s`` — a crashed writer never unlinks its lock; the waiter then
+    preempts it), or ``timeout_s`` elapses (WriterLockTimeout — fail loud,
+    never proceed unserialised). The preempt re-uses the same O_EXCL create
+    after an unlink, so two waiters racing a stale lock still serialize on
+    the create.
+
+    Scale note: O_EXCL is not trustworthy on NFS, and object stores have
+    no rename at all — there the real fix is a table format (Delta/Iceberg
+    optimistic metadata commit) or an external lock service; this protocol
+    is the correct local/POSIX rendition of the same lease idea."""
+
+    def __init__(self, path: str, timeout_s: float = 60.0, ttl_s: float = 3600.0):
+        self._lock_path = f"{path.removeprefix('file:').rstrip('/')}.__lock"
+        self._timeout_s = timeout_s
+        self._ttl_s = ttl_s
+
+    def __enter__(self):
+        import os
+        import time
+
+        deadline = time.monotonic() + self._timeout_s
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(self._lock_path) > self._ttl_s
+                except OSError:
+                    stale = False  # holder just released; retry the create
+                if stale:
+                    try:
+                        os.unlink(self._lock_path)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise WriterLockTimeout(
+                        f"writer lock {self._lock_path} held past "
+                        f"{self._timeout_s}s; concurrent rewrite in flight?"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.unlink(self._lock_path)
+        except OSError:
+            pass
+        return False
+
+
+def rewrite(df: DataFrame, path: str, lock_timeout_s: float = 60.0) -> None:
     """Materialize a mutation atomically: write to a temp dir, then swap.
     (Plain-Parquet analog of a transactional commit; with a table format
     like Delta/Iceberg this becomes a real MERGE.)
@@ -80,10 +167,12 @@ def rewrite(df: DataFrame, path: str) -> None:
     atomically without renameat2/table-format metadata; with Delta/
     Iceberg this whole dance is a metadata commit).
 
-    SINGLE WRITER REQUIRED: concurrent ``rewrite``s of the same path (or
-    a ``recover`` racing a live ``rewrite``) can delete each other's temp
-    dirs or resurrect a stale copy — serialize writers externally (job
-    scheduler, lock service); a table format is the real fix."""
+    Writers SERIALIZE on a lease file (``_writer_lock``): a concurrent
+    ``rewrite`` of the same path blocks until the first finishes (or
+    raises WriterLockTimeout after ``lock_timeout_s``) instead of deleting
+    the other's temp dirs. The Spark write itself runs OUTSIDE the lease —
+    only the swap window is serialized, so a long job never starves other
+    writers of lock time."""
     import os
     import shutil
     import uuid
@@ -94,15 +183,16 @@ def rewrite(df: DataFrame, path: str) -> None:
     # Spark accepts file: URIs; shutil needs bare paths
     local_tmp, local_path = tmp.removeprefix("file:"), path.removeprefix("file:")
     old_aside = f"{local_path.rstrip('/')}.__old_{token}"
-    had_old = os.path.exists(local_path)
-    if had_old:
-        os.rename(local_path, old_aside)
-    try:
-        shutil.move(local_tmp, local_path)
-    except BaseException:
-        if had_old and not os.path.exists(local_path):
-            os.rename(old_aside, local_path)
-        raise
+    with _writer_lock(path, timeout_s=lock_timeout_s):
+        had_old = os.path.exists(local_path)
+        if had_old:
+            os.rename(local_path, old_aside)
+        try:
+            shutil.move(local_tmp, local_path)
+        except BaseException:
+            if had_old and not os.path.exists(local_path):
+                os.rename(old_aside, local_path)
+            raise
     if had_old:
         shutil.rmtree(old_aside, ignore_errors=True)
 
@@ -113,10 +203,10 @@ def recover(path: str) -> bool:
     stale ``.__tmp_*`` partial writes). Run at job startup — the analog
     of a WAL replay. Returns True if a restore happened.
 
-    Assumes the single-writer discipline ``rewrite`` documents: run it
-    only when no rewrite of ``path`` can be in flight. As a belt-and-
-    braces guard against a near-miss, temp dirs modified within the last
-    ``min_tmp_age_s`` seconds are left alone — a live ``rewrite``'s
+    Serializes on the same lease file as ``rewrite`` — a recover can no
+    longer race a live rewrite's swap window. The Spark write phase runs
+    outside the lease, so temp dirs modified within the last
+    ``min_tmp_age_s`` seconds are still left alone — a live ``rewrite``'s
     in-progress output is never swept."""
     return _recover(path)
 
@@ -128,6 +218,16 @@ def _recover(path: str, min_tmp_age_s: float = 600.0) -> bool:
     import time
 
     local_path = path.removeprefix("file:").rstrip("/")
+    with _writer_lock(path):
+        return _recover_locked(local_path, min_tmp_age_s)
+
+
+def _recover_locked(local_path: str, min_tmp_age_s: float) -> bool:
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
     now = time.time()
     for tmp in _glob.glob(f"{local_path}.__tmp_*"):
         try:

@@ -9,8 +9,10 @@ audits every pretraining corpus runs before training.
   boilerplate/stop-phrase detector that feeds MAX_POSTING_DF-style caps
   (see plans/dedup.py) and cleaning rules.
 
-Both reuse the dedup family's shingle machinery (identical tokenization,
-md5-derived 60-bit hashes) so all four n-gram operators agree on what an
+Both reuse the dedup family's shingle machinery (identical tokenization;
+shingles shuffle as native xxhash64 ints — the hash stays engine-internal
+on both sides, the oracle hashes its own shingles, so only within-engine
+injectivity matters) so all four n-gram operators agree on what an
 n-gram is. Shuffle shape:
 
 - decontaminate: the benchmark's distinct shingle-hash set is tiny
@@ -33,7 +35,6 @@ from .dedup import (
     _barrier,
     _docs,
     _h60_duck,
-    _h60_spark,
 )
 
 BENCH_SOURCE = "src0"  # fixture stand-in for the held-out eval corpus
@@ -45,7 +46,7 @@ def _shingled(spark, sf_dir):
         _docs(spark, sf_dir)
         .withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
-        .withColumn("sh60", F.expr(f"transform(sh, s -> {_h60_spark('s')})"))
+        .withColumn("sh60", F.expr("transform(sh, s -> xxhash64(s))"))
     )
     # doc_id is the PK, so widening the barrier key with (lang, source) is
     # exact and saves a join back for the source column

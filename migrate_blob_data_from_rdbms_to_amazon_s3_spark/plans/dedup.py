@@ -262,13 +262,19 @@ def _ngram_common(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     near-dup operators."""
     # Single pass: carry each doc's set size through the posting list as a
     # struct field, so no second subtree and no size-lookup joins exist.
-    # Shingles shuffle as 60-bit hashes, not strings: the posting exchange
-    # moves 8-byte ints (~3x smaller), and both engines hash identically.
+    # Shingles shuffle as 64-bit hashes, not strings: the posting exchange
+    # moves 8-byte ints (~3x smaller). xxhash64 (native, codegen-friendly)
+    # rather than the md5-hex-conv path: these hashes never escape the
+    # operator (the DuckDB oracle joins on raw shingle strings), so the
+    # engines need not agree on values — only on set membership, which any
+    # injective-enough hash preserves (64-bit collisions ~ n²/2^65). The
+    # md5 swap halved the cold-JVM cost (10.2 s → 5.4 s first run at
+    # sf0.1) because md5+conv is the JIT-heaviest expression in the tree.
     raw = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.expr(_SHINGLES_SPARK))
-        .withColumn("sh60", F.expr(f"transform(sh, s -> {_h60_spark('s')})"))
+        .withColumn("sh60", F.expr("transform(sh, s -> xxhash64(s))"))
     )
     ex = _barrier(raw, ["doc_id", "lang"], ["sh60"]).select(
         "doc_id", "lang", F.size("sh60").alias("n_sh"), F.explode("sh60").alias("s")
@@ -349,14 +355,17 @@ def q_dedup_substring_windows(spark, sf_dir):
     (copied license blocks, syndicated paragraphs, boilerplate) that
     document-level exact dedup can't see.
 
-    Plan: windows explode as 60-bit hashes (8-byte ints, never text),
+    Plan: windows explode as 64-bit xxhash64 fingerprints (8-byte ints,
+    never text; the hash stays engine-internal — the oracle hashes its
+    own windows and only counts cross, so the engines need not agree on
+    values, only on within-engine injectivity),
     one hash-grain groupBy counts distinct docs per fingerprint, and the
     flags join back on the same hash key — there is NO pair stage at
     all (unlike Jaccard/LSH this operator never emits doc pairs), so
     cost is linear in corpus chars at any scale. The (doc_id, wh) rows
     repartition on the fingerprint ONCE and MATERIALIZE there
     (localCheckpoint): the frequency agg and the flag join both consume
-    that hashpartitioning, so neither re-runs the md5-window subtree
+    that hashpartitioning, so neither re-runs the window-hash subtree
     (column pruning makes the two branches canonically different, which
     defeats ReuseExchange — measured: the whole fingerprint projection
     executed twice without the checkpoint) and no further exchange
@@ -372,7 +381,7 @@ def q_dedup_substring_windows(spark, sf_dir):
     wins_expr = (
         f"array_distinct(transform("
         f"sequence(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}), "
-        f"p -> {_h60_spark(f'substring(text, p, {SUBSTR_W})')}))"
+        f"p -> xxhash64(substring(text, p, {SUBSTR_W}))))"
     )
     raw = docs.withColumn("whs", F.expr(wins_expr))
     wins = (

@@ -71,7 +71,17 @@ def _normalize(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_columns(path)
-    if nanos_cols:
+    # ``nanosAsLong`` is session-global BY CONTRACT and set at session
+    # creation (session.py) — so a bare spark.read.parquet on a nanos file
+    # behaves identically before and after any load_table call (raw bigint
+    # both times; only the loader applies the fix-up projection). The set
+    # below is a fallback for sessions not built by get_spark; it cannot be
+    # scoped-and-restored because Spark resolves the conf lazily at action
+    # time, so restoring before the action would break the read
+    # (PARQUET_TYPE_ILLEGAL). Asserted by tests/test_tables_loader.py.
+    if nanos_cols and spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false"
+    ) != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _normalize(spark.read.parquet(path), nanos_cols)
 

@@ -86,6 +86,71 @@ def test_rewrite_restores_original_on_failed_swap(spark, base, tmp_path, monkeyp
     assert sorted(r.order_id for r in back.collect()) == ["a", "b", "c"]
 
 
+def test_concurrent_rewrites_serialize_not_corrupt(spark, base, tmp_path):
+    """Two rewrites of the same path racing each other must SERIALIZE on
+    the lease file (VERDICT r4 item 7): both complete, the final table is
+    exactly one writer's complete output (never a mix / never absent),
+    and no stray temp or aside dirs survive."""
+    import threading
+
+    path = str(tmp_path / "t.parquet")
+    base.write.parquet(path)
+    upd_b = spark.createDataFrame([("b", "B!")], "order_id string, description string")
+    upd_c = spark.createDataFrame([("c", "C!")], "order_id string, description string")
+    errs = []
+
+    def writer(upd):
+        try:
+            # each writer mutates the ORIGINAL snapshot (read before either
+            # swap), so last-wins output is exactly one writer's full table
+            M.rewrite(M.update_rows(base, upd, "order_id"), path)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(u,)) for u in (upd_b, upd_c)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = {r.order_id: r.description for r in spark.read.parquet(path).collect()}
+    assert got in (
+        {"a": "one", "b": "B!", "c": "three"},
+        {"a": "one", "b": "two", "c": "C!"},
+    ), got
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "t.parquet"]
+    assert leftovers == [], leftovers
+
+
+def test_writer_lock_times_out_loud(tmp_path):
+    """A writer that cannot get the lease within the timeout fails with
+    WriterLockTimeout — it never proceeds unserialized."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t.parquet")
+    with M._writer_lock(path):
+        with _pytest.raises(M.WriterLockTimeout):
+            with M._writer_lock(path, timeout_s=0.3):
+                pass
+
+
+def test_writer_lock_preempts_stale_lease(tmp_path):
+    """A crashed writer's lock (mtime older than the TTL) is preempted
+    instead of deadlocking every future writer."""
+    import os
+    import time
+
+    path = str(tmp_path / "t.parquet")
+    lock = f"{path}.__lock"
+    with open(lock, "w") as f:
+        f.write("999999 0\n")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with M._writer_lock(path, timeout_s=1.0, ttl_s=3600.0):
+        pass  # acquired by preempting the stale lease
+    assert not os.path.exists(lock)
+
+
 def test_partition_scoped_rewrite_leaves_untouched_partitions(spark, tmp_path):
     """A keyed update must rewrite only the partitions holding touched keys;
     every other partition's files stay byte-identical (mtime + content) —
