@@ -24,16 +24,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-MEDIA_META_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("content_md5", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("channels", T.IntegerType()),
-    ]
-)
+def _id_field(df: DataFrame, id_col: str) -> T.StructField:
+    """Output id field named AND typed from the caller's id column — a
+    caller passing ``id_col='video_id'`` gets ``video_id`` back, not a
+    silently relabeled ``doc_id`` (ADVICE r4)."""
+    return T.StructField(id_col, df.schema[id_col].dataType)
+
+
+def _media_meta_schema(df: DataFrame, id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("content_md5", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+        ]
+    )
 
 
 def decode_image(payload: bytes):
@@ -71,21 +79,24 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "p
             out = pd.DataFrame(
                 metas, columns=["n_bytes", "content_md5", "width", "height", "channels"]
             )
-            out.insert(0, "doc_id", pdf[id_col].values)
+            out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, blob_col).mapInPandas(kernel, MEDIA_META_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(
+        kernel, _media_meta_schema(df, id_col)
+    )
 
 
-RESIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("out_width", T.IntegerType()),
-        T.StructField("out_height", T.IntegerType()),
-        T.StructField("resized", T.BinaryType()),
-        T.StructField("resized_md5", T.StringType()),
-    ]
-)
+def _resize_schema(df: DataFrame, id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("out_width", T.IntegerType()),
+            T.StructField("out_height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_md5", T.StringType()),
+        ]
+    )
 
 
 def audio_window_stats(
@@ -99,7 +110,7 @@ def audio_window_stats(
     mapInPandas; a real decoder swaps in at decode_audio."""
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            _id_field(df, id_col),
             T.StructField("window_idx", T.IntegerType()),
             T.StructField("n_samples", T.IntegerType()),
             T.StructField("mean_amp", T.DoubleType()),
@@ -139,7 +150,7 @@ def audio_window_stats(
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "window_idx", "n_samples", "mean_amp", "peak", "rms"],
+                columns=[id_col, "window_idx", "n_samples", "mean_amp", "peak", "rms"],
             )
 
     return df.select(id_col, blob_col).mapInPandas(kernel, schema)
@@ -169,10 +180,10 @@ def resize_images(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "out_width", "out_height", "resized", "resized_md5"],
+                columns=[id_col, "out_width", "out_height", "resized", "resized_md5"],
             )
 
-    return df.select(id_col, blob_col).mapInPandas(kernel, RESIZE_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(kernel, _resize_schema(df, id_col))
 
 
 def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int = 4096) -> DataFrame:
@@ -181,7 +192,7 @@ def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int 
     offsets + a per-frame digest so the fan-out shape is exercised)."""
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            _id_field(df, id_col),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame_offset", T.IntegerType()),
             T.StructField("frame_md5", T.StringType()),
@@ -198,7 +209,7 @@ def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int 
                         (doc_id, idx, off, hashlib.md5(chunk).hexdigest())
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_md5"]
+                rows, columns=[id_col, "frame_idx", "frame_offset", "frame_md5"]
             )
 
     return df.select(id_col, blob_col).mapInPandas(kernel, schema)

@@ -48,10 +48,22 @@ QUERIES = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
+# The audio/frames oracles index CHARACTERS (substr/ascii are
+# codepoint-based) while the Spark kernels read raw payload BYTES — equal
+# only while the fixture text is pure ASCII. The `_ASCII_N` guard makes
+# that contract self-enforcing: any non-ASCII row raises a DuckDB error()
+# at oracle time instead of silently hash-mismatching (ADVICE r4). A real
+# non-ASCII corpus needs a byte-level oracle (unnest over blob bytes).
+_ASCII_N = (
+    "CASE WHEN length(text) <> octet_length(encode(text)) "
+    "THEN error('non-ASCII document text: byte-level oracle required') "
+    "ELSE octet_length(encode(text)) END"
+)
+
 ORACLES = {
     "multimodal_audio_windows": f"""
         WITH d AS (
-            SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+            SELECT doc_id, text, {_ASCII_N} AS n FROM documents
         ),
         w AS (
             SELECT doc_id, text, n,
@@ -85,11 +97,11 @@ ORACLES = {
                3 AS channels
         FROM documents
     """,
-    # text is pure ASCII (verified: length == octet_length for every row), so
-    # md5 over a substring equals md5 over the corresponding payload bytes.
+    # md5 over a character substring equals md5 over the corresponding
+    # payload bytes only under the ASCII contract _ASCII_N enforces.
     "multimodal_frames": f"""
         WITH d AS (
-            SELECT doc_id, text, octet_length(encode(text)) AS n
+            SELECT doc_id, text, {_ASCII_N} AS n
             FROM documents
         )
         SELECT doc_id,

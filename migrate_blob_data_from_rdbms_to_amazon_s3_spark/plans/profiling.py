@@ -437,6 +437,12 @@ def q_events_time_weighted_avg(spark, sf_dir):
 
 # --- EWMA smoothing --------------------------------------------------------------------
 EWMA_ALPHA = 0.3
+# Safe series-length ceiling for the closed form: (1-α)^(-rn) overflows
+# double to inf around rn ≈ 2070 at α=0.3 (and loses relative precision
+# well before). Series longer than this must fail LOUD, not smear
+# inf/NaN into the output (ADVICE r4); the guard fires inline in both
+# engines. Unbounded series belong to the stateful streaming twin.
+EWMA_MAX_SERIES = 1500
 
 
 def q_events_ewma(spark, sf_dir):
@@ -447,10 +453,12 @@ def q_events_ewma(spark, sf_dir):
     x_s(1−α)^{−s} + (1−α)^t·x_1, so one window (PARTITIONED BY type)
     computes the whole series with no recursion. The (1−α)^{−s} factor
     grows with series length — exact for bounded reporting windows like
-    this daily grain; unbounded streams use the stateful streaming twin
-    (streaming/ewma.py: applyInPandasWithState keeps ewma as one double
-    of state per key — tests/test_streaming_ewma.py proves stream ==
-    recursion == this closed form)."""
+    this daily grain, and ENFORCED bounded: any series longer than
+    EWMA_MAX_SERIES raises (raise_error / DuckDB error()) instead of
+    overflowing to inf/NaN. Unbounded streams use the stateful streaming
+    twin (streaming/ewma.py: applyInPandasWithState keeps ewma as one
+    double of state per key — tests/test_streaming_ewma.py proves
+    stream == recursion == this closed form)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n")
@@ -463,11 +471,21 @@ def q_events_ewma(spark, sf_dir):
     decay = F.pow(F.lit(1 - EWMA_ALPHA), F.col("rn"))
     s_run = F.sum("term").over(w_run)
     first_x = F.first("n").over(w_run)
+    ewma = F.round(F.lit(EWMA_ALPHA) * decay * s_run + decay * first_x, 4)
+    guarded = F.when(
+        F.col("rn") > EWMA_MAX_SERIES,
+        F.expr(
+            "raise_error('events_ewma: series exceeds "
+            f"{EWMA_MAX_SERIES} points - closed form would overflow; "
+            "use the stateful streaming twin or a bounded reporting "
+            "window') IS NULL"
+        ).cast("double"),
+    ).otherwise(ewma)
     return staged.select(
         "event_type",
         "day",
         "n",
-        F.round(F.lit(EWMA_ALPHA) * decay * s_run + decay * first_x, 4).alias("ewma"),
+        guarded.alias("ewma"),
     ).orderBy("event_type", "day")
 
 
@@ -785,8 +803,10 @@ ORACLES = {
             FROM staged
         )
         SELECT event_type, day, n,
-               ROUND({EWMA_ALPHA} * POWER({1 - EWMA_ALPHA}, rn) * s_run
-                     + POWER({1 - EWMA_ALPHA}, rn) * first_x, 4) AS ewma
+               CASE WHEN rn > {EWMA_MAX_SERIES}
+                    THEN error('events_ewma: series exceeds safe closed-form length')
+                    ELSE ROUND({EWMA_ALPHA} * POWER({1 - EWMA_ALPHA}, rn) * s_run
+                               + POWER({1 - EWMA_ALPHA}, rn) * first_x, 4) END AS ewma
         FROM runs ORDER BY event_type, day
     """,
     "events_trend_theilsen": """

@@ -636,8 +636,14 @@ def q_embedding_norm_audit(spark, sf_dir):
             F.first("n").alias("n"),
             F.round(F.first("mu"), 6).alias("mean_norm"),
             F.round(F.first("sd"), 6).alias("std_norm"),
+            # coalesce: for a single-vector label stddev_samp is NULL, so
+            # the comparison is NULL per row and a bare SUM would emit
+            # NULL while the oracle's CASE ... ELSE 0 emits 0 (ADVICE r4)
             F.sum(
-                (F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd")).cast("int")
+                F.coalesce(
+                    (F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd")).cast("int"),
+                    F.lit(0),
+                )
             ).alias("n_outliers"),
         )
         .orderBy("label")

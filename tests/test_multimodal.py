@@ -57,3 +57,22 @@ def test_resize_stub_shape(spark, sf_dir):
         import hashlib
 
         assert hashlib.md5(bytes(r.resized)).hexdigest() == r.resized_md5
+
+
+def test_custom_id_col_name_flows_through(spark):
+    """A caller's id column name must survive every kernel — no silent
+    relabeling to doc_id (ADVICE r4). Type flows through too (string id)."""
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"x" * 100)), ("v2", bytearray(b"y" * 10))],
+        "video_id string, payload binary",
+    )
+    for fn in (
+        lambda d: MM.extract_media_meta(d, "video_id", "payload"),
+        lambda d: MM.audio_window_stats(d, "video_id", "payload", 32),
+        lambda d: MM.sample_frames(d, "video_id", "payload", 32),
+        lambda d: MM.resize_images(d, "video_id", "payload", 4, 4),
+    ):
+        out = fn(df)
+        assert out.columns[0] == "video_id", out.columns
+        assert dict(out.dtypes)["video_id"] == "string"
+        assert {r.video_id for r in out.collect()} == {"v1", "v2"}
