@@ -1254,6 +1254,81 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+def q_lsh_candidate_stats(spark, sf_dir):
+    """Candidate-volume audit of the multi-probe sign-LSH index (VERDICT
+    r4 item 6): the measured denominator behind knn_join's and
+    hard_negative_mining's scaling ratio. One row:
+
+    - n_vectors, n_buckets (distinct (table, band) buckets), max_bucket
+      (hottest bucket pre-cap), n_buckets_capped (dropped by
+      ND_MAX_BUCKET — 0 on natural data, >0 flags degenerate corpora),
+    - n_candidate_pairs (unordered, post-cap — the rows the expensive
+      cosine stage actually scores), pairs_per_vector (directed average:
+      2·pairs/n — the per-vector work multiplier to watch as bucket fill
+      grows with corpus size).
+
+    Cost: the same O(n · tables · probes) bucket join the index itself
+    pays, minus every scoring stage — cheap enough to run per-ingest as
+    a canary. Aggregates contract to three 1-row tables combined by
+    broadcast cross-join (never a data-grain cartesian)."""
+    emb = _emb(spark, sf_dir)
+    sigs = emb.select(
+        "vec_id",
+        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
+    ).localCheckpoint(eager=False)
+    exact = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
+    )
+    bsz = exact.groupBy("tab", "bv").agg(F.count("*").alias("sz"))
+    bstats = bsz.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum((F.col("sz") > ND_MAX_BUCKET).cast("int")).alias("n_buckets_capped"),
+    )
+    bucket_w = Window.partitionBy("tab", "bv")
+    exact_capped = (
+        exact.withColumn("bdf", F.count("*").over(bucket_w))
+        .filter(F.col("bdf") <= ND_MAX_BUCKET)
+        .drop("bdf")
+    )
+    probes = sigs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
+    ).select(
+        "vec_a",
+        "tab",
+        F.explode(
+            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
+        ).alias("bv"),
+    )
+    npairs = (
+        probes.join(exact_capped, ["tab", "bv"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("pa"),
+            F.greatest("vec_a", "vec_b").alias("pb"),
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_candidate_pairs"))
+    )
+    nv = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        nv.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "n_vectors",
+            "n_buckets",
+            "max_bucket",
+            "n_buckets_capped",
+            "n_candidate_pairs",
+            F.round(
+                F.lit(2.0) * F.col("n_candidate_pairs") / F.col("n_vectors"), 4
+            ).alias("pairs_per_vector"),
+        )
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_quantize_int8": q_embedding_quantize,
@@ -1269,6 +1344,7 @@ QUERIES = {
     "coreset_kcenter": q_coreset_kcenter,
     "embedding_dim_variance": q_embedding_dim_variance,
     "ann_recall_audit": q_ann_recall_audit,
+    "lsh_candidate_stats": q_lsh_candidate_stats,
 }
 
 
@@ -1363,6 +1439,43 @@ ORACLES = {
     "semdedup": _semdedup_oracle(),
     "knn_join": _knn_join_oracle(),
     "hard_negative_mining": _hard_negative_oracle(),
+    "lsh_candidate_stats": f"""
+        WITH sigs AS MATERIALIZED (
+            SELECT vec_id,
+                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
+            FROM embeddings
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+        ),
+        probes AS (
+            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+        ),
+        bsz AS (SELECT tab, bv, COUNT(*) AS sz FROM bands GROUP BY 1, 2),
+        bstats AS (
+            SELECT COUNT(*) AS n_buckets,
+                   MAX(sz) AS max_bucket,
+                   CAST(SUM(CASE WHEN sz > {ND_MAX_BUCKET} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_buckets_capped
+            FROM bsz
+        ),
+        bands_capped AS (
+            SELECT b.* FROM bands b JOIN bsz USING (tab, bv)
+            WHERE bsz.sz <= {ND_MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS pa,
+                            GREATEST(a.vec_id, b.vec_id) AS pb
+            FROM probes a JOIN bands_capped b
+              ON a.tab = b.tab AND a.bv = b.bv AND a.vec_id != b.vec_id
+        ),
+        np AS (SELECT COUNT(*) AS n_candidate_pairs FROM cand),
+        nv AS (SELECT COUNT(*) AS n_vectors FROM embeddings)
+        SELECT n_vectors, n_buckets, max_bucket, n_buckets_capped,
+               n_candidate_pairs,
+               ROUND(2.0 * n_candidate_pairs / n_vectors, 4) AS pairs_per_vector
+        FROM nv, bstats, np
+    """,
     "embedding_norm_audit": _norm_audit_oracle(),
     "coreset_kcenter": _coreset_oracle(),
     "embedding_dim_variance": f"""

@@ -69,6 +69,22 @@ def main() -> None:
             f"| {c['sort']} | {c['topk']} |"
         )
 
+    # LSH candidate-volume denominators (VERDICT r4 item 6): the measured
+    # pair counts behind knn_join / hard_negative_mining scaling ratios.
+    stats = E.queries()["lsh_candidate_stats"](spark, sf_dir).collect()[0]
+    print()
+    print(f"## LSH candidate volume at {sf_dir}")
+    print()
+    print(
+        f"- vectors: {stats.n_vectors}; buckets: {stats.n_buckets} "
+        f"(max fill {stats.max_bucket} / cap, capped: {stats.n_buckets_capped})"
+    )
+    print(
+        f"- candidate pairs: {stats.n_candidate_pairs} "
+        f"({stats.pairs_per_vector} directed pairs/vector — the per-vector "
+        f"cosine-work multiplier; grows with bucket fill, bounded by cap)"
+    )
+
 
 if __name__ == "__main__":
     main()
