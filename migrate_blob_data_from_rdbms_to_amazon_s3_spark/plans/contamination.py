@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from .dedup import (
     _SHINGLES_DUCK,
     _SHINGLES_SPARK,
+    SUBSTR_STRIDE,
+    SUBSTR_W,
     _barrier,
     _docs,
     _h60_duck,
@@ -75,6 +77,49 @@ def q_decontaminate_ngram(spark, sf_dir):
     )
 
 
+def q_decontaminate_substring(spark, sf_dir):
+    """Exact-substring eval-leakage check: training docs sharing any
+    SUBSTR_W-char window (every SUBSTR_STRIDE chars) with the benchmark
+    slice — the stricter sibling of the 3-gram check (catches verbatim
+    quotes even when tokenization differs; any shared exact span of
+    length >= W + STRIDE - 1 has an aligned window in both docs, the
+    dedup_substring_windows recall bound). n_hits = distinct shared
+    window fingerprints.
+
+    Plan: windows shuffle as engine-internal xxhash64 ints (the oracle
+    joins its own character windows, so only within-engine injectivity
+    matters); the benchmark's distinct fingerprint set is eval-sized —
+    tiny next to the corpus — so AQE broadcasts it and contamination is
+    a map-side semi-join plus one (doc_id) count shuffle. Same shape as
+    the 3-gram check; no pair stage anywhere."""
+    from .dedup import SUBSTR_STRIDE, SUBSTR_W
+
+    wins_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}), "
+        f"p -> xxhash64(substring(text, p, {SUBSTR_W}))))"
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.length("text") >= SUBSTR_W)
+        .withColumn("whs", F.expr(wins_expr))
+    )
+    d = _barrier(docs, ["doc_id", "source"], ["whs"])
+    bench = (
+        d.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("whs").alias("wh"))
+        .distinct()
+    )
+    train = d.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.explode("whs").alias("wh")
+    )
+    return (
+        train.join(bench, "wh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def q_ngram_topk(spark, sf_dir):
     """Per-language top-NGRAM_TOPK word 3-grams by document frequency
     (ties broken lexicographically) — the boilerplate detector."""
@@ -96,6 +141,7 @@ def q_ngram_topk(spark, sf_dir):
 
 QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
+    "decontaminate_substring": q_decontaminate_substring,
     "ngram_topk": q_ngram_topk,
 }
 
@@ -127,6 +173,28 @@ ORACLES = {
         )
         SELECT t.doc_id, COUNT(*) AS n_hits
         FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+    """,
+    "decontaminate_substring": f"""
+        WITH wins AS (
+            SELECT DISTINCT doc_id, source, u.w
+            FROM (
+                SELECT doc_id, source,
+                       list_transform(
+                           generate_series(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}),
+                           p -> substr(text, p, {SUBSTR_W})) AS ws
+                FROM documents
+                WHERE length(text) >= {SUBSTR_W}
+            ), LATERAL (SELECT UNNEST(ws) AS w) u
+        ),
+        bench AS (
+            SELECT DISTINCT w FROM wins WHERE source = '{BENCH_SOURCE}'
+        ),
+        train AS (
+            SELECT doc_id, w FROM wins WHERE source != '{BENCH_SOURCE}'
+        )
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM train t JOIN bench b USING (w)
         GROUP BY t.doc_id
     """,
     "ngram_topk": f"""

@@ -308,6 +308,125 @@ def _ngram_common(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     )
 
 
+# Threshold sweep for the dedup impact report: what fraction of the corpus
+# a near-dup pass would touch at each candidate threshold — the number a
+# pipeline owner reads BEFORE picking θ (too low deletes good data, too
+# high ships duplicates). Values span the useful Jaccard range.
+SWEEP_THRESHOLDS = [0.2, 0.3, 0.5, 0.7, 0.9]
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup impact report: for each candidate Jaccard threshold θ, the
+    count of near-dup pairs scoring >= θ and the count of distinct
+    documents those pairs touch. One pass over the SAME inverted-index
+    pair table as q_dedup_ngram_jaccard (computed once); the sweep is a
+    broadcast of the |SWEEP_THRESHOLDS|-row θ table against the
+    (tiny, post-threshold) pair set — never a data-grain cross join.
+    Thresholds with zero pairs still report (0, 0) rows."""
+    common = _ngram_common(spark, sf_dir)
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    pairs = common.select("doc_a", "doc_b", jac.alias("j")).filter(
+        F.col("j") >= min(SWEEP_THRESHOLDS)
+    )
+    thetas = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "theta double"
+    )
+    hits = pairs.crossJoin(F.broadcast(thetas)).filter(F.col("j") >= F.col("theta"))
+    aggp = hits.groupBy("theta").agg(F.count("*").alias("n_pairs"))
+    aggd = (
+        hits.select("theta", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("theta")
+        .agg(F.countDistinct("doc").alias("n_docs_affected"))
+    )
+    return (
+        thetas.join(aggp, "theta", "left")
+        .join(aggd, "theta", "left")
+        .select(
+            "theta",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("theta")
+    )
+
+
+# --- LSH banding planner -----------------------------------------------------
+# Candidate configs for a 16-signature MinHash index: (bands, rows/band)
+# with bands*rows = 16. The s-curve P(candidate | jaccard s) =
+# 1 - (1 - s^r)^b decides the recall/cost trade; this operator applies it
+# to the corpus's MEASURED pair-similarity distribution instead of a
+# guessed one. Powers are all powers of two, so both engines evaluate
+# them as explicit squaring chains — plain IEEE multiplication, identical
+# bit-for-bit, where libm pow() can differ by an ulp between engines.
+LSH_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+LSH_DUP_CUT = 0.5  # pairs at/above are "true dups" for the recall column
+
+
+def _sq_chain(expr: str, n: int) -> str:
+    """(expr)^n for power-of-two n as an explicit squaring chain."""
+    assert n & (n - 1) == 0 and n >= 1
+    while n > 1:
+        expr = f"(({expr})*({expr}))"
+        n //= 2
+    return expr
+
+
+def _lsh_curve_cases() -> tuple[str, str]:
+    t_case = "CASE " + " ".join(
+        f"WHEN rows_per_band = {r} THEN {_sq_chain('s', r)}"
+        for r in sorted({r for _, r in LSH_CONFIGS})
+    ) + " END"
+    miss_case = "CASE " + " ".join(
+        f"WHEN bands = {b} THEN {_sq_chain('1.0 - t', b)}"
+        for b in sorted({b for b, _ in LSH_CONFIGS})
+    ) + " END"
+    return t_case, miss_case
+
+
+def q_lsh_tuning_curve(spark, sf_dir):
+    """MinHash-LSH parameter planner: for each (bands, rows/band) config
+    of a 16-signature index, the expected candidate recall over the
+    corpus's measured near-dup pairs (jaccard >= LSH_DUP_CUT) and the
+    expected candidate rate over its sub-threshold pairs — the two
+    numbers that pick the banding before anyone re-indexes 100 TB.
+
+    Input is the SAME inverted-index pair table as q_dedup_ngram_jaccard
+    (exact jaccards, post-index — tiny); the config sweep is a broadcast
+    of the |LSH_CONFIGS|-row table. Note the sub-threshold column is a
+    lower bound on false-candidate cost: pairs sharing no 3-gram never
+    enter this table (their s-curve mass is ~0 anyway)."""
+    common = _ngram_common(spark, sf_dir)
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    pairs = common.select(jac.alias("s"))
+    configs = spark.createDataFrame(
+        LSH_CONFIGS, "bands int, rows_per_band int"
+    )
+    t_case, miss_case = _lsh_curve_cases()
+    curved = (
+        pairs.crossJoin(F.broadcast(configs))
+        .withColumn("t", F.expr(t_case))
+        .withColumn("p_cand", F.expr(f"1.0 - {miss_case}"))
+    )
+    return (
+        curved.groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum((F.col("s") >= LSH_DUP_CUT).cast("int")).alias("n_dup_pairs"),
+            F.sum((F.col("s") < LSH_DUP_CUT).cast("int")).alias("n_nondup_pairs"),
+            F.round(
+                F.avg(F.when(F.col("s") >= LSH_DUP_CUT, F.col("p_cand"))), 4
+            ).alias("exp_dup_recall"),
+            F.round(
+                F.avg(F.when(F.col("s") < LSH_DUP_CUT, F.col("p_cand"))), 4
+            ).alias("exp_nondup_rate"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
 # --- containment near-dup (substring-style duplication) ----------------------
 CONTAINMENT_THRESHOLD = 0.6
 
@@ -682,6 +801,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_containment": q_dedup_containment,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "lsh_tuning_curve": q_lsh_tuning_curve,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "minhash_estimate_error": q_minhash_estimate_error,
@@ -849,6 +970,95 @@ ORACLES = {
                ROUND(AVG(jaccard), 4) AS avg_jaccard
         FROM m GROUP BY 1, 2
         ORDER BY n_pairs DESC, source_a, source_b
+    """,
+    "dedup_threshold_sweep": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        df AS (SELECT lang, s, COUNT(*) AS dfc FROM ex GROUP BY 1, 2),
+        surv AS (
+            SELECT ex.doc_id, ex.lang, ex.n_sh, ex.s
+            FROM ex JOIN df USING (lang, s)
+            WHERE df.dfc BETWEEN 2 AND {MAX_POSTING_DF}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM surv a JOIN surv b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS j
+            FROM common WHERE ROUND(c / (na + nb - c), 4) >= {min(SWEEP_THRESHOLDS)}
+        ),
+        thetas AS (
+            SELECT CAST(UNNEST({SWEEP_THRESHOLDS}) AS DOUBLE) AS theta
+        ),
+        hits AS (
+            SELECT t.theta, p.doc_a, p.doc_b
+            FROM thetas t JOIN pairs p ON p.j >= t.theta
+        ),
+        aggp AS (SELECT theta, COUNT(*) AS n_pairs FROM hits GROUP BY 1),
+        aggd AS (
+            SELECT theta, COUNT(DISTINCT doc) AS n_docs_affected
+            FROM (SELECT theta, UNNEST([doc_a, doc_b]) AS doc FROM hits)
+            GROUP BY 1
+        )
+        SELECT t.theta,
+               COALESCE(p.n_pairs, 0) AS n_pairs,
+               COALESCE(d.n_docs_affected, 0) AS n_docs_affected
+        FROM thetas t
+        LEFT JOIN aggp p USING (theta)
+        LEFT JOIN aggd d USING (theta)
+        ORDER BY t.theta
+    """,
+    "lsh_tuning_curve": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        df AS (SELECT lang, s, COUNT(*) AS dfc FROM ex GROUP BY 1, 2),
+        surv AS (
+            SELECT ex.doc_id, ex.lang, ex.n_sh, ex.s
+            FROM ex JOIN df USING (lang, s)
+            WHERE df.dfc BETWEEN 2 AND {MAX_POSTING_DF}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM surv a JOIN surv b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (SELECT ROUND(c / (na + nb - c), 4) AS s FROM common),
+        configs AS (
+            SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in LSH_CONFIGS)})
+                   AS t(bands, rows_per_band)
+        ),
+        curved AS (
+            SELECT bands, rows_per_band, s, {_lsh_curve_cases()[0]} AS t
+            FROM pairs, configs
+        ),
+        p AS (
+            SELECT bands, rows_per_band, s,
+                   1.0 - {_lsh_curve_cases()[1]} AS p_cand
+            FROM curved
+        )
+        SELECT bands, rows_per_band,
+               CAST(SUM(CASE WHEN s >= {LSH_DUP_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_pairs,
+               CAST(SUM(CASE WHEN s < {LSH_DUP_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nondup_pairs,
+               ROUND(AVG(CASE WHEN s >= {LSH_DUP_CUT} THEN p_cand END), 4)
+                 AS exp_dup_recall,
+               ROUND(AVG(CASE WHEN s < {LSH_DUP_CUT} THEN p_cand END), 4)
+                 AS exp_nondup_rate
+        FROM p GROUP BY bands, rows_per_band
+        ORDER BY rows_per_band
     """,
     "dedup_containment": f"""
         WITH {_DOCS_SH_DUCK},

@@ -365,7 +365,67 @@ def q_bootstrap_mean_se(spark, sf_dir):
     )
 
 
+# --- grouped closed-form OLS -------------------------------------------------
+# Per-group multiple linear regression by normal equations: y = b0 + b1·q
+# + b2·d, solved per group with Cramer's rule over the 3×3 moment matrix.
+# The distributed-ML pattern: the ONLY shuffle is one partial+final
+# aggregation of 10 moment sums per group; the solve is a constant-size
+# projection. Cross-engine float exactness: inputs quantize to integers
+# (quantity units, discount %, price cents), the moment sums are EXACT
+# (Spark DECIMAL(38,0) / DuckDB int128), and both engines then evaluate
+# the SAME arithmetic expression tree on the same doubles — identical
+# IEEE results, no summation-order drift. At 100 TB the decimal sums are
+# the point: double accumulation drifts with partitioning; decimal is
+# associative.
+_LR_DET = "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+_LR_B0 = "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+_LR_B1 = "(n*(sqy*sdd - sdy*sqd) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+_LR_B2 = "(n*(sqq*sdy - sqd*sqy) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+
+_LR_COEFS = (
+    f"ROUND(({_LR_B0})/({_LR_DET}), 6) AS b0_cents",
+    f"ROUND(({_LR_B1})/({_LR_DET}), 6) AS b1_cents_per_qty",
+    f"ROUND(({_LR_B2})/({_LR_DET}), 6) AS b2_cents_per_disc_pct",
+    f"ROUND(1 - (syy - (({_LR_B0})*sy + ({_LR_B1})*sqy + ({_LR_B2})*sdy)/({_LR_DET}))"
+    f" / (syy - sy*sy/n), 6) AS r2",
+)
+
+
+def q_grouped_linreg(spark, sf_dir):
+    """Per-return-flag OLS of extended price (cents) on quantity and
+    discount (%) with intercept — the closed-form grouped regression a
+    feature store runs as a drift/pricing sanity screen. See the module
+    block comment for the exact-sums / shared-expression-tree design."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS grp",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS d",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+    )
+    sums = li.groupBy("grp").agg(
+        *[
+            F.expr(e)
+            for e in (
+                "CAST(COUNT(*) AS DOUBLE) AS n",
+                "CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq",
+                "CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd",
+                "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy",
+                "CAST(SUM(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS sqq",
+                "CAST(SUM(CAST(q*d AS DECIMAL(38,0))) AS DOUBLE) AS sqd",
+                "CAST(SUM(CAST(d*d AS DECIMAL(38,0))) AS DOUBLE) AS sdd",
+                "CAST(SUM(CAST(q*y AS DECIMAL(38,0))) AS DOUBLE) AS sqy",
+                "CAST(SUM(CAST(d*y AS DECIMAL(38,0))) AS DOUBLE) AS sdy",
+                "CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy",
+            )
+        ]
+    )
+    return sums.selectExpr(
+        "grp", "CAST(n AS BIGINT) AS n_rows", *_LR_COEFS
+    ).orderBy("grp")
+
+
 QUERIES = {
+    "grouped_linreg": q_grouped_linreg,
     "price_qq_drift": q_price_qq_drift,
     "bootstrap_mean_se": q_bootstrap_mean_se,
     "winsorized_stats": q_winsorized_stats,
@@ -379,6 +439,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "grouped_linreg": f"""
+        WITH li AS (
+            SELECT l_returnflag AS grp,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        sums AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(q) AS DOUBLE) AS sq,
+                   CAST(SUM(d) AS DOUBLE) AS sd,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(q*q) AS DOUBLE) AS sqq,
+                   CAST(SUM(q*d) AS DOUBLE) AS sqd,
+                   CAST(SUM(d*d) AS DOUBLE) AS sdd,
+                   CAST(SUM(q*y) AS DOUBLE) AS sqy,
+                   CAST(SUM(d*y) AS DOUBLE) AS sdy,
+                   CAST(SUM(y*y) AS DOUBLE) AS syy
+            FROM li GROUP BY grp
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n_rows,
+               {", ".join(_LR_COEFS)}
+        FROM sums ORDER BY grp
+    """,
     "price_qq_drift": f"""
         WITH o AS (
             SELECT EXTRACT(year FROM o_orderdate) AS yr, o_totalprice AS x

@@ -1254,6 +1254,64 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+def q_embedding_batch_drift(spark, sf_dir):
+    """Per-label centroid drift between two ingest batches (batch =
+    vec_id parity here; in production, the previous vs current embedding
+    snapshot): cosine between the batches' label centroids and the L2
+    shift — the canary that catches a silently upgraded or mis-scaled
+    embedding model BEFORE mixed-version vectors poison an ANN index
+    (norms can stay identical while directions rotate; the norm audit
+    alone misses that).
+
+    Shuffle shape: one posexplode to the (label, batch, dim) grain and a
+    single partial+final AVG — the centroid table is |labels|·2·EMB_DIM
+    rows, constant in corpus size; the cosine/L2 contraction joins at
+    that constant grain. At 100 TB this is scan + one combiner-friendly
+    aggregation, nothing else."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "batch", (F.col("vec_id") % 2).cast("int")
+    )
+    d = emb.select(
+        "label", "batch", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = d.groupBy("label", "batch", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    a = cent.filter(F.col("batch") == 0).select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("batch") == 1).select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    drift = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))),
+                6,
+            ).alias("centroid_l2_shift"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((F.col("batch") == 0).cast("int")).alias("n_a"),
+        F.sum((F.col("batch") == 1).cast("int")).alias("n_b"),
+    )
+    return (
+        counts.join(drift, "label")
+        .select("label", "n_a", "n_b", "centroid_cosine", "centroid_l2_shift")
+        .orderBy("label")
+    )
+
+
 def q_lsh_candidate_stats(spark, sf_dir):
     """Candidate-volume audit of the multi-probe sign-LSH index (VERDICT
     r4 item 6): the measured denominator behind knn_join's and
@@ -1345,6 +1403,7 @@ QUERIES = {
     "embedding_dim_variance": q_embedding_dim_variance,
     "ann_recall_audit": q_ann_recall_audit,
     "lsh_candidate_stats": q_lsh_candidate_stats,
+    "embedding_batch_drift": q_embedding_batch_drift,
 }
 
 
@@ -1488,6 +1547,38 @@ ORACLES = {
         ORDER BY var_v DESC, dim LIMIT {DIM_VAR_TOPK}
     """,
     "ann_recall_audit": _ann_recall_oracle(),
+    "embedding_batch_drift": f"""
+        WITH d AS (
+            SELECT label, CAST(vec_id % 2 AS INT) AS batch,
+                   u.dim - 1 AS dim, embedding[u.dim]::DOUBLE AS v
+            FROM embeddings,
+                 LATERAL (SELECT UNNEST(generate_series(1, {EMB_DIM})) AS dim) u
+        ),
+        cent AS (
+            SELECT label, batch, dim, AVG(v) AS m FROM d GROUP BY 1, 2, 3
+        ),
+        j AS (
+            SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+            FROM (SELECT * FROM cent WHERE batch = 0) a
+            JOIN (SELECT * FROM cent WHERE batch = 1) b USING (label, dim)
+        ),
+        drift AS (
+            SELECT label,
+                   ROUND(SUM(ma*mb) / (sqrt(SUM(ma*ma)) * sqrt(SUM(mb*mb))), 6)
+                     AS centroid_cosine,
+                   ROUND(sqrt(SUM((ma-mb)*(ma-mb))), 6) AS centroid_l2_shift
+            FROM j GROUP BY label
+        ),
+        counts AS (
+            SELECT label,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM embeddings GROUP BY label
+        )
+        SELECT label, n_a, n_b, centroid_cosine, centroid_l2_shift
+        FROM counts JOIN drift USING (label)
+        ORDER BY label
+    """,
     "embedding_quantize_int8": f"""
         WITH s AS (
             SELECT vec_id, embedding,

@@ -187,8 +187,74 @@ def q_stream_enrich_static(spark, sf_dir):
     return spark.table("q_stream_enrich_static")
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Stateful streaming EWMA drain (streaming/ewma.py): finalized daily
+    aggregates arrive one period per micro-batch (one file per day,
+    oldest-first, maxFilesPerTrigger=1), and the applyInPandasWithState
+    kernel folds ewma_t = α·x_t + (1−α)·ewma_{t−1} carrying ONE double of
+    state per event type across batches — the unbounded-series twin of
+    the guarded batch closed form (plans/profiling.q_events_ewma).
+
+    Unlike the windowed drains this one is value-DETERMINISTIC (per-key
+    event-time order is forced by the file staging, floats are a fixed
+    fold), so it carries a full value oracle: a DuckDB recursive CTE
+    folding the SAME expression α·x + (1−α)·prev with the SAME float
+    literals — IEEE-identical step for step. The driver-side staging
+    collect is the constant-size reporting grain (|types|·|days| rows),
+    the documented bounded-collect pattern."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.ewma import EWMA_SCHEMA, ewma_stream
+
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    days = sorted({r.day for r in daily})
+    src = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        for i, day in enumerate(days):
+            rows = [r for r in daily if r.day == day]
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_type": pa.array(
+                            [r.event_type for r in rows], pa.string()
+                        ),
+                        "day": pa.array([r.day for r in rows], pa.date32()),
+                        "n": pa.array([r.n for r in rows], pa.int64()),
+                    }
+                ),
+                f"{src}/{i:03d}.parquet",
+            )
+            time.sleep(0.002)  # distinct mtimes: file source drains oldest-first
+        from pyspark.sql import types as T
+
+        in_schema = T.StructType(
+            [f for f in EWMA_SCHEMA.fields if f.name != "ewma"]
+        )
+        with _bounded_state_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(in_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            SE.run_to_memory_append(ewma_stream(stream), "q_stream_ewma")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_ewma")
+
+
 QUERIES = {
     "stream_tumbling_windows": q_stream_tumbling,
+    "stream_ewma": q_stream_ewma,
     "stream_enrich_static": q_stream_enrich_static,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_dedup_exact": q_stream_dedup,
@@ -196,7 +262,42 @@ QUERIES = {
     "stream_interval_join": q_stream_interval_join,
 }
 
+def _stream_ewma_oracle() -> str:
+    """Recursive-CTE fold of EXACTLY the kernel's float recursion: the
+    repr'd double literals parse to the same IEEE doubles Python
+    multiplies by (repr(1-0.3) == '0.7', and DuckDB's 0.7 is the same
+    double), and the step expression α·x + β·prev has the same operation
+    order — so every intermediate double is bit-identical and the
+    UNROUNDED values hash-match (verified: a tie row at sf0.01 showed
+    DuckDB's multiply-floor ROUND disagreeing with Python's exact-decimal
+    round on the SAME double — so neither side rounds)."""
+    from ..streaming.ewma import EWMA_STREAM_ALPHA as A
+
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ordered AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS rn
+            FROM daily
+        ),
+        fold(event_type, day, n, rn, e) AS (
+            SELECT event_type, day, n, rn, CAST(n AS DOUBLE)
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.day, o.n, o.rn,
+                   {A!r} * CAST(o.n AS DOUBLE) + {1 - A!r} * f.e
+            FROM fold f JOIN ordered o
+              ON o.event_type = f.event_type AND o.rn = f.rn + 1
+        )
+        SELECT event_type, day, n, e AS ewma FROM fold
+    """
+
+
 ORACLES = {
+    "stream_ewma": _stream_ewma_oracle(),
     "stream_window_champions": """
         WITH cut AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events),
         bucketed AS (

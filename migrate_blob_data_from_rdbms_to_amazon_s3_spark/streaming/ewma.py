@@ -58,7 +58,11 @@ def _ewma_kernel(
     for day, n in zip(batch["day"], batch["n"]):
         x = float(n)
         prev = x if prev is None else EWMA_STREAM_ALPHA * x + (1 - EWMA_STREAM_ALPHA) * prev
-        out.append((event_type, day, int(n), round(prev, 4)))
+        # emit the UNROUNDED fold value: the DuckDB oracle reproduces the
+        # recursion bit-for-bit (same literals, same op order), so the
+        # full doubles hash-match — while any decimal rounding reopens
+        # the Python-round (exact) vs SQL-ROUND (multiply-floor) tie gap
+        out.append((event_type, day, int(n), prev))
 
     state.update((prev,))
     yield pd.DataFrame(out, columns=["event_type", "day", "n", "ewma"])

@@ -87,7 +87,7 @@ def test_stream_ewma_matches_recursion_and_batch(spark, sf_dir, tmp_path):
             else EWMA_STREAM_ALPHA * r.n + (1 - EWMA_STREAM_ALPHA) * prev
         )
         state[r.event_type] = prev
-        expect[(r.event_type, r.day)] = (r.n, round(prev, 4))
+        expect[(r.event_type, r.day)] = (r.n, prev)
 
     assert set(got) == set(expect)
     for k, (n, ewma) in expect.items():
