@@ -105,6 +105,12 @@ HEADLINE = [
     "ngram_novelty",
     "coreset_kcenter",
     "consistent_hash_rebalance",
+    "dedup_threshold_sweep",
+    "decontaminate_substring",
+    "grouped_linreg",
+    "embedding_batch_drift",
+    "lsh_tuning_curve",
+    "lsh_candidate_stats",
 ]
 
 STREAMING = [

@@ -36,10 +36,11 @@ def run_bench(sf_dir: str) -> dict:
     )
     if proc.returncode != 0:
         raise RuntimeError(f"bench at {sf_dir} rc={proc.returncode}")
-    for line in reversed(proc.stdout.decode().splitlines()):
-        if line.strip().startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"bench at {sf_dir}: no JSON line")
+    # bench.py's LAST stdout line is now a compact summary (sized for the
+    # driver's tail capture); the full per-query record lands in
+    # BENCH_LOCAL_latest.json — read that, freshly overwritten per run.
+    with open(os.path.join(REPO, "BENCH_LOCAL_latest.json")) as f:
+        return json.load(f)
 
 
 def main() -> None:
@@ -55,7 +56,7 @@ def main() -> None:
     tags = list(records)
     queries = records[tags[-1]]["queries"]
     lines = [
-        f"# SCALING — round 4 ({date.today().isoformat()})",
+        f"# SCALING ({date.today().isoformat()})",
         "",
         "`bench.py` (median-of-3 per query, fresh subprocess per <= 9",
         "queries, `local[32]`) at each scale factor. A 10x data step",
