@@ -186,13 +186,90 @@ def q_event_type_pmi(spark, sf_dir):
     )
 
 
+KCORE_K = 3        # minimum degree of the core
+KCORE_ROUNDS = 5   # peel rounds; fixpoint reached when a round drops nobody
+
+
+def q_kcore_membership(spark, sf_dir):
+    """K-core membership of the co-purchase graph after KCORE_ROUNDS
+    synchronous peel rounds: repeatedly drop nodes with degree < KCORE_K
+    (and their edges), the classic iterated-peel k-core algorithm. The
+    community-detection / spam-subgraph primitive next to triangles and
+    PageRank: the 3-core isolates the densely co-purchased part clusters.
+
+    Output: (node, core_degree) for nodes still alive after the rounds
+    (degree counted inside the surviving subgraph). Fixed-round peel is
+    exact once a round reaches the fixpoint (no node dropped) — at the
+    fixture scale 5 rounds converge (pytest pins it); production tuning
+    raises rounds or loops until a count() of dropped nodes hits 0, the
+    same driver-side-scalar pattern as k-means.
+
+    Scale shape: each round is one degree aggregation + two semi-joins
+    on the directed edge list, all keyed on node id — no pair blowup
+    anywhere; localCheckpoint per round truncates the iterative lineage
+    (the kmeans/components discipline)."""
+    edges = _canonical_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = sym.groupBy("u").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= KCORE_K).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "graph_triangles": q_graph_triangles,
     "association_rules": q_association_rules,
     "event_type_pmi": q_event_type_pmi,
+    "kcore_membership": q_kcore_membership,
 }
 
+
+def _kcore_oracle() -> str:
+    edges = """
+        li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ),
+        sym0 AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b AS u, a AS v FROM edges
+        )"""
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        rounds.append(f"""
+        deg{i} AS (SELECT u, COUNT(*) AS c FROM sym{i} GROUP BY u),
+        keep{i} AS (SELECT u FROM deg{i} WHERE c >= {KCORE_K}),
+        sym{i + 1} AS (
+            SELECT s.u, s.v FROM sym{i} s
+            JOIN keep{i} ku ON s.u = ku.u
+            JOIN keep{i} kv ON s.v = kv.u
+        )""")
+    return (
+        "WITH " + edges + "," + ",".join(rounds)
+        + f"""
+        SELECT u AS node, COUNT(*) AS core_degree
+        FROM sym{KCORE_ROUNDS} GROUP BY u ORDER BY node
+    """
+    )
+
 ORACLES = {
+    "kcore_membership": _kcore_oracle(),
     "event_type_pmi": """
         WITH basket AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type

@@ -434,7 +434,67 @@ def q_doc_top_tokens(spark, sf_dir):
     )
 
 
+# --- BM25 retrieval ----------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QK = 3   # query = the QK highest-df corpus tokens (deterministic)
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over the corpus (Robertson/Spärck Jones
+    probabilistic ranking, the retrieval baseline every RAG pipeline
+    benchmarks against). The query is data-derived and deterministic: the
+    BM25_QK most-common corpus tokens (df-ranked, lexicographic
+    tie-break), so the operator is self-contained on any corpus.
+
+    Determinism across engines: tf/df/dl/N are exact integers; avgdl is
+    SUM(dl)/N on exact longs; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form; per-(doc, term) partials
+    QUANTIZE TO INTEGER MICROS before the per-doc sum (long addition is
+    associative — rounded doubles are not), and the final score divides
+    back once. Shuffle shape at 100 TB: one token-grain tf
+    aggregation, a df contraction, a broadcast of the QK-row query-term
+    table, one doc-grain sum, TakeOrdered top-k — no pair joins, no
+    global sort."""
+    d = _docs_with_toks(spark, sf_dir)
+    toks = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+    qterms = (
+        df.orderBy(F.desc("df"), "tok")
+        .limit(BM25_QK)
+        .select("tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(ROUND(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * "
+                f"(tf / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
+                f"dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1000000) AS BIGINT)"
+            ).alias("micros"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_query_terms_hit"),
+            (F.sum("micros").cast("double") / F.lit(1000000)).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
     "doc_top_tokens": q_doc_top_tokens,
     "ngram_novelty": q_ngram_novelty,
     "text_length_percentiles": q_length_percentiles,
@@ -450,6 +510,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_topk": rf"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t != '') AS toks
+            FROM documents
+        ),
+        tokrows AS (
+            SELECT doc_id, len(toks) AS dl, u.tok
+            FROM d, LATERAL (SELECT UNNEST(toks) AS tok) u
+        ),
+        tf AS (
+            SELECT doc_id, dl, tok, COUNT(*) AS tf
+            FROM tokrows GROUP BY 1, 2, 3
+        ),
+        dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM d
+        ),
+        qterms AS (
+            SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT {BM25_QK}
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+                        (tf / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} *
+                         dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1000000)
+                        AS BIGINT) AS micros
+            FROM tf JOIN qterms USING (tok), stats
+        )
+        SELECT doc_id, COUNT(*) AS n_query_terms_hit,
+               CAST(SUM(micros) AS DOUBLE) / 1000000 AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
     "doc_top_tokens": rf"""
         WITH toks AS (
             SELECT doc_id, u.tok

@@ -176,3 +176,21 @@ def test_weighted_sample_is_deterministic_and_sized(spark, sf_dir):
     for r in a:
         per_source.setdefault(r.source, []).append(r.doc_id)
     assert all(len(v) == profiling.WSAMPLE_K for v in per_source.values())
+
+
+def test_kcore_peel_converges_within_rounds(spark, sf_dir):
+    """The fixed-round peel must have reached its fixpoint: one EXTRA
+    round drops no node, so the output is the true k-core, not a
+    truncated peel (docstring contract of q_kcore_membership)."""
+    from pyspark.sql import functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.graph_ops import (
+        KCORE_K,
+        q_kcore_membership,
+    )
+
+    core = q_kcore_membership(spark, sf_dir)
+    # fixpoint check: every surviving node still has core_degree >= K
+    # (a non-converged peel would leave under-degree nodes behind)
+    assert core.filter(F.col("core_degree") < KCORE_K).count() == 0
+    assert core.count() > 0
