@@ -441,7 +441,55 @@ def q_revenue_gini(spark, sf_dir):
     )
 
 
+BACKLOG_TOPK = 10
+
+
+def q_order_backlog_peaks(spark, sf_dir):
+    """Peak order-fulfillment backlog: the BACKLOG_TOPK days with the
+    most line items open (ordered but not yet shipped — open on day d
+    iff o_orderdate <= d < l_shipdate), via the distributed sweep-line:
+    +1/-1 deltas at the day grain, net per day, then a running sum
+    WITHOUT a global window — intra-year running sum (window PARTITIONED
+    BY year over the bounded day grain) plus per-year prefix offsets
+    from the broadcast theta-join trick (the distributed_global_rank
+    discipline). The naive SUM() OVER (ORDER BY day) — one partition
+    holding every day — is the oracle only.
+
+    Scale shape: one join to attach order dates, one day-grain net
+    aggregation (constant-size output: |days|), year-grain offsets over
+    a handful of rows, TakeOrdered for the peaks. Raw lineitem volume
+    touches exactly two shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        F.to_date("o_orderdate").alias("start_d"),
+        F.to_date("l_shipdate").alias("end_d"),
+    )
+    deltas = spans.select(F.col("start_d").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("end_d").alias("day"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    yr = net.withColumn("y", F.year("day"))
+    ynet = yr.groupBy("y").agg(F.sum("net").alias("ynet"))
+    prev = ynet.select(F.col("y").alias("py"), F.col("ynet").alias("pn"))
+    offsets = (
+        ynet.join(F.broadcast(prev), F.col("py") < F.col("y"), "left")
+        .groupBy("y")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("y").orderBy("day")
+    backlog = (
+        yr.join(F.broadcast(offsets), "y")
+        .withColumn("open_lines", F.col("offset") + F.sum("net").over(w))
+        .select("day", F.col("open_lines").cast("bigint").alias("open_lines"))
+    )
+    return backlog.orderBy(F.desc("open_lines"), "day").limit(BACKLOG_TOPK)
+
+
 QUERIES = {
+    "order_backlog_peaks": q_order_backlog_peaks,
     "relational_division": q_relational_division,
     "revenue_gini": q_revenue_gini,
     "session_length_stats": q_session_length_stats,
@@ -458,6 +506,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_backlog_peaks": f"""
+        WITH spans AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+                   CAST(l.l_shipdate AS DATE) AS end_d
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        deltas AS (
+            SELECT start_d AS day, 1 AS d FROM spans
+            UNION ALL SELECT end_d AS day, -1 AS d FROM spans
+        ),
+        net AS (SELECT day, SUM(d) AS net FROM deltas GROUP BY day),
+        backlog AS (
+            SELECT day,
+                   CAST(SUM(net) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_lines
+            FROM net
+        )
+        SELECT day, open_lines FROM backlog
+        ORDER BY open_lines DESC, day LIMIT {BACKLOG_TOPK}
+    """,
     "relational_division": f"""
         WITH joined AS (
             SELECT l.l_suppkey,
