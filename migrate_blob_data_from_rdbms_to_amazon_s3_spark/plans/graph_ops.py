@@ -5,15 +5,15 @@ workloads next to part_pagerank).
 
 Scale notes (100 TB):
 - Triangles use DEGREE-ORDERED orientation (each undirected edge points
-  from its lower-(degree, id) endpoint to the higher one), so every wedge
-  is enumerated exactly once FROM ITS LOWEST-DEGREE VERTEX: the wedge
-  join fan-out per vertex is outdeg² with outdeg ≤ O(√m), bounding total
-  wedge work to O(m^1.5) — the classic trick that keeps a hub vertex from
-  exploding the pair join (an id-ordered enumeration would fan out on
-  whichever hub has a small id). The closing check is a left-semi join
-  against the oriented edge list: candidates never leave the join as
-  data. The DuckDB oracle uses the simple id-ordered triple join — same
-  count, O(n²)-prone shape allowed only because it's the sf0.01 oracle.
+  from its lower-(degree, id) endpoint to the higher one) so every
+  vertex's out-degree is O(√m) — the classic hub guard — and count by
+  EDGE ITERATION: per oriented edge, intersect the two endpoints' sorted
+  out-adjacency arrays in the JVM (see q_graph_triangles for why each
+  triangle is counted exactly once). Total work stays O(m^1.5) but wedge
+  candidates collapse inside the intersection instead of materializing
+  as shuffle rows. The DuckDB oracle uses the simple id-ordered triple
+  join — same count, O(n²)-prone shape allowed only because it's the
+  sf0.01 oracle.
 - Association rules reuse the bounded per-basket pair fan-out of
   basket_part_pairs (|basket|² per order, baskets are small), one count
   shuffle per grain (item, pair), a broadcast 1-row basket total, and a
@@ -48,9 +48,25 @@ def _canonical_edges(spark, sf_dir):
 def q_graph_triangles(spark, sf_dir):
     """Triangle census of the co-purchase graph: nodes, edges, wedges
     (open two-paths), triangles, and the global clustering coefficient
-    3·T / W. Degree-ordered orientation (see module scale notes) keeps
-    the wedge join O(m^1.5); the triangle check is a left-semi join so
-    candidate pairs never materialize past the probe."""
+    3·T / W.
+
+    Algorithm (round-5 rewrite): degree-ordered EDGE ITERATOR. Orient
+    each edge low-(deg,id) → high, build each vertex's out-adjacency
+    array (bounded by max outdeg = O(√m) — the orientation's whole
+    point), and count per edge (u,v): |N⁺(u) ∩ N⁺(v)| via a JVM
+    array_intersect. On the oriented DAG every triangle {u→v, u→w, v→w}
+    is counted exactly once, at its unique base edge (u,v) whose both
+    endpoints point at w. Same O(m^1.5) work bound as the previous
+    wedge-join plan, but the ~150M wedge candidates COLLAPSE inside the
+    per-edge intersection instead of materializing as shuffle rows +
+    a semi-join probe (measured 12.1 s → 7.5 s warm at sf0.1, where the
+    graph has 1.2M edges / 148M wedges).
+
+    Scale shape: degree table is |nodes| rows (explicit broadcast — at
+    most O(√m)·avg-deg safe well past 10⁹ nodes since it carries two
+    longs); the adjacency table is m longs total — broadcastable while
+    it fits (AQE decides; no hint), else it shuffle-joins on the edge
+    endpoints, still keyed joins only. No pair-grain shuffle exists."""
     edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -61,24 +77,30 @@ def q_graph_triangles(spark, sf_dir):
     # Orient each edge from lower-(deg, id) to higher-(deg, id).
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    ed = edges.join(da, "a").join(db, "b")
+    ed = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
     ).localCheckpoint(eager=False)
-    # Wedges from the low-degree apex; close with a semi-join on the edge set.
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("dv"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("dw"))
-    wedge = e1.join(e2, "src").filter(
-        (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    adj = oriented.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+    a1 = adj.select(F.col("src").alias("s1"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("src").alias("s2"), F.col("nbrs").alias("n2"))
+    # inner joins: an edge whose src or dst has no out-neighbors closes no
+    # triangle and contributes 0 — dropping it changes nothing
+    per_edge = (
+        oriented.join(a1, oriented.src == F.col("s1"))
+        .join(a2, oriented.dst == F.col("s2"))
+        .select(F.size(F.array_intersect("n1", "n2")).alias("t"))
     )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedge.select("v", "w").join(closing, ["v", "w"], "left_semi")
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    # coalesce: a triangle-free graph (e.g. a star — the hub ends up with
+    # no out-neighbors, so the inner joins drop every edge) sums over an
+    # empty set, which is NULL, not 0
+    n_tri = per_edge.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
     summary = (
         deg.agg(
             F.count("*").alias("n_nodes"),
