@@ -111,6 +111,8 @@ HEADLINE = [
     "embedding_batch_drift",
     "lsh_tuning_curve",
     "lsh_candidate_stats",
+    "bm25_topk",
+    "order_backlog_peaks",
 ]
 
 STREAMING = [
