@@ -605,6 +605,75 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Incremental NEAR-dup ingest check: the new batch (doc_id % 3 == 0,
+    the dedup_incremental slice convention) probes the existing corpus's
+    MinHash-LSH band index — candidate pairs exist only BETWEEN batch
+    and registry, never registry×registry, so ingesting B docs into an
+    N-doc corpus costs O(B·bands) probe rows against the standing index
+    instead of re-running the full O(N·bands) self-join. The exact-hash
+    sibling is dedup_incremental; this catches the near-dups it can't.
+
+    Same discipline as q_dedup_minhash_lsh: id-only band join, hot-bucket
+    cap on the REGISTRY side (a degenerate registry bucket caps the probe
+    fan-out at cap·bands per batch doc), signatures re-attach per
+    distinct pair. Output: (batch_doc, registry_doc, est_jaccard)."""
+    d = _with_shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
+    sigs = d.select(
+        "doc_id", *[F.expr(_minhash_sig_spark(j)).alias(f"sig_{j}") for j in range(16)]
+    )
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"sig_{k}") for k in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
+    )
+    corpus = exploded.filter(F.col("doc_id") % 3 != 0)
+    batch = exploded.filter(F.col("doc_id") % 3 == 0)
+    bucket_w = Window.partitionBy("band_idx", "band_val")
+    corpus = (
+        corpus.withColumn("bdf", F.count("*").over(bucket_w))
+        .filter(F.col("bdf") <= MAX_BAND_BUCKET)
+        .drop("bdf")
+    )
+    cand = (
+        batch.select(F.col("doc_id").alias("batch_doc"), "band_idx", "band_val")
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("registry_doc"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("batch_doc", "registry_doc")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("batch_doc"),
+        *[F.col(f"sig_{j}").alias(f"la_{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("registry_doc"),
+        *[F.col(f"sig_{j}").alias(f"lb_{j}") for j in range(16)],
+    )
+    matches = (
+        F.lit(0)
+        + sum((F.col(f"la_{j}") == F.col(f"lb_{j}")).cast("int") for j in range(16))
+    )
+    return (
+        cand.join(sa, "batch_doc")
+        .join(sb, "registry_doc")
+        .select(
+            "batch_doc",
+            "registry_doc",
+            F.round(matches / 16.0, 4).alias("est_jaccard"),
+        )
+    )
+
+
 # --- MinHash estimation-error audit ------------------------------------------
 def q_minhash_estimate_error(spark, sf_dir):
     """MinHash calibration table: for every LSH candidate pair, the
@@ -805,6 +874,7 @@ QUERIES = {
     "lsh_tuning_curve": q_lsh_tuning_curve,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "minhash_estimate_error": q_minhash_estimate_error,
     "simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1122,6 +1192,37 @@ ORACLES = {
              AND a.doc_id < b.doc_id
         )
         GROUP BY doc_a, doc_b
+    """,
+    "dedup_incremental_lsh": f"""
+        WITH {_DOCS_SH_DUCK},
+        hashed AS (
+            SELECT doc_id, list_transform(sh, s -> {_h32_duck('s')}) AS hs
+            FROM sh_t WHERE len(sh) > 0
+        ),
+        sigs AS (
+            SELECT doc_id,
+{_SIGS_DUCK}
+            FROM hashed
+        ),
+        bands AS (
+{_BANDS_DUCK}
+        ),
+        corpus AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bdf
+                FROM bands WHERE doc_id % 3 != 0
+            ) WHERE bdf <= {MAX_BAND_BUCKET}
+        ),
+        batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
+        SELECT batch_doc, registry_doc,
+               ROUND(MAX(n_match) / 16.0, 4) AS est_jaccard
+        FROM (
+            SELECT a.doc_id AS batch_doc, b.doc_id AS registry_doc,
+                   {_N_MATCH_DUCK} AS n_match
+            FROM batch a JOIN corpus b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        )
+        GROUP BY batch_doc, registry_doc
     """,
     "minhash_estimate_error": f"""
         WITH {_DOCS_SH_DUCK},
