@@ -585,7 +585,92 @@ def q_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- classifier-based quality filter ------------------------------------------
+QC_BUCKETS = 512
+QC_BIAS = 0.1
+
+# md5-derived per-bucket weight in [-1, 1] — a DETERMINISTIC STAND-IN for
+# pretrained fastText-style classifier weights (no model ships in this
+# container; in production the weight table is the trained model's hashed
+# embedding-bag, loaded as a small DataFrame). Both engines derive the
+# same weights from md5("qw-" || bucket), so the oracle is value-exact.
+# CAST(1000 AS DOUBLE) divisor: a bare 1000.0 literal is DECIMAL in both
+# engines and integral/DECIMAL division carries engine-specific result
+# scales — double division is the cross-engine-identical path.
+_QC_W_SPARK = (
+    "(CAST(conv(substring(md5(concat('qw-', CAST(b AS STRING))), 1, 8), 16, 10) "
+    "AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE)"
+)
+_QC_W_DUCK = (
+    "(CAST('0x' || substr(md5('qw-' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) "
+    "% 2001 - 1000) / CAST(1000 AS DOUBLE)"
+)
+
+
+def q_quality_classifier_filter(spark, sf_dir):
+    """Classifier-based quality filter (the CCNet / LLaMA-style fastText
+    gate): score every document with a linear model over L1-normalized
+    hashed-unigram features and keep docs whose logit clears 0. The
+    weights here are a deterministic md5 stand-in (see _QC_W_SPARK); the
+    part this operator owns — and what scales — is the INFERENCE
+    plumbing: one token-grain bucket pass (md5 % QC_BUCKETS), a
+    CONSTANT-size weight table joined broadcast, and a per-doc dot
+    product whose per-(doc, bucket) terms QUANTIZE TO INTEGER 1e-8
+    units before summing, so the reduction is associative and both
+    engines agree bit-for-bit (the grouped_linreg / bm25 discipline).
+    Thresholding on the logit (monotone in the sigmoid) avoids exp()
+    entirely — no libm in the operator at all.
+
+    At 100 TB: two shuffles (token-grain bucket counts → doc grain),
+    weight table B rows regardless of corpus size."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % "
+                f"{QC_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+    per_bucket = toks.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    dl = per_bucket.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    weights = (
+        spark.range(QC_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .select("b", F.expr(_QC_W_SPARK).alias("w"))
+    )
+    terms = (
+        per_bucket.join(F.broadcast(weights), "b")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(ROUND(cnt * w / n_tokens * 100000000) AS BIGINT)").alias(
+                "t8"
+            ),
+        )
+    )
+    return (
+        terms.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.round(
+                F.sum("t8").cast("double") / F.lit(100000000) + F.lit(QC_BIAS), 6
+            ).alias("logit")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit",
+            (F.col("logit") >= 0).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
+    "quality_classifier_filter": q_quality_classifier_filter,
     "bigram_logprob_score": q_bigram_logprob,
     "temperature_mix": q_temperature_mix,
     "dsir_importance": q_dsir_importance,
@@ -606,6 +691,41 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "quality_classifier_filter": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(u.tok), 1, 8) AS BIGINT) % {QC_BUCKETS}
+                     AS b
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        per_bucket AS (
+            SELECT doc_id, b, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+            FROM per_bucket GROUP BY 1
+        ),
+        weights AS (
+            SELECT u.b, {_QC_W_DUCK} AS w
+            FROM (SELECT UNNEST(generate_series(0, {QC_BUCKETS - 1})) AS b) u
+        ),
+        terms AS (
+            SELECT p.doc_id, d.n_tokens,
+                   CAST(ROUND(p.cnt * w.w / d.n_tokens * 100000000) AS BIGINT)
+                     AS t8
+            FROM per_bucket p JOIN weights w USING (b) JOIN dl d USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(CAST(SUM(t8) AS DOUBLE) / 100000000 + {QC_BIAS}, 6) AS logit,
+               (ROUND(CAST(SUM(t8) AS DOUBLE) / 100000000 + {QC_BIAS}, 6) >= 0)
+                 AS keep
+        FROM terms GROUP BY doc_id, n_tokens
+    """,
     "bigram_logprob_score": r"""
         WITH ts_t AS (
             SELECT doc_id,
