@@ -1254,6 +1254,89 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+# Band-width planner configs: candidate ND_BAND_BITS values to evaluate
+# against the live corpus before re-indexing (see q_lsh_width_sweep).
+LSH_WIDTHS = [6, 8, 10]
+_WIDTH_PLANES = {w: _mk_planes(ND_BANDS * w) for w in LSH_WIDTHS}
+
+
+def _width_band_spark(w: int, t: int) -> str:
+    terms = []
+    for f in range(w):
+        plane = _WIDTH_PLANES[w][t * w + f]
+        arr = ", ".join(f"{v:.1f}D" for v in plane)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0D THEN {1 << f} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _width_band_duck(w: int, t: int) -> str:
+    terms = []
+    for f in range(w):
+        plane = _WIDTH_PLANES[w][t * w + f]
+        prods = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << f} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_lsh_width_sweep(spark, sf_dir):
+    """Band-WIDTH planner for the sign-LSH index: for each candidate
+    ND_BAND_BITS in LSH_WIDTHS, the bucket-occupancy profile of the live
+    corpus — buckets used, hottest fill, and exact-band collision pairs
+    Σ C(fill,2) (the shuffle-cost proxy; est_pairs_per_vector = its
+    directed per-vector average). This is the query that picks the band
+    width BEFORE re-indexing 100 TB: lsh_candidate_stats showed the
+    6-bit space saturating (1201 pairs/vector at sf0.1) — this sweep
+    quantifies how much headroom each wider config buys, entirely at
+    BUCKET grain (Σ C(fill,2) needs only the fill histogram, so no pair
+    row ever materializes even for a saturated config). Collisions here
+    are exact-band only (no Hamming probing — the probe multiplier is a
+    known ×(bits+1) on top); recall per width is the s-curve /
+    ann_recall_audit's job, cost is this query's."""
+    emb = _emb(spark, sf_dir)
+    per_width = []
+    for w in LSH_WIDTHS:
+        bands = emb.select(
+            F.posexplode(
+                F.array(*[F.expr(_width_band_spark(w, t)) for t in range(ND_BANDS)])
+            ).alias("t", "bv")
+        )
+        fills = bands.groupBy("t", "bv").agg(F.count("*").alias("fill"))
+        per_width.append(
+            fills.agg(
+                F.lit(w).alias("band_bits"),
+                F.count("*").alias("n_buckets_used"),
+                F.max("fill").alias("max_fill"),
+                F.sum(F.expr("fill * (fill - 1) / 2")).cast("bigint").alias(
+                    "collision_pairs"
+                ),
+            )
+        )
+    n = emb.agg(F.count("*").alias("n_vectors"))
+    out = per_width[0]
+    for p in per_width[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(n))
+        .select(
+            "band_bits",
+            "n_vectors",
+            "n_buckets_used",
+            "max_fill",
+            "collision_pairs",
+            F.round(
+                F.lit(2.0) * F.col("collision_pairs") / F.col("n_vectors"), 4
+            ).alias("est_pairs_per_vector"),
+        )
+        .orderBy("band_bits")
+    )
+
+
 def q_embedding_batch_drift(spark, sf_dir):
     """Per-label centroid drift between two ingest batches (batch =
     vec_id parity here; in production, the previous vs current embedding
@@ -1403,6 +1486,7 @@ QUERIES = {
     "embedding_dim_variance": q_embedding_dim_variance,
     "ann_recall_audit": q_ann_recall_audit,
     "lsh_candidate_stats": q_lsh_candidate_stats,
+    "lsh_width_sweep": q_lsh_width_sweep,
     "embedding_batch_drift": q_embedding_batch_drift,
 }
 
@@ -1547,6 +1631,24 @@ ORACLES = {
         ORDER BY var_v DESC, dim LIMIT {DIM_VAR_TOPK}
     """,
     "ann_recall_audit": _ann_recall_oracle(),
+    "lsh_width_sweep": " UNION ALL ".join(
+        f"""
+        SELECT {w} AS band_bits,
+               (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+               COUNT(*) AS n_buckets_used,
+               MAX(fill) AS max_fill,
+               CAST(SUM(fill * (fill - 1) / 2) AS BIGINT) AS collision_pairs,
+               ROUND(2.0 * CAST(SUM(fill * (fill - 1) / 2) AS BIGINT)
+                     / (SELECT COUNT(*) FROM embeddings), 4)
+                 AS est_pairs_per_vector
+        FROM (
+            SELECT t, bv, COUNT(*) AS fill FROM (
+                {" UNION ALL ".join(f"SELECT {t} AS t, {_width_band_duck(w, t)} AS bv FROM embeddings" for t in range(ND_BANDS))}
+            ) GROUP BY t, bv
+        )
+        """
+        for w in LSH_WIDTHS
+    ) + " ORDER BY band_bits",
     "embedding_batch_drift": f"""
         WITH d AS (
             SELECT label, CAST(vec_id % 2 AS INT) AS batch,
