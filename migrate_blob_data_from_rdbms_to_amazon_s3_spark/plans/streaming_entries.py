@@ -220,8 +220,10 @@ def q_stream_ewma(spark, sf_dir):
     days = sorted({r.day for r in daily})
     src = tempfile.mkdtemp(prefix="stream_ewma_")
     try:
+        base = time.time() - 3600  # well in the past; see utime below
         for i, day in enumerate(days):
             rows = [r for r in daily if r.day == day]
+            path = f"{src}/{i:03d}.parquet"
             pq.write_table(
                 pa.table(
                     {
@@ -232,9 +234,16 @@ def q_stream_ewma(spark, sf_dir):
                         "n": pa.array([r.n for r in rows], pa.int64()),
                     }
                 ),
-                f"{src}/{i:03d}.parquet",
+                path,
             )
-            time.sleep(0.002)  # distinct mtimes: file source drains oldest-first
+            # EXPLICIT mtimes one second apart: Spark's file source orders
+            # files by modification time, and natural write timestamps can
+            # COLLIDE under coarse kernel clock granularity (observed: a
+            # 2 ms sleep produced equal mtimes on a loaded box, two days
+            # swapped micro-batches, and the fold silently diverged —
+            # caught by the value oracle). utime makes the order a fact,
+            # not a race.
+            os.utime(path, (base + i, base + i))
         from pyspark.sql import types as T
 
         in_schema = T.StructType(

@@ -36,8 +36,10 @@ def test_stream_ewma_matches_recursion_and_batch(spark, sf_dir, tmp_path):
     days = sorted({r.day for r in daily})
     src = str(tmp_path / "daily")
     os.makedirs(src)
+    base = time.time() - 3600
     for i, day in enumerate(days):  # one finalized period per file, oldest first
         rows = [r for r in daily if r.day == day]
+        path = f"{src}/{i:03d}.parquet"
         pq.write_table(
             pa.table(
                 {
@@ -46,9 +48,12 @@ def test_stream_ewma_matches_recursion_and_batch(spark, sf_dir, tmp_path):
                     "n": pa.array([r.n for r in rows], pa.int64()),
                 }
             ),
-            f"{src}/{i:03d}.parquet",
+            path,
         )
-        time.sleep(0.002)  # distinct mtimes: the file source drains oldest-first
+        # explicit mtimes 1 s apart: the file source orders by mtime and
+        # natural write timestamps can collide under coarse clock
+        # granularity (see plans/streaming_entries.q_stream_ewma)
+        os.utime(path, (base + i, base + i))
 
     in_schema = T.StructType([f for f in EWMA_SCHEMA.fields if f.name != "ewma"])
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
