@@ -1330,7 +1330,8 @@ def q_lsh_width_sweep(spark, sf_dir):
             "max_fill",
             "collision_pairs",
             F.round(
-                F.lit(2.0) * F.col("collision_pairs") / F.col("n_vectors"), 4
+                F.try_divide(F.lit(2.0) * F.col("collision_pairs"), F.col("n_vectors")),
+                4,
             ).alias("est_pairs_per_vector"),
         )
         .orderBy("band_bits")
@@ -1464,7 +1465,8 @@ def q_lsh_candidate_stats(spark, sf_dir):
             "n_buckets_capped",
             "n_candidate_pairs",
             F.round(
-                F.lit(2.0) * F.col("n_candidate_pairs") / F.col("n_vectors"), 4
+                F.try_divide(F.lit(2.0) * F.col("n_candidate_pairs"), F.col("n_vectors")),
+                4,
             ).alias("pairs_per_vector"),
         )
     )

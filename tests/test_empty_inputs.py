@@ -135,3 +135,47 @@ def test_corpus_and_similarity_ops_on_empty_tables(spark, tmp_path):
         "embedding_quantize_int8",
     ]:
         assert qs[name](spark, sf).count() == 0, name
+
+
+def test_registry_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
+    """Representative registry queries must run (not crash) against an
+    EMPTY copy of the fixture tables — the shape of a filter that matches
+    nothing or an empty ingest batch. Iterative operators that seed from
+    a collected row (coreset/kmeans) document a non-empty contract and
+    are deliberately absent."""
+    import __spark_entry__ as E
+
+    empty_dir = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(empty_dir)
+    for t in [
+        "orders", "lineitem", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+
+    qs = E.queries()
+    survivors = [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_threshold_sweep",
+        "bm25_topk",
+        "text_token_count",
+        "quality_classifier_filter",
+        "lsh_candidate_stats",
+        "lsh_width_sweep",
+        "knn_join",
+        "events_sessionize",
+        "q1_pricing_summary",
+        "grouped_linreg",
+        "order_backlog_peaks",
+        "graph_triangles",
+        "kcore_membership",
+        "decontaminate_substring",
+    ]
+    for name in survivors:
+        rows = qs[name](spark, empty_dir).collect()  # must not raise
+        assert isinstance(rows, list), name
