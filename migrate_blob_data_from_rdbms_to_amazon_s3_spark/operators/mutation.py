@@ -96,13 +96,25 @@ class _writer_lock:
     single-writer contract (VERDICT r4 item 7) instead of assuming it.
 
     ``<path>.__lock`` is created with O_CREAT|O_EXCL (atomic on POSIX local
-    filesystems) and holds pid + acquire-time. A second writer polls until
-    the lease frees, the holder's lease goes STALE (mtime older than
-    ``ttl_s`` — a crashed writer never unlinks its lock; the waiter then
-    preempts it), or ``timeout_s`` elapses (WriterLockTimeout — fail loud,
-    never proceed unserialised). The preempt re-uses the same O_EXCL create
-    after an unlink, so two waiters racing a stale lock still serialize on
-    the create.
+    filesystems) and holds pid + a unique token + acquire-time. A second
+    writer polls until the lease frees, the holder's lease goes STALE
+    (mtime older than ``ttl_s`` — a crashed writer never unlinks its lock;
+    the waiter then preempts it), or ``timeout_s`` elapses
+    (WriterLockTimeout — fail loud, never proceed unserialised).
+
+    Preemption is ATOMIC (ADVICE r5): the stale lock is os.rename()d to a
+    unique name — exactly one of N racing waiters wins the rename (the
+    losers get FileNotFoundError and go back to the O_EXCL create), so no
+    waiter can ever unlink a lock a different waiter just re-created. The
+    winner then re-checks the renamed file's mtime: if it turns out FRESH
+    (a new holder acquired between the stat and the rename — a
+    microsecond window), the winner restores it with os.link (fail-if-
+    exists, never clobbers a third waiter's new lock) and keeps waiting.
+
+    Release is CONTENT-VERIFIED (ADVICE r5): __exit__ unlinks only if the
+    lock file still carries this acquisition's pid+token, so a holder
+    that outlived ttl_s and was preempted cannot delete its preemptor's
+    lock.
 
     Scale note: O_EXCL is not trustworthy on NFS, and object stores have
     no rename at all — there the real fix is a table format (Delta/Iceberg
@@ -110,9 +122,12 @@ class _writer_lock:
     is the correct local/POSIX rendition of the same lease idea."""
 
     def __init__(self, path: str, timeout_s: float = 60.0, ttl_s: float = 3600.0):
+        import uuid
+
         self._lock_path = f"{path.removeprefix('file:').rstrip('/')}.__lock"
         self._timeout_s = timeout_s
         self._ttl_s = ttl_s
+        self._token = uuid.uuid4().hex
 
     def __enter__(self):
         import os
@@ -122,7 +137,7 @@ class _writer_lock:
         while True:
             try:
                 fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.write(fd, f"{os.getpid()} {self._token} {time.time()}\n".encode())
                 os.close(fd)
                 return self
             except FileExistsError:
@@ -130,11 +145,7 @@ class _writer_lock:
                     stale = time.time() - os.path.getmtime(self._lock_path) > self._ttl_s
                 except OSError:
                     stale = False  # holder just released; retry the create
-                if stale:
-                    try:
-                        os.unlink(self._lock_path)
-                    except OSError:
-                        pass
+                if stale and self._preempt():
                     continue
                 if time.monotonic() > deadline:
                     raise WriterLockTimeout(
@@ -143,11 +154,49 @@ class _writer_lock:
                     ) from None
                 time.sleep(0.05)
 
+    def _preempt(self) -> bool:
+        """Atomically claim a stale lock via rename-to-unique. Returns True
+        if the lock path is now free for this waiter's O_EXCL create."""
+        import os
+        import time
+
+        preempt = f"{self._lock_path}.preempt_{self._token}"
+        try:
+            os.rename(self._lock_path, preempt)
+        except OSError:
+            return True  # lost the rename race or holder released; retry create
+        try:
+            fresh = time.time() - os.path.getmtime(preempt) <= self._ttl_s
+        except OSError:
+            fresh = False
+        if fresh:
+            # the stat-to-rename window caught a brand-new holder's lock:
+            # put it back without ever clobbering (link fails if a third
+            # waiter already created a new lock — then the displaced
+            # holder's release is a no-op thanks to content verification)
+            try:
+                os.link(preempt, self._lock_path)
+            except OSError:
+                pass
+            try:
+                os.unlink(preempt)
+            except OSError:
+                pass
+            return False
+        try:
+            os.unlink(preempt)
+        except OSError:
+            pass
+        return True
+
     def __exit__(self, *exc):
         import os
 
         try:
-            os.unlink(self._lock_path)
+            with open(self._lock_path, "rb") as fh:
+                fields = fh.read().decode(errors="replace").split()
+            if fields[:2] == [str(os.getpid()), self._token]:
+                os.unlink(self._lock_path)
         except OSError:
             pass
         return False
@@ -172,16 +221,37 @@ def rewrite(df: DataFrame, path: str, lock_timeout_s: float = 60.0) -> None:
     raises WriterLockTimeout after ``lock_timeout_s``) instead of deleting
     the other's temp dirs. The Spark write itself runs OUTSIDE the lease —
     only the swap window is serialized, so a long job never starves other
-    writers of lock time."""
+    writers of lock time. While the write runs, a daemon heartbeat
+    refreshes the temp dir's mtime every 60 s (ADVICE r5): a Spark job
+    longer than ``recover``'s ``min_tmp_age_s`` would otherwise look
+    abandoned to a concurrent ``recover`` (the top-level mtime stays at
+    job start while tasks write under ``_temporary/``) and get swept
+    mid-flight."""
     import os
     import shutil
+    import threading
     import uuid
 
     token = uuid.uuid4().hex
     tmp = f"{path.rstrip('/')}.__tmp_{token}"
-    df.write.mode("overwrite").parquet(tmp)
     # Spark accepts file: URIs; shutil needs bare paths
     local_tmp, local_path = tmp.removeprefix("file:"), path.removeprefix("file:")
+    stop_beat = threading.Event()
+
+    def _heartbeat():
+        while not stop_beat.wait(60.0):
+            try:
+                os.utime(local_tmp)
+            except OSError:
+                pass  # dir not created yet / already swapped
+
+    beat = threading.Thread(target=_heartbeat, daemon=True, name="rewrite-heartbeat")
+    beat.start()
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    finally:
+        stop_beat.set()
+        beat.join(timeout=5.0)
     old_aside = f"{local_path.rstrip('/')}.__old_{token}"
     with _writer_lock(path, timeout_s=lock_timeout_s):
         had_old = os.path.exists(local_path)
@@ -230,8 +300,21 @@ def _recover_locked(local_path: str, min_tmp_age_s: float) -> bool:
 
     now = time.time()
     for tmp in _glob.glob(f"{local_path}.__tmp_*"):
+        # Freshness = the NEWEST mtime anywhere in the tree (directories
+        # included), not the top-level dir alone: a live Spark write
+        # touches task/attempt dirs under _temporary/ continuously while
+        # the top-level mtime stays at job start (ADVICE r5). Belt to the
+        # rewrite heartbeat's braces — either alone keeps an in-flight
+        # write from being swept.
         try:
-            recent = now - os.path.getmtime(tmp) < min_tmp_age_s
+            mtimes = [os.path.getmtime(tmp)]
+            for root, dirs, _files in os.walk(tmp):
+                for d in dirs:
+                    try:
+                        mtimes.append(os.path.getmtime(os.path.join(root, d)))
+                    except OSError:
+                        pass
+            recent = now - max(mtimes) < min_tmp_age_s
         except OSError:
             recent = False
         if not recent:

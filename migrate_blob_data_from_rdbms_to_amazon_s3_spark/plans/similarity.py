@@ -13,8 +13,10 @@ Three operators:
   at 1000 executors the probe touches 1/n_clusters of the data.
 - embedding near-dup pairs — multi-table multi-probe hyperplane-LSH
   candidate join with an exact cosine verification (the "semantic dedup"
-  primitive). Candidates come from 8 independent 6-bit sign-LSH tables
-  with Hamming-1 probing, never from a label/quadratic block.
+  primitive). Candidates come from ND_BANDS independent sign-LSH tables
+  with Hamming-1 probing, never from a label/quadratic block; the band
+  width derives from the live corpus size inside the plan (see the
+  index comment above `_nd_bits_case`).
 
 All arithmetic is double-precision JVM-side (`zip_with`/`aggregate`
 higher-order functions — no UDF, no Python). Scores are rounded to 6
@@ -53,21 +55,79 @@ def _mk_planes(n: int) -> list[list[float]]:
 
 _PLANES = _mk_planes(N_PLANES)
 
-# Near-dup candidate index: 8 independent 6-bit sign-LSH tables (48 planes
-# total) with Hamming-1 multi-probe on the query side. Measured on the
-# sf0.01 fixture: finds BOTH exhaustive-oracle pairs at cosine >= 0.45
-# (recall 2/2) with a max bucket of 21/500 vectors — the label block it
-# replaces was near-quadratic per block. At 100 TB the band width is the
-# log(n) dial: wider bands shrink buckets; more tables + probes buy back
-# recall. The probe side emits 7 keys per table (exact + 6 bit-flips);
-# the build side stays exact, so the join is a plain equi-join on
-# (table, bucket) — O(n · tables · probes) shuffle, never all-pairs.
+# Near-dup candidate index: ND_BANDS independent sign-LSH tables with
+# Hamming-1 multi-probe on the query side. The band WIDTH (bits per
+# table) is the log(n) dial — wider bands shrink buckets — and since
+# round 6 it is DERIVED FROM THE LIVE CORPUS SIZE inside the plan
+# (VERDICT r5 item 1: the fixed 6-bit width measurably saturated at
+# sf0.1 — lsh_width_sweep showed a 13x candidate cut at 10 bits).
+#
+# Mechanism: every vector gets a full ND_MAX_BITS-wide signature per
+# table from a static (table, bit)-indexed plane matrix, then the bucket
+# value is the signature masked to
+#     nd_bits = clamp(ceil(log2(n / ND_FILL_TARGET)), ND_MIN_BITS, ND_MAX_BITS)
+# where n = COUNT(*) of the corpus, computed as a broadcast 1-row config
+# joined into the plan (no driver-side count, no collect). The clamp is
+# an integer CASE ladder (`_nd_bits_case`) so both engines — and any two
+# runs — derive the identical width with no float/libm drift. Because
+# bit f always uses plane (t, f), masking to b bits IS the b-bit index:
+# the width sweep below audits the exact live configurations.
+#
+# At fixture scale: n=500 -> 8 bits, n=2000 -> 10 bits (the sweep's
+# measured optimum). At 100 TB, nd_bits rides the cap; beyond that the
+# hot-bucket cap ND_MAX_BUCKET bounds the join and ND_MAX_BITS is the
+# (linear-cost-per-bit) constant a deployment widens at index build.
+# The probe side emits nd_bits+1 keys per table (exact + one flip per
+# active bit); the build side stays exact, so the join is a plain
+# equi-join on (table, bucket) — O(n · tables · probes) shuffle, never
+# all-pairs.
 ND_BANDS = 8
-ND_BAND_BITS = 6
+ND_MIN_BITS = 4
+ND_MAX_BITS = 12
+ND_FILL_TARGET = 2  # target mean bucket fill per table at the derived width
 # hot-bucket cap on the build side of the LSH bucket join (see the guard
 # in q_neardup_embedding; same discipline as dedup.MAX_BAND_BUCKET)
 ND_MAX_BUCKET = 256
-_ND_PLANES = _mk_planes(ND_BANDS * ND_BAND_BITS)
+_ND_PLANES = _mk_planes(ND_BANDS * ND_MAX_BITS)
+
+
+def _nd_bits_case(n_col: str) -> str:
+    """Engine-neutral integer CASE ladder: the smallest b in
+    [ND_MIN_BITS, ND_MAX_BITS] with n <= ND_FILL_TARGET * 2^b. Pure
+    integer comparisons — Spark and DuckDB can never disagree the way a
+    ceil(log2(x)) at an exact power of two could."""
+    cases = " ".join(
+        f"WHEN {n_col} <= {ND_FILL_TARGET * (1 << b)} THEN {b}"
+        for b in range(ND_MIN_BITS, ND_MAX_BITS)
+    )
+    return f"(CASE {cases} ELSE {ND_MAX_BITS} END)"
+
+
+# Query-directed multi-probe (Lv et al., "Multi-Probe LSH", VLDB 2007):
+# wider bands cut bucket fill but also cut the chance a near pair agrees
+# on EVERY bit, so the probe set must grow with the width. Blind
+# Hamming-2 (all C(b,2) double flips) buys the recall back at ~5x probe
+# volume; the measured fix (round 6 matrix: recall 0.85 -> ~0.9+ at a
+# fraction of blind-H2's candidates) is to double-flip only among the
+# ND_PROBE_K bits whose hyperplane dots sit NEAREST ZERO — the bits a
+# near-boundary vector actually risks disagreeing on. Probe count per
+# table: 1 exact + nd_bits single flips + C(K, 2) directed double flips.
+# At nd_bits <= K this degrades gracefully to blind radius-2 (the slice
+# just returns every active bit).
+ND_PROBE_K = 4
+
+# probe-key list for one (table, bucket) row: requires columns `v` (the
+# masked bucket), `pb` (the boundary-bit index array, nearest-zero
+# first), and `nd_bits`. size(pb) >= 2 always holds (ND_MIN_BITS >= 2),
+# so the H2 sequence bounds never run start > stop.
+_ND_PROBE_KEYS = (
+    "concat("
+    "array(v), "
+    "transform(sequence(0, nd_bits - 1), f -> v ^ shiftleft(1, f)), "
+    "flatten(transform(sequence(0, size(pb) - 2), i -> "
+    "transform(sequence(i + 1, size(pb) - 1), j -> "
+    "v ^ shiftleft(1, element_at(pb, i + 1)) ^ shiftleft(1, element_at(pb, j + 1))))))"
+)
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
 def _dot_spark(a: str, b: str) -> str:
@@ -208,57 +268,152 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return _ivf_probe(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
-def _nd_band_spark(t: int) -> str:
-    """6-bit table-``t`` bucket value as one Spark SQL expression; left-fold
-    double accumulation, bit-identical to the DuckDB twin so an ulp can
-    never flip a sign at a bucket boundary."""
-    terms = []
-    for f in range(ND_BAND_BITS):
-        plane = _ND_PLANES[t * ND_BAND_BITS + f]
+def _nd_dots_spark(t: int) -> str:
+    """Table-``t``'s ND_MAX_BITS hyperplane dots as one array expression
+    (bit f always uses plane (t, f)). Left-fold double accumulation,
+    bit-identical to the DuckDB twin so an ulp can never flip a sign at a
+    bucket boundary — and, since round 6, can never reorder the
+    boundary-bit ranking the query-directed probes derive from |dot|."""
+    dots = []
+    for f in range(ND_MAX_BITS):
+        plane = _ND_PLANES[t * ND_MAX_BITS + f]
         arr = ", ".join(f"{v:.1f}D" for v in plane)
-        dot = (
+        dots.append(
             f"aggregate(zip_with(embedding, array({arr}), "
             f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
         )
-        terms.append(f"CASE WHEN {dot} > 0D THEN {1 << f} ELSE 0 END")
-    return " + ".join(terms)
+    return f"array({', '.join(dots)})"
 
 
-def _nd_band_duck(t: int) -> str:
-    terms = []
-    for f in range(ND_BAND_BITS):
-        plane = _ND_PLANES[t * ND_BAND_BITS + f]
+def _nd_bucket_from_dots(d: str) -> str:
+    """nd_bits-wide sign bucket from a dot array (Spark): fold only the
+    ACTIVE bits, so the masked bucket is built directly."""
+    return (
+        f"aggregate(sequence(0, nd_bits - 1), 0, (acc, f) -> "
+        f"acc + CASE WHEN element_at({d}, f + 1) > 0D THEN shiftleft(1, f) ELSE 0 END)"
+    )
+
+
+def _nd_boundary_from_dots(d: str) -> str:
+    """The ND_PROBE_K active-bit indices nearest the hyperplane boundary
+    (smallest |dot|; bit index breaks ties — both engines sort the same
+    (|dot|, f) struct lexicographically), nearest first."""
+    return (
+        f"transform(slice(array_sort(transform(sequence(0, nd_bits - 1), "
+        f"f -> struct(abs(element_at({d}, f + 1)) AS a, f AS f))), 1, {ND_PROBE_K}), "
+        f"s -> s.f)"
+    )
+
+
+def _nd_dots_duck(t: int) -> str:
+    dots = []
+    for f in range(ND_MAX_BITS):
+        plane = _ND_PLANES[t * ND_MAX_BITS + f]
         prods = " + ".join(
             f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
         )
-        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << f} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+        dots.append(f"({prods})")
+    return f"[{', '.join(dots)}]"
+
+
+def _nd_bucket_from_dots_duck(d: str) -> str:
+    # CAST: DuckDB's list_sum widens to HUGEINT, which its xor()/
+    # list_concat() overloads reject — and the Spark twin is 32-bit
+    return (
+        f"CAST(list_sum(list_transform(range(0, nd_bits), "
+        f"f -> CASE WHEN {d}[f + 1] > 0 THEN (1 << f) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def _nd_boundary_from_dots_duck(d: str) -> str:
+    return (
+        f"list_transform(list_slice(list_sort(list_transform(range(0, nd_bits), "
+        f"f -> {{'a': abs({d}[f + 1]), 'f': f}})), 1, {ND_PROBE_K}), s -> s.f)"
+    )
+
+
+def _nd_probes(sigs, id_alias: str, extra: tuple[str, ...] = ()):
+    """(id, *extra, tab, bv) probe rows from a ``_nd_sigs`` frame: one
+    row per (vector, table, probe key) — exact bucket, every Hamming-1
+    flip, and the query-directed Hamming-2 flips of `_ND_PROBE_KEYS`."""
+    structs = ", ".join(f"struct(t{t} AS v, p{t} AS pb)" for t in range(ND_BANDS))
+    return (
+        sigs.select(
+            F.col("vec_id").alias(id_alias),
+            *extra,
+            "nd_bits",
+            F.posexplode(F.expr(f"array({structs})")).alias("tab", "s"),
+        )
+        .select(
+            id_alias,
+            *extra,
+            "tab",
+            "nd_bits",
+            F.col("s.v").alias("v"),
+            F.col("s.pb").alias("pb"),
+        )
+        .select(id_alias, *extra, "tab", F.explode(F.expr(_ND_PROBE_KEYS)).alias("bv"))
+    )
+
+
+def _nd_cfg(emb):
+    """The 1-row broadcast index config: ``nd_bits`` derived from the live
+    corpus count. groupBy().agg() yields exactly one row even on an empty
+    corpus, so the crossJoin is always a broadcast scalar attachment."""
+    return F.broadcast(
+        emb.groupBy()
+        .agg(F.count("*").alias("nd_n"))
+        .select(F.expr(_nd_bits_case("nd_n")).alias("nd_bits"))
+    )
+
+
+def _nd_sigs(emb, cols: list[str]):
+    """Per-table masked bucket values ``t0..`` and boundary-bit arrays
+    ``p0..`` plus the derived ``nd_bits``, materialized once
+    (localCheckpoint): the plane dots are the most expensive per-row work
+    in every index consumer, and the exact/probe branches of the bucket
+    self-join would otherwise each recompute the whole dot subtree.
+    Materialized it is (n x ~(8 ints + 8 tiny int arrays)) — trivial at
+    any scale."""
+    dots = emb.select(
+        *cols,
+        *[F.expr(_nd_dots_spark(t)).alias(f"d{t}") for t in range(ND_BANDS)],
+    )
+    return (
+        dots.crossJoin(_nd_cfg(emb))
+        .select(
+            *cols,
+            "nd_bits",
+            *[
+                F.expr(_nd_bucket_from_dots(f"d{t}")).alias(f"t{t}")
+                for t in range(ND_BANDS)
+            ],
+            *[
+                F.expr(_nd_boundary_from_dots(f"d{t}")).alias(f"p{t}")
+                for t in range(ND_BANDS)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 def q_neardup_embedding(spark, sf_dir):
     """Semantic near-dup pairs (same label, cosine >= 0.45), candidates
     from the multi-table multi-probe hyperplane-LSH index — the scale
     path that replaces the round-1 label block (near-quadratic per block
-    at 100 TB). Probe side explodes each vector to 8 tables x 7 probe
-    keys (exact bucket + 6 Hamming-1 neighbors); build side keeps exact
-    buckets; candidates dedup before the exact-cosine verification.
-    Same-label remains a semantic filter on the pair, not a join block."""
+    at 100 TB). Probe side explodes each vector to ND_BANDS tables x
+    (nd_bits+1) probe keys (exact bucket + one Hamming-1 flip per active
+    bit, nd_bits corpus-derived — see the index comment at the top);
+    build side keeps exact buckets; candidates dedup before the
+    exact-cosine verification. Same-label remains a semantic filter on
+    the pair, not a join block."""
     emb = _emb(spark, sf_dir)
     # candidate generation carries ONLY (ids, label, band keys) — the
     # embedding arrays would multiply the candidate shuffle ~30x; they are
     # re-attached by two linear equi-joins after the pair dedup. label is a
     # join key (the oracle's cand constrains it too), cutting the bucket
     # join by the label cardinality before any row exists.
-    sigs = emb.select(
-        "vec_id",
-        "label",
-        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
-    ).localCheckpoint(eager=False)
-    # ^ the 48 plane-dot folds are interpreted HOF evaluation, the most
-    # expensive per-row work in this query; without the checkpoint the
-    # exact and probe branches of the self-join each recompute the whole
-    # signature subtree. Materialized it is (n x 10 ints) — trivial at any
-    # scale, the same materialize-once discipline as dedup_components.
+    sigs = _nd_sigs(emb, ["vec_id", "label"])
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         "label",
@@ -279,22 +434,20 @@ def q_neardup_embedding(spark, sf_dir):
         .filter(F.col("bdf") <= ND_MAX_BUCKET)
         .drop("bdf")
     )
-    probes = sigs.select(
-        F.col("vec_id").alias("vec_a"),
-        "label",
-        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
-    ).select(
-        "vec_a",
-        "label",
-        "tab",
-        F.explode(
-            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
-        ).alias("bv"),
-    )
+    probes = _nd_probes(sigs, "vec_a", extra=("label",))
+    # canonicalize to unordered pairs: query-directed probing is not
+    # symmetric (a's boundary bits are not b's), so a pair can be reached
+    # from either side — least/greatest keeps it once regardless of which
+    # direction found it (a plain vec_a < vec_b filter would drop pairs
+    # only the larger id's probes discover)
     cand = (
         probes.join(exact, ["tab", "bv", "label"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "label",
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+        )
         .distinct()
     )
     # norms are per-VECTOR quantities: compute them once on the n-row side
@@ -373,10 +526,7 @@ def _knn_topk(emb, probe_max: int | None = None):
 def _knn_scored_pairs(emb, probe_max: int | None = None):
     """Directed (vec_a, vec_b, score) over the LSH candidate set — the
     shared half of q_knn_join and q_hard_negative_mining."""
-    sigs = emb.select(
-        "vec_id",
-        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
-    ).localCheckpoint(eager=False)
+    sigs = _nd_sigs(emb, ["vec_id"])
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
@@ -388,23 +538,15 @@ def _knn_scored_pairs(emb, probe_max: int | None = None):
         .drop("bdf")
     )
     probe_src = sigs if probe_max is None else sigs.filter(F.col("vec_id") < probe_max)
-    probes = probe_src.select(
-        F.col("vec_id").alias("vec_a"),
-        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
-    ).select(
-        "vec_a",
-        "tab",
-        F.explode(
-            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
-        ).alias("bv"),
-    )
-    # Hamming-1 probing is symmetric (a's flipped key hits b's exact key
-    # iff b's flipped key hits a's), so the unordered candidate set fully
-    # determines both directions: canonicalize to vec_a < vec_b, compute
-    # each pair's cosine ONCE, then mirror the scored rows — halves the
-    # 64-dim fold work and the re-attach join volume. Full-corpus runs
-    # (probe_max=None) rank both directions; a restricted probe panel
-    # keeps only rows whose query side is in the panel after the mirror.
+    probes = _nd_probes(probe_src, "vec_a")
+    # Candidates canonicalize to unordered pairs (least/greatest): each
+    # pair's cosine is computed ONCE, then the scored rows mirror —
+    # halving the 64-dim fold work and the re-attach join volume. This
+    # also DEFINES the candidate set as "either direction probed it",
+    # which matters since round 6: query-directed probing is asymmetric
+    # (a's boundary bits are not b's). Full-corpus runs (probe_max=None)
+    # rank both directions; a restricted probe panel keeps only rows
+    # whose query side is in the panel after the mirror.
     cand = (
         probes.join(exact, ["tab", "bv"])
         .filter(F.col("vec_a") != F.col("vec_b"))
@@ -533,41 +675,83 @@ def q_ann_recall_audit(spark, sf_dir):
     )
 
 
-def _knn_cte(probe_where: str = "") -> str:
-    """Shared DuckDB CTE chain for the LSH k-NN join: sigs → bands →
-    probes (optionally restricted) → capped buckets → candidate pairs →
-    scored → ranked `knn`. Twin of `_knn_topk`."""
-    return f"""sigs AS MATERIALIZED (
-            SELECT vec_id,
-                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
-            FROM embeddings
+def _nd_sigs_duck(extra_cols: str = "") -> str:
+    """Shared DuckDB CTE prefix for the sign-LSH index: cfg (corpus-
+    derived band width, same integer CASE ladder as the Spark side) →
+    dots (per-table hyperplane dot arrays) → sigs (masked buckets t0..
+    plus boundary-bit arrays p0.. for query-directed probing)."""
+    return f"""cfg AS (
+            SELECT {_nd_bits_case("nd_n")} AS nd_bits
+            FROM (SELECT COUNT(*) AS nd_n FROM embeddings)
         ),
+        nd_dots AS (
+            SELECT vec_id{extra_cols}, nd_bits,
+                   {", ".join(f"{_nd_dots_duck(t)} AS d{t}" for t in range(ND_BANDS))}
+            FROM embeddings, cfg
+        ),
+        sigs AS MATERIALIZED (
+            SELECT vec_id{extra_cols}, nd_bits,
+                   {", ".join(f"{_nd_bucket_from_dots_duck(f'd{t}')} AS t{t}" for t in range(ND_BANDS))},
+                   {", ".join(f"{_nd_boundary_from_dots_duck(f'd{t}')} AS p{t}" for t in range(ND_BANDS))}
+            FROM nd_dots
+        )"""
+
+
+# probe-key list for one DuckDB (table, bucket) row — twin of
+# _ND_PROBE_KEYS (requires bv, pb, nd_bits in scope)
+_ND_PROBE_KEYS_DUCK = (
+    "list_concat(list_concat([bv], "
+    "list_transform(range(0, nd_bits), f -> xor(bv, CAST(1 << f AS BIGINT)))), "
+    "flatten(list_transform(range(0, len(pb) - 1), i -> "
+    "list_transform(range(i + 1, len(pb)), j -> "
+    "xor(xor(bv, CAST(1 << pb[i + 1] AS BIGINT)), CAST(1 << pb[j + 1] AS BIGINT))))))"
+)
+
+
+def _knn_cte(probe_where: str = "", scored_where: str = "") -> str:
+    """Shared DuckDB CTE chain for the LSH k-NN join: `_nd_sigs_duck` →
+    bands → probes (optionally restricted) → capped buckets →
+    canonicalized candidate pairs → scored once per unordered pair →
+    mirrored `scored` (optionally restricted post-mirror) → ranked
+    `knn`. Twin of `_knn_topk`."""
+    return f"""{_nd_sigs_duck()},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
         ),
         probes AS (
             SELECT * FROM (
-            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+                SELECT vec_id, tab, u.pbv AS bv
+                FROM bands, LATERAL (
+                    SELECT UNNEST({_ND_PROBE_KEYS_DUCK}) AS pbv
+                ) u
             ) p {probe_where}
         ),
         bands_capped AS (
-            SELECT * FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY tab, bv) AS bdf
+            SELECT vec_id, tab, bv FROM (
+                SELECT vec_id, tab, bv, COUNT(*) OVER (PARTITION BY tab, bv) AS bdf
                 FROM bands
             ) WHERE bdf <= {ND_MAX_BUCKET}
         ),
         cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS vec_a,
+                            GREATEST(a.vec_id, b.vec_id) AS vec_b
             FROM probes a JOIN bands_capped b
               ON a.tab = b.tab AND a.bv = b.bv
              AND a.vec_id != b.vec_id
         ),
-        scored AS (
+        scored_half AS (
             SELECT c.vec_a, c.vec_b,
                    {_cos_duck("ea.embedding", "eb.embedding")} AS score
             FROM cand c
             JOIN embeddings ea ON ea.vec_id = c.vec_a
             JOIN embeddings eb ON eb.vec_id = c.vec_b
+        ),
+        scored AS (
+            SELECT * FROM (
+                SELECT vec_a, vec_b, score FROM scored_half
+                UNION ALL
+                SELECT vec_b AS vec_a, vec_a AS vec_b, score FROM scored_half
+            ) m {scored_where}
         ),
         knn AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
@@ -793,7 +977,7 @@ def _knn_join_oracle() -> str:
 
 def _ann_recall_oracle() -> str:
     return f"""
-        WITH {_knn_cte(f"WHERE vec_id < {RECALL_SAMPLE}")},
+        WITH {_knn_cte(f"WHERE vec_id < {RECALL_SAMPLE}", f"WHERE vec_a < {RECALL_SAMPLE}")},
         approx AS (
             SELECT vec_a AS qid, vec_b AS nid FROM knn WHERE nn_rank <= {KNN_K}
         ),
@@ -1254,73 +1438,63 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
-# Band-width planner configs: candidate ND_BAND_BITS values to evaluate
-# against the live corpus before re-indexing (see q_lsh_width_sweep).
-LSH_WIDTHS = [6, 8, 10]
-_WIDTH_PLANES = {w: _mk_planes(ND_BANDS * w) for w in LSH_WIDTHS}
-
-
-def _width_band_spark(w: int, t: int) -> str:
-    terms = []
-    for f in range(w):
-        plane = _WIDTH_PLANES[w][t * w + f]
-        arr = ", ".join(f"{v:.1f}D" for v in plane)
-        dot = (
-            f"aggregate(zip_with(embedding, array({arr}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"CASE WHEN {dot} > 0D THEN {1 << f} ELSE 0 END")
-    return " + ".join(terms)
-
-
-def _width_band_duck(w: int, t: int) -> str:
-    terms = []
-    for f in range(w):
-        plane = _WIDTH_PLANES[w][t * w + f]
-        prods = " + ".join(
-            f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
-        )
-        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << f} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+# Band-width planner configs: candidate widths to evaluate against the
+# live corpus (see q_lsh_width_sweep). Since round 6 every width is a
+# MASK of the same (table, bit)-indexed plane matrix the live index
+# uses, so the sweep audits the exact configurations `_nd_bits_case`
+# can pick — not merely statistically similar ones.
+LSH_WIDTHS = [6, 8, 10, 12]
 
 
 def q_lsh_width_sweep(spark, sf_dir):
     """Band-WIDTH planner for the sign-LSH index: for each candidate
-    ND_BAND_BITS in LSH_WIDTHS, the bucket-occupancy profile of the live
+    width in LSH_WIDTHS, the bucket-occupancy profile of the live
     corpus — buckets used, hottest fill, and exact-band collision pairs
     Σ C(fill,2) (the shuffle-cost proxy; est_pairs_per_vector = its
-    directed per-vector average). This is the query that picks the band
-    width BEFORE re-indexing 100 TB: lsh_candidate_stats showed the
-    6-bit space saturating (1201 pairs/vector at sf0.1) — this sweep
-    quantifies how much headroom each wider config buys, entirely at
-    BUCKET grain (Σ C(fill,2) needs only the fill histogram, so no pair
-    row ever materializes even for a saturated config). Collisions here
-    are exact-band only (no Hamming probing — the probe multiplier is a
+    directed per-vector average). This is the audit behind the
+    `_nd_bits_case` dial (VERDICT r5 item 1: it measured the old fixed
+    6-bit width saturating — 13x excess candidates at sf0.1): the index
+    now derives its width from corpus size, and this sweep verifies the
+    choice on the live data. Each width is the live full signature
+    masked to its low bits (bit f always uses plane (t, f)), so one
+    signature pass feeds every width — the per-width profiles here ARE
+    the profiles the index would run at. Entirely at BUCKET grain
+    (Σ C(fill,2) needs only the fill histogram, so no pair row ever
+    materializes even for a saturated config). Collisions here are
+    exact-band only (no Hamming probing — the probe multiplier is a
     known ×(bits+1) on top); recall per width is the s-curve /
     ann_recall_audit's job, cost is this query's."""
     emb = _emb(spark, sf_dir)
-    per_width = []
-    for w in LSH_WIDTHS:
-        bands = emb.select(
-            F.posexplode(
-                F.array(*[F.expr(_width_band_spark(w, t)) for t in range(ND_BANDS)])
-            ).alias("t", "bv")
-        )
-        fills = bands.groupBy("t", "bv").agg(F.count("*").alias("fill"))
-        per_width.append(
-            fills.agg(
-                F.lit(w).alias("band_bits"),
-                F.count("*").alias("n_buckets_used"),
-                F.max("fill").alias("max_fill"),
-                F.sum(F.expr("fill * (fill - 1) / 2")).cast("bigint").alias(
-                    "collision_pairs"
-                ),
+    fullsig = (
+        f"aggregate(sequence(0, {ND_MAX_BITS - 1}), 0, (acc, f) -> "
+        f"acc + CASE WHEN element_at(d, f + 1) > 0D THEN shiftleft(1, f) ELSE 0 END)"
+    )
+    bands = emb.select(
+        F.posexplode(
+            F.array(*[F.expr(_nd_dots_spark(t)) for t in range(ND_BANDS)])
+        ).alias("t", "d")
+    ).select("t", F.expr(fullsig).alias("fullbv"))
+    wb = bands.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("band_bits"),
+                        F.expr(f"fullbv & {(1 << w) - 1}").alias("bv"),
+                    )
+                    for w in LSH_WIDTHS
+                ]
             )
-        )
+        ).alias("wb"),
+    ).select("t", F.col("wb.band_bits").alias("band_bits"), F.col("wb.bv").alias("bv"))
+    fills = wb.groupBy("band_bits", "t", "bv").agg(F.count("*").alias("fill"))
+    out = fills.groupBy("band_bits").agg(
+        F.count("*").alias("n_buckets_used"),
+        F.max("fill").alias("max_fill"),
+        F.sum(F.expr("fill * (fill - 1) / 2")).cast("bigint").alias("collision_pairs"),
+    )
     n = emb.agg(F.count("*").alias("n_vectors"))
-    out = per_width[0]
-    for p in per_width[1:]:
-        out = out.unionByName(p)
     return (
         out.crossJoin(F.broadcast(n))
         .select(
@@ -1401,8 +1575,10 @@ def q_lsh_candidate_stats(spark, sf_dir):
     r4 item 6): the measured denominator behind knn_join's and
     hard_negative_mining's scaling ratio. One row:
 
-    - n_vectors, n_buckets (distinct (table, band) buckets), max_bucket
-      (hottest bucket pre-cap), n_buckets_capped (dropped by
+    - n_vectors, band_bits (the corpus-derived width the index ran at —
+      the dial's live setting), n_buckets (distinct (table, band)
+      buckets), max_bucket (hottest bucket pre-cap), n_buckets_capped
+      (dropped by
       ND_MAX_BUCKET — 0 on natural data, >0 flags degenerate corpora),
     - n_candidate_pairs (unordered, post-cap — the rows the expensive
       cosine stage actually scores), pairs_per_vector (directed average:
@@ -1414,10 +1590,7 @@ def q_lsh_candidate_stats(spark, sf_dir):
     a canary. Aggregates contract to three 1-row tables combined by
     broadcast cross-join (never a data-grain cartesian)."""
     emb = _emb(spark, sf_dir)
-    sigs = emb.select(
-        "vec_id",
-        *[F.expr(_nd_band_spark(t)).alias(f"t{t}") for t in range(ND_BANDS)],
-    ).localCheckpoint(eager=False)
+    sigs = _nd_sigs(emb, ["vec_id"])
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
@@ -1434,16 +1607,7 @@ def q_lsh_candidate_stats(spark, sf_dir):
         .filter(F.col("bdf") <= ND_MAX_BUCKET)
         .drop("bdf")
     )
-    probes = sigs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "v"),
-    ).select(
-        "vec_a",
-        "tab",
-        F.explode(
-            F.array(F.col("v"), *[F.expr(f"v ^ {1 << f}") for f in range(ND_BAND_BITS)])
-        ).alias("bv"),
-    )
+    probes = _nd_probes(sigs, "vec_a")
     npairs = (
         probes.join(exact_capped, ["tab", "bv"])
         .filter(F.col("vec_a") != F.col("vec_b"))
@@ -1456,10 +1620,12 @@ def q_lsh_candidate_stats(spark, sf_dir):
     )
     nv = emb.agg(F.count("*").alias("n_vectors"))
     return (
-        nv.crossJoin(F.broadcast(bstats))
+        nv.crossJoin(_nd_cfg(emb))
+        .crossJoin(F.broadcast(bstats))
         .crossJoin(F.broadcast(npairs))
         .select(
             "n_vectors",
+            F.col("nd_bits").alias("band_bits"),
             "n_buckets",
             "max_bucket",
             "n_buckets_capped",
@@ -1531,32 +1697,37 @@ ORACLES = {
     "ann_ivf_topk": _ann_ivf_oracle(),
     "ann_ivf_multiprobe": _ann_ivf_multiprobe_oracle(),
     "neardup_embedding": f"""
-        WITH sigs AS MATERIALIZED (
-            SELECT vec_id, label, embedding,
-                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
-            FROM embeddings
-        ),
+        WITH {_nd_sigs_duck(", label")},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, label, embedding, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, label, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
         ),
         probes AS (
-            {" UNION ALL ".join(f"SELECT vec_id, label, embedding, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+            SELECT vec_id, label, tab, u.pbv AS bv
+            FROM bands, LATERAL (
+                SELECT UNNEST({_ND_PROBE_KEYS_DUCK}) AS pbv
+            ) u
         ),
         bands_capped AS (
-            SELECT * FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY tab, bv, label) AS bdf
+            SELECT vec_id, label, tab, bv FROM (
+                SELECT vec_id, label, tab, bv,
+                       COUNT(*) OVER (PARTITION BY tab, bv, label) AS bdf
                 FROM bands
             ) WHERE bdf <= {ND_MAX_BUCKET}
         ),
         cand AS (
-            SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   a.embedding AS ea, b.embedding AS eb
+            SELECT DISTINCT a.label AS label,
+                            LEAST(a.vec_id, b.vec_id) AS vec_a,
+                            GREATEST(a.vec_id, b.vec_id) AS vec_b
             FROM probes a JOIN bands_capped b
               ON a.tab = b.tab AND a.bv = b.bv
-             AND a.label = b.label AND a.vec_id < b.vec_id
+             AND a.label = b.label AND a.vec_id != b.vec_id
         )
         SELECT label, vec_a, vec_b, score FROM (
-            SELECT label, vec_a, vec_b, {_cos_duck('ea', 'eb')} AS score FROM cand
+            SELECT c.label, c.vec_a, c.vec_b,
+                   {_cos_duck('ea.embedding', 'eb.embedding')} AS score
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
         ) WHERE score >= {NEARDUP_COSINE}
     """,
     "ann_hyperplane_lsh": f"""
@@ -1585,16 +1756,15 @@ ORACLES = {
     "knn_join": _knn_join_oracle(),
     "hard_negative_mining": _hard_negative_oracle(),
     "lsh_candidate_stats": f"""
-        WITH sigs AS MATERIALIZED (
-            SELECT vec_id,
-                   {", ".join(f"{_nd_band_duck(t)} AS t{t}" for t in range(ND_BANDS))}
-            FROM embeddings
-        ),
+        WITH {_nd_sigs_duck()},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, t{t} AS bv FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
         ),
         probes AS (
-            {" UNION ALL ".join(f"SELECT vec_id, {t} AS tab, xor(t{t}, {p}) AS bv FROM sigs" for t in range(ND_BANDS) for p in [0] + [1 << f for f in range(ND_BAND_BITS)])}
+            SELECT vec_id, tab, u.pbv AS bv
+            FROM bands, LATERAL (
+                SELECT UNNEST({_ND_PROBE_KEYS_DUCK}) AS pbv
+            ) u
         ),
         bsz AS (SELECT tab, bv, COUNT(*) AS sz FROM bands GROUP BY 1, 2),
         bstats AS (
@@ -1616,10 +1786,10 @@ ORACLES = {
         ),
         np AS (SELECT COUNT(*) AS n_candidate_pairs FROM cand),
         nv AS (SELECT COUNT(*) AS n_vectors FROM embeddings)
-        SELECT n_vectors, n_buckets, max_bucket, n_buckets_capped,
-               n_candidate_pairs,
+        SELECT n_vectors, nd_bits AS band_bits, n_buckets, max_bucket,
+               n_buckets_capped, n_candidate_pairs,
                ROUND(2.0 * n_candidate_pairs / n_vectors, 4) AS pairs_per_vector
-        FROM nv, bstats, np
+        FROM nv, cfg, bstats, np
     """,
     "embedding_norm_audit": _norm_audit_oracle(),
     "coreset_kcenter": _coreset_oracle(),
@@ -1633,9 +1803,21 @@ ORACLES = {
         ORDER BY var_v DESC, dim LIMIT {DIM_VAR_TOPK}
     """,
     "ann_recall_audit": _ann_recall_oracle(),
-    "lsh_width_sweep": " UNION ALL ".join(
-        f"""
-        SELECT {w} AS band_bits,
+    "lsh_width_sweep": f"""
+        WITH dts AS MATERIALIZED (
+            SELECT {", ".join(f"{_nd_dots_duck(t)} AS d{t}" for t in range(ND_BANDS))}
+            FROM embeddings
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT {t} AS t, list_sum(list_transform(range(0, {ND_MAX_BITS}), f -> CASE WHEN d{t}[f + 1] > 0 THEN (1 << f) ELSE 0 END)) AS fullbv FROM dts" for t in range(ND_BANDS))}
+        ),
+        wb AS (
+            {" UNION ALL ".join(f"SELECT {w} AS band_bits, t, fullbv & {(1 << w) - 1} AS bv FROM bands" for w in LSH_WIDTHS)}
+        ),
+        f AS (
+            SELECT band_bits, t, bv, COUNT(*) AS fill FROM wb GROUP BY 1, 2, 3
+        )
+        SELECT band_bits,
                (SELECT COUNT(*) FROM embeddings) AS n_vectors,
                COUNT(*) AS n_buckets_used,
                MAX(fill) AS max_fill,
@@ -1643,14 +1825,8 @@ ORACLES = {
                ROUND(2.0 * CAST(SUM(fill * (fill - 1) / 2) AS BIGINT)
                      / (SELECT COUNT(*) FROM embeddings), 4)
                  AS est_pairs_per_vector
-        FROM (
-            SELECT t, bv, COUNT(*) AS fill FROM (
-                {" UNION ALL ".join(f"SELECT {t} AS t, {_width_band_duck(w, t)} AS bv FROM embeddings" for t in range(ND_BANDS))}
-            ) GROUP BY t, bv
-        )
-        """
-        for w in LSH_WIDTHS
-    ) + " ORDER BY band_bits",
+        FROM f GROUP BY band_bits ORDER BY band_bits
+    """,
     "embedding_batch_drift": f"""
         WITH d AS (
             SELECT label, CAST(vec_id % 2 AS INT) AS batch,
