@@ -106,27 +106,46 @@ def _nd_bits_case(n_col: str) -> str:
 # Query-directed multi-probe (Lv et al., "Multi-Probe LSH", VLDB 2007):
 # wider bands cut bucket fill but also cut the chance a near pair agrees
 # on EVERY bit, so the probe set must grow with the width. Blind
-# Hamming-2 (all C(b,2) double flips) buys the recall back at ~5x probe
-# volume; the measured fix (round 6 matrix: recall 0.85 -> ~0.9+ at a
-# fraction of blind-H2's candidates) is to double-flip only among the
-# ND_PROBE_K bits whose hyperplane dots sit NEAREST ZERO — the bits a
-# near-boundary vector actually risks disagreeing on. Probe count per
-# table: 1 exact + nd_bits single flips + C(K, 2) directed double flips.
-# At nd_bits <= K this degrades gracefully to blind radius-2 (the slice
-# just returns every active bit).
-ND_PROBE_K = 4
+# Hamming-2 (all C(b,2) double flips) buys recall back at ~5x probe
+# volume; the measured fix is to flip only among the bits whose
+# hyperplane dots sit NEAREST ZERO — the bits a near-boundary vector
+# actually risks disagreeing on. Probe count per (vector, table):
+# 1 exact + nd_bits single flips + C(ND_PROBE_K, 2) directed double
+# flips + C(ND_PROBE_K3, 3) directed triple flips — ~constant in
+# nd_bits, so per-vector candidate volume grows O(log^2 n) with the
+# corpus instead of the saturated index's O(n / 2^b).
+#
+# Round-6 measured matrix at sf0.1 (n=2000, nd_bits=10; r5 baseline =
+# fixed 6 bits, blind Hamming-1: recall 0.900 at 1201 pairs/vector):
+#   blind H1             recall 0.417 @ 195 pairs/vec
+#   blind H2             recall 0.850 @ 755
+#   K2=8 directed H2     recall 0.833 @ 692
+#   K2=8, K3=4 + H3      recall 0.867 @ 775
+#   K2=8, K3=5 + H3      recall 0.900 @ 881   <- chosen: r5 recall held,
+#     1.4x fewer candidates at sf0.1, 0.983 recall at sf0.01, and the
+#     0.01 -> 0.1 per-vector growth is 2.1x (vs r5's 4.0x).
+# At nd_bits <= K2 this degrades gracefully to blind radius-2/3 (the
+# boundary slice just returns every active bit).
+ND_PROBE_K = 8  # H2 flips among the K nearest-boundary bits
+ND_PROBE_K3 = 5  # H3 flips among the K3 nearest-boundary bits
 
 # probe-key list for one (table, bucket) row: requires columns `v` (the
 # masked bucket), `pb` (the boundary-bit index array, nearest-zero
-# first), and `nd_bits`. size(pb) >= 2 always holds (ND_MIN_BITS >= 2),
-# so the H2 sequence bounds never run start > stop.
+# first), and `nd_bits`. size(pb) >= min(ND_MIN_BITS, ND_PROBE_K) >= 4,
+# so no sequence below ever runs start > stop (Spark would generate a
+# DESCENDING sequence, not an empty one).
 _ND_PROBE_KEYS = (
     "concat("
     "array(v), "
     "transform(sequence(0, nd_bits - 1), f -> v ^ shiftleft(1, f)), "
     "flatten(transform(sequence(0, size(pb) - 2), i -> "
     "transform(sequence(i + 1, size(pb) - 1), j -> "
-    "v ^ shiftleft(1, element_at(pb, i + 1)) ^ shiftleft(1, element_at(pb, j + 1))))))"
+    "v ^ shiftleft(1, element_at(pb, i + 1)) ^ shiftleft(1, element_at(pb, j + 1))))), "
+    f"flatten(flatten(transform(sequence(0, least({ND_PROBE_K3}, size(pb)) - 3), i -> "
+    f"transform(sequence(i + 1, least({ND_PROBE_K3}, size(pb)) - 2), j -> "
+    f"transform(sequence(j + 1, least({ND_PROBE_K3}, size(pb)) - 1), k -> "
+    "v ^ shiftleft(1, element_at(pb, i + 1)) ^ shiftleft(1, element_at(pb, j + 1))"
+    " ^ shiftleft(1, element_at(pb, k + 1))))))))"
 )
 
 # cosine(a, b) with double accumulation, as a Spark SQL expression
@@ -700,11 +719,16 @@ def _nd_sigs_duck(extra_cols: str = "") -> str:
 # probe-key list for one DuckDB (table, bucket) row — twin of
 # _ND_PROBE_KEYS (requires bv, pb, nd_bits in scope)
 _ND_PROBE_KEYS_DUCK = (
-    "list_concat(list_concat([bv], "
+    "list_concat(list_concat(list_concat([bv], "
     "list_transform(range(0, nd_bits), f -> xor(bv, CAST(1 << f AS BIGINT)))), "
     "flatten(list_transform(range(0, len(pb) - 1), i -> "
     "list_transform(range(i + 1, len(pb)), j -> "
-    "xor(xor(bv, CAST(1 << pb[i + 1] AS BIGINT)), CAST(1 << pb[j + 1] AS BIGINT))))))"
+    "xor(xor(bv, CAST(1 << pb[i + 1] AS BIGINT)), CAST(1 << pb[j + 1] AS BIGINT)))))), "
+    f"flatten(flatten(list_transform(range(0, least({ND_PROBE_K3}, len(pb)) - 2), i -> "
+    f"list_transform(range(i + 1, least({ND_PROBE_K3}, len(pb)) - 1), j -> "
+    f"list_transform(range(j + 1, least({ND_PROBE_K3}, len(pb))), k -> "
+    "xor(xor(xor(bv, CAST(1 << pb[i + 1] AS BIGINT)), CAST(1 << pb[j + 1] AS BIGINT)), "
+    "CAST(1 << pb[k + 1] AS BIGINT))))))))"
 )
 
 
