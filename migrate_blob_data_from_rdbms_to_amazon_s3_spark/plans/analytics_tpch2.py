@@ -4,7 +4,11 @@ reduced schemas (no partsupp/shipmode/comment columns — each adaptation
 keeps the shape's defining plan feature, noted per query).
 
 Scale notes (100 TB):
-- Dims (part/supplier/nation/region/customer) broadcast explicitly; the
+- nation/region broadcast explicitly (25/5 rows by TPC-H spec — truly
+  bounded). part/supplier/customer get NO hint (round-7 fix): they grow
+  linearly with SF, and a forced hint on a growing table both risks an
+  OOM broadcast at high SF and removes AQE's shuffle-join fallback. AQE
+  still broadcasts them whenever the post-filter size fits. The
   lineitem/orders facts shuffle once on their join key, never more.
 - Correlated scalar subqueries (Q17's per-part average, Q22's global
   average) are written as plain aggregates + joins so Catalyst plans the
@@ -23,7 +27,12 @@ from ..sources.tables import load_table as _t
 
 
 def _dim(spark, sf_dir, name):
-    return F.broadcast(_t(spark, sf_dir, name))
+    """Dimension loader: explicit broadcast ONLY for the spec-bounded
+    dims (nation = 25 rows, region = 5 rows, fixed at every SF). Growing
+    dims (part/supplier/customer) carry no hint — AQE broadcasts them
+    while small and falls back to a shuffle join past the threshold."""
+    t = _t(spark, sf_dir, name)
+    return F.broadcast(t) if name in ("nation", "region") else t
 
 
 def _rev():

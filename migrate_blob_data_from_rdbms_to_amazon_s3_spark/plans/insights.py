@@ -374,9 +374,9 @@ def q_relational_division(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(
         F.year("o_orderdate") == DIV_YEAR
     ).select("o_orderkey", F.month("o_orderdate").alias("mo"))
-    supp = F.broadcast(
-        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    )
+    # no broadcast hint: supplier grows with SF (round-7 fix) — AQE
+    # broadcasts while small, shuffle-joins on s_suppkey past that
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
     cov = joined.groupBy("l_suppkey").agg(
         F.countDistinct("mo").alias("n_months"),

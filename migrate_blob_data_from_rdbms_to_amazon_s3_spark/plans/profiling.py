@@ -354,7 +354,9 @@ def q_bloom_prefilter_semijoin(spark, sf_dir):
         )
     )
     exact = build.distinct().select("key", F.lit(1).alias("is_true"))
-    joined = member.join(F.broadcast(exact), "key", "left").select(
+    # no broadcast hint on `exact`: the build side is a segment of
+    # customer, which grows with SF (round-7 fix) — AQE decides
+    joined = member.join(exact, "key", "left").select(
         "pass_all", F.coalesce("is_true", F.lit(0)).alias("is_true")
     )
     return joined.agg(

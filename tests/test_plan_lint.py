@@ -12,6 +12,15 @@ plan test:
 - ``Window`` with an empty partition spec — every row on one partition;
   the engine's windows must always partition (global orderings are
   expressed as percentile cut-points or TakeOrdered instead).
+- ``ResolvedHint (strategy=broadcast)`` over an UNBOUNDED subtree
+  (round 7, VERDICT r6 item 2): an explicit ``F.broadcast`` is only
+  allowed when the hinted subtree provably cannot grow with the data —
+  a global aggregate (1 row), a LIMIT, a literal/Range relation, a scan
+  of a spec-bounded dim (nation=25 / region=5 rows at every SF), or an
+  aggregate/distinct whose grouping keys all have bounded domains
+  (event types, buckets, languages, cluster ids, ...). Anything else —
+  per-vertex degree tables, growing dims like part/supplier/customer —
+  must carry NO hint so AQE can fall back to a shuffle join at scale.
 """
 
 import io
@@ -25,12 +34,185 @@ import __spark_entry__ as E
 _QUERIES = sorted(E.queries())
 
 
-def _formatted_plan(spark, sf_dir, name):
-    df = E.queries()[name](spark, sf_dir)
+def _formatted_plan(df):
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+# Grouping keys whose domains are bounded by construction (do not grow
+# with the data): event taxonomy, day-of-week, fixed hash-bucket ids,
+# language codes, cluster/centroid ids, fixed sweep configs, years of a
+# business calendar, embedding class labels, Bloom word indexes. An
+# aggregate or distinct grouped ONLY on these yields a bounded table.
+_BOUNDED_GROUP_KEYS = {
+    "event_type", "from_type", "to_type", "dow", "lang", "label",
+    "cluster", "b", "j", "word", "y", "py", "yr", "mo", "theta",
+    "band_bits", "grain", "bucket", "source", "split", "tok", "variant",
+    "r_name", "n_name", "bands",
+}
+
+# Unique-key columns: an equality filter `<key> = <literal>` on one of
+# these is a point lookup (<= 1 row) — a boundedness witness.
+_UNIQUE_KEYS = {"vec_id", "doc_id", "order_id", "o_orderkey", "event_id"}
+_POINT_FILTER_RE = re.compile(
+    r"Filter \(*(\w+)#\d+\w* = (?:cast\()?-?\d"
+)
+
+_HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast\)")
+
+# Mutation-API queries: the broadcast hint covers the caller-provided
+# mutation batch, whose size is bounded by CONTRACT (point/keyed CRUD
+# mirroring the reference Lambda's per-request writes; callers pass
+# bulk=True to disable the hint for large batches — operators/mutation.py).
+# Contract bounds aren't visible in the plan, hence the exemption.
+_HINT_EXEMPT = {"insert_append", "keyed_update", "keyed_delete", "upsert"}
+
+
+def _node_depth(line: str) -> int:
+    """Tree-string depth = offset of the node name past the ':- +-'
+    connector art."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _parse_tree(analyzed: str):
+    """Parse a logical-plan tree string into (line, children) nodes."""
+    lines = [ln for ln in analyzed.splitlines() if ln.strip()]
+
+    def build(i, depth):
+        # strip the ':  +-' connector art so node-kind prefixes match
+        node = {"line": lines[i].strip().lstrip(":+- "), "children": []}
+        j = i + 1
+        while j < len(lines):
+            d = _node_depth(lines[j])
+            if d <= depth:
+                break
+            child, j = build(j, d)
+            node["children"].append(child)
+        return node, j
+
+    root, _ = build(0, _node_depth(lines[0]))
+    return root
+
+
+def _hint_nodes(root):
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if _HINT_RE.search(n["line"]):
+            yield n
+        stack.extend(n["children"])
+
+
+def _strip_attr(col: str) -> str:
+    """'x.event_type#123L' -> 'event_type'."""
+    return col.strip().split("#")[0].rsplit(".", 1)[-1].strip("`")
+
+
+def _top_level_lists(line: str):
+    """The top-level [...] groups of a node's simpleString (bracket-depth
+    scan — expression-internal brackets don't split)."""
+    lists, depth, start = [], 0, None
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                lists.append(line[start:i])
+                start = None
+    return lists
+
+
+def _split_top_commas(s: str):
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [c.strip() for c in out if c.strip()]
+
+
+def _keys_bounded(keys) -> bool:
+    return all(_strip_attr(k) in _BOUNDED_GROUP_KEYS for k in keys)
+
+
+def _is_bounded(node) -> bool:
+    """Recursive boundedness: can this subtree's row count grow with the
+    input data? Conservative — unknown node kinds inherit their
+    children's verdict; unknown leaves are unbounded."""
+    line = node["line"]
+    kids = node["children"]
+    # Bounded regardless of inputs:
+    if line.startswith(("GlobalLimit", "LocalRelation", "OneRowRelation")):
+        return True
+    if re.match(r"Range \(", line):
+        return True  # spark.range(constant)
+    m = _POINT_FILTER_RE.match(line)
+    if m and m.group(1) in _UNIQUE_KEYS:
+        return True  # point lookup on a unique key -> <= 1 row
+    if line.startswith("Aggregate "):
+        lists = _top_level_lists(line)
+        # Spark 4 omits the empty grouping list: one list = global agg
+        # (exactly 1 row); two lists = grouped (first list = keys).
+        if len(lists) == 1:
+            return True
+        if _keys_bounded(_split_top_commas(lists[0])):
+            return True
+        return all(_is_bounded(k) for k in kids)
+    if line.startswith("Deduplicate "):
+        lists = _top_level_lists(line)
+        if lists and _keys_bounded(_split_top_commas(lists[0])):
+            return True
+        return all(_is_bounded(k) for k in kids)
+    # Leaves:
+    if line.startswith("Relation "):
+        cols = _split_top_commas(_top_level_lists(line)[0])
+        first = _strip_attr(cols[0]) if cols else ""
+        # spec-bounded dims: nation = 25 rows, region = 5 at every SF
+        return first in ("n_nationkey", "r_regionkey")
+    if line.startswith("LogicalRDD "):
+        # driver-materialized table (createDataFrame / localCheckpoint):
+        # bounded iff its grain (first column) has a bounded domain —
+        # per-event-type medians, sweep configs, centroids, ...
+        lists = _top_level_lists(line)
+        cols = _split_top_commas(lists[0]) if lists else []
+        return bool(cols) and _strip_attr(cols[0]) in _BOUNDED_GROUP_KEYS
+    if not kids:  # LogicalRDD, unknown scans, streaming relations, ...
+        return False
+    # Everything else (Project/Filter/Join/Union/Generate/Window/...):
+    # bounded inputs give bounded output (explode over a bounded table
+    # multiplies by per-row array length, which is plan-constant here).
+    return all(_is_bounded(k) for k in kids)
+
+
+def _unbounded_hints(analyzed: str):
+    """Subtree text of each broadcast hint that lacks a boundedness
+    witness."""
+    bad = []
+    for hint in _hint_nodes(_parse_tree(analyzed)):
+        for child in hint["children"]:
+            if not _is_bounded(child):
+                bad.append(_render(child))
+    return bad
+
+
+def _render(node, depth=0):
+    lines = ["  " * depth + node["line"]]
+    for k in node["children"]:
+        lines.append(_render(k, depth + 1))
+    return "\n".join(lines)
 
 
 def _window_partition_specs(plan: str):
@@ -50,8 +232,21 @@ def _window_partition_specs(plan: str):
 
 @pytest.mark.parametrize("name", _QUERIES)
 def test_no_scale_antipatterns_in_plan(spark, sf_dir, name):
-    plan = _formatted_plan(spark, sf_dir, name)
+    df = E.queries()[name](spark, sf_dir)
+    plan = _formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     for spec in _window_partition_specs(plan):
         assert spec.strip(), f"{name}: Window with empty partition spec"
+    # broadcast hints: every explicit F.broadcast must hint a subtree
+    # whose size is bounded by construction (streaming plans expose no
+    # analyzed tree through this accessor pre-start; their static twins
+    # cover the shared plan bodies)
+    if not df.isStreaming and name not in _HINT_EXEMPT:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        bad = _unbounded_hints(analyzed)
+        assert not bad, (
+            f"{name}: broadcast hint on an unbounded subtree "
+            f"(no 1-row aggregate / LIMIT / literal relation / "
+            f"spec-bounded dim / bounded-key grouping witness):\n" + bad[0]
+        )
