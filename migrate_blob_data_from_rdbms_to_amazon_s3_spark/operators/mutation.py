@@ -92,113 +92,97 @@ class WriterLockTimeout(RuntimeError):
 
 
 class _writer_lock:
-    """Lease-file writer lock enforcing ``rewrite``/``recover``'s documented
-    single-writer contract (VERDICT r4 item 7) instead of assuming it.
+    """Kernel-advisory writer lock enforcing ``rewrite``/``recover``'s
+    documented single-writer contract (VERDICT r4 item 7).
 
-    ``<path>.__lock`` is created with O_CREAT|O_EXCL (atomic on POSIX local
-    filesystems) and holds pid + a unique token + acquire-time. A second
-    writer polls until the lease frees, the holder's lease goes STALE
-    (mtime older than ``ttl_s`` — a crashed writer never unlinks its lock;
-    the waiter then preempts it), or ``timeout_s`` elapses
-    (WriterLockTimeout — fail loud, never proceed unserialised).
+    Round-7 redesign (ADVICE r6 medium): the previous O_EXCL lease file
+    with mtime-TTL staleness + rename preemption had an irreducible
+    triple-race in the fresh-restore path (two concurrent swap-window
+    holders after a stale stat races a release+reacquire). ``fcntl.flock``
+    on an open fd removes the whole heuristic layer:
 
-    Preemption is ATOMIC (ADVICE r5): the stale lock is os.rename()d to a
-    unique name — exactly one of N racing waiters wins the rename (the
-    losers get FileNotFoundError and go back to the O_EXCL create), so no
-    waiter can ever unlink a lock a different waiter just re-created. The
-    winner then re-checks the renamed file's mtime: if it turns out FRESH
-    (a new holder acquired between the stat and the rename — a
-    microsecond window), the winner restores it with os.link (fail-if-
-    exists, never clobbers a third waiter's new lock) and keeps waiting.
+    - mutual exclusion is owned by the KERNEL, not by file content;
+    - a crashed holder's lock evaporates with its process — no TTL, no
+      staleness guess, no preemption path at all (``ttl_s`` is retained
+      in the signature for API compatibility but unused: the situation
+      it guarded — a dead writer wedging the lease — cannot occur);
+    - a live-but-hung holder now blocks waiters until ``timeout_s`` and
+      then fails LOUD (WriterLockTimeout) instead of being preempted
+      mid-swap, which could interleave two directory swaps.
 
-    Release is CONTENT-VERIFIED (ADVICE r5): __exit__ unlinks only if the
-    lock file still carries this acquisition's pid+token, so a holder
-    that outlived ttl_s and was preempted cannot delete its preemptor's
-    lock.
+    Unlink protocol (keeps table dirs free of permanent ``.__lock``
+    litter without the unlink/recreate inode race): the holder unlinks
+    the lock file WHILE STILL HOLDING the flock, then closes. Every
+    acquirer re-stats the path after locking and retries unless its fd's
+    inode is still the one at the path — a waiter that locked a
+    just-unlinked orphan inode detects the mismatch and loops.
 
-    Scale note: O_EXCL is not trustworthy on NFS, and object stores have
-    no rename at all — there the real fix is a table format (Delta/Iceberg
-    optimistic metadata commit) or an external lock service; this protocol
-    is the correct local/POSIX rendition of the same lease idea."""
+    Scale note: flock is not trustworthy across NFS mounts, and object
+    stores have no fds at all — there the real fix is a table format
+    (Delta/Iceberg optimistic metadata commit) or an external lock
+    service; this protocol is the correct local/POSIX rendition of the
+    same lease idea."""
 
     def __init__(self, path: str, timeout_s: float = 60.0, ttl_s: float = 3600.0):
-        import uuid
-
         self._lock_path = f"{path.removeprefix('file:').rstrip('/')}.__lock"
         self._timeout_s = timeout_s
-        self._ttl_s = ttl_s
-        self._token = uuid.uuid4().hex
+        self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
         import os
         import time
 
         deadline = time.monotonic() + self._timeout_s
         while True:
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {self._token} {time.time()}\n".encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.monotonic() > deadline:
+                            raise WriterLockTimeout(
+                                f"writer lock {self._lock_path} held past "
+                                f"{self._timeout_s}s; concurrent rewrite in "
+                                f"flight?"
+                            ) from None
+                        time.sleep(0.05)
+                # verify the inode we locked is still the file at the path
+                # (a releasing holder unlinks under its flock — a waiter
+                # blocked on the old inode must re-open the fresh file)
                 try:
-                    stale = time.time() - os.path.getmtime(self._lock_path) > self._ttl_s
+                    if os.fstat(fd).st_ino == os.stat(self._lock_path).st_ino:
+                        # diagnostic only — exclusion lives in the kernel
+                        os.ftruncate(fd, 0)
+                        os.pwrite(fd, f"{os.getpid()} {time.time()}\n".encode(), 0)
+                        self._fd = fd
+                        return self
                 except OSError:
-                    stale = False  # holder just released; retry the create
-                if stale and self._preempt():
-                    continue
-                if time.monotonic() > deadline:
-                    raise WriterLockTimeout(
-                        f"writer lock {self._lock_path} held past "
-                        f"{self._timeout_s}s; concurrent rewrite in flight?"
-                    ) from None
-                time.sleep(0.05)
-
-    def _preempt(self) -> bool:
-        """Atomically claim a stale lock via rename-to-unique. Returns True
-        if the lock path is now free for this waiter's O_EXCL create."""
-        import os
-        import time
-
-        preempt = f"{self._lock_path}.preempt_{self._token}"
-        try:
-            os.rename(self._lock_path, preempt)
-        except OSError:
-            return True  # lost the rename race or holder released; retry create
-        try:
-            fresh = time.time() - os.path.getmtime(preempt) <= self._ttl_s
-        except OSError:
-            fresh = False
-        if fresh:
-            # the stat-to-rename window caught a brand-new holder's lock:
-            # put it back without ever clobbering (link fails if a third
-            # waiter already created a new lock — then the displaced
-            # holder's release is a no-op thanks to content verification)
-            try:
-                os.link(preempt, self._lock_path)
-            except OSError:
-                pass
-            try:
-                os.unlink(preempt)
-            except OSError:
-                pass
-            return False
-        try:
-            os.unlink(preempt)
-        except OSError:
-            pass
-        return True
+                    pass  # path vanished or stat failed: reopen and retry
+                os.close(fd)
+            except BaseException:
+                os.close(fd)
+                raise
+            if time.monotonic() > deadline:
+                raise WriterLockTimeout(
+                    f"writer lock {self._lock_path}: could not acquire within "
+                    f"{self._timeout_s}s"
+                )
+            time.sleep(0.01)
 
     def __exit__(self, *exc):
         import os
 
-        try:
-            with open(self._lock_path, "rb") as fh:
-                fields = fh.read().decode(errors="replace").split()
-            if fields[:2] == [str(os.getpid()), self._token]:
+        if self._fd is not None:
+            try:
+                # unlink while still holding the flock (see class docstring)
                 os.unlink(self._lock_path)
-        except OSError:
-            pass
+            except OSError:
+                pass
+            os.close(self._fd)
+            self._fd = None
         return False
 
 
@@ -300,18 +284,20 @@ def _recover_locked(local_path: str, min_tmp_age_s: float) -> bool:
 
     now = time.time()
     for tmp in _glob.glob(f"{local_path}.__tmp_*"):
-        # Freshness = the NEWEST mtime anywhere in the tree (directories
-        # included), not the top-level dir alone: a live Spark write
-        # touches task/attempt dirs under _temporary/ continuously while
-        # the top-level mtime stays at job start (ADVICE r5). Belt to the
-        # rewrite heartbeat's braces — either alone keeps an in-flight
-        # write from being swept.
+        # Freshness = the NEWEST mtime anywhere in the tree — directories
+        # AND files: a live Spark write touches task/attempt dirs under
+        # _temporary/ continuously while the top-level mtime stays at job
+        # start (ADVICE r5), and a task streaming bytes into an
+        # already-created file for longer than min_tmp_age_s bumps ONLY
+        # that file's mtime, no directory's (ADVICE r6) — so the file leg
+        # makes this guard self-sufficient even when the rewrite
+        # heartbeat lives in a different (e.g. restarted-driver) process.
         try:
             mtimes = [os.path.getmtime(tmp)]
-            for root, dirs, _files in os.walk(tmp):
-                for d in dirs:
+            for root, dirs, files in os.walk(tmp):
+                for e in dirs + files:
                     try:
-                        mtimes.append(os.path.getmtime(os.path.join(root, d)))
+                        mtimes.append(os.path.getmtime(os.path.join(root, e)))
                     except OSError:
                         pass
             recent = now - max(mtimes) < min_tmp_age_s

@@ -134,21 +134,60 @@ def test_writer_lock_times_out_loud(tmp_path):
                 pass
 
 
-def test_writer_lock_preempts_stale_lease(tmp_path):
-    """A crashed writer's lock (mtime older than the TTL) is preempted
-    instead of deadlocking every future writer."""
+def test_writer_lock_ignores_crashed_writers_lockfile(tmp_path):
+    """A crashed writer's leftover lock FILE never blocks: exclusion is
+    the kernel flock, which dies with the holder's process — no TTL wait,
+    no staleness heuristic (round-7 flock redesign, ADVICE r6). Covers
+    both an ancient orphan and a RECENT one (the old mtime-TTL design
+    made the latter block all writers for up to an hour)."""
     import os
     import time
 
     path = str(tmp_path / "t.parquet")
     lock = f"{path}.__lock"
-    with open(lock, "w") as f:
-        f.write("999999 0\n")
-    old = time.time() - 7200
-    os.utime(lock, (old, old))
-    with M._writer_lock(path, timeout_s=1.0, ttl_s=3600.0):
-        pass  # acquired by preempting the stale lease
-    assert not os.path.exists(lock)
+    for age in (7200, 1):  # ancient orphan, then fresh orphan
+        with open(lock, "w") as f:
+            f.write("999999 0\n")
+        old = time.time() - age
+        os.utime(lock, (old, old))
+        with M._writer_lock(path, timeout_s=1.0):
+            pass  # acquired immediately: nobody holds the flock
+        assert not os.path.exists(lock)
+
+
+def test_writer_lock_release_handoff(tmp_path):
+    """A waiter blocked on the holder's fd acquires cleanly after release
+    (inode-verify path: the holder unlinks under its flock, so the waiter
+    must detect the orphan inode and reopen the fresh file)."""
+    import os
+    import threading
+
+    path = str(tmp_path / "t.parquet")
+    order = []
+    a_entered = threading.Event()
+    release_a = threading.Event()
+
+    def holder():
+        with M._writer_lock(path):
+            order.append("a-in")
+            a_entered.set()
+            release_a.wait(5.0)
+            order.append("a-out")  # inside the lock: strict ordering vs b-in
+
+    def waiter():
+        a_entered.wait(5.0)
+        with M._writer_lock(path, timeout_s=5.0):
+            order.append("b-in")
+
+    ta, tb = threading.Thread(target=holder), threading.Thread(target=waiter)
+    ta.start()
+    tb.start()
+    a_entered.wait(5.0)
+    release_a.set()
+    ta.join(10.0)
+    tb.join(10.0)
+    assert order == ["a-in", "a-out", "b-in"], order
+    assert not os.path.exists(f"{path}.__lock")
 
 
 def test_partition_scoped_rewrite_leaves_untouched_partitions(spark, tmp_path):
