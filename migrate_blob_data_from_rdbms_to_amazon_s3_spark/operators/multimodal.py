@@ -189,7 +189,13 @@ def resize_images(
 def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int = 4096) -> DataFrame:
     """Frame-sampling plumbing: emits one row per sampled "frame" offset
     (a real video decoder would emit decoded frames; the stub emits the
-    offsets + a per-frame digest so the fan-out shape is exercised)."""
+    offsets + a per-frame digest so the fan-out shape is exercised).
+
+    The digest is md5 over the UPPERCASE HEX of the frame bytes, not the
+    raw bytes: an equally deterministic byte-content fingerprint that a
+    SQL oracle can recompute on ANY payload (round 7 — DuckDB's md5 only
+    hashes VARCHAR, so a raw-bytes digest was only checkable on ASCII
+    fixtures; hex makes the check byte-grain for arbitrary binary)."""
     schema = T.StructType(
         [
             _id_field(df, id_col),
@@ -205,9 +211,8 @@ def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int 
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 for idx, off in enumerate(range(0, len(blob), every_n_bytes)):
                     chunk = bytes(blob[off : off + every_n_bytes])
-                    rows.append(
-                        (doc_id, idx, off, hashlib.md5(chunk).hexdigest())
-                    )
+                    digest = hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    rows.append((doc_id, idx, off, digest))
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_idx", "frame_offset", "frame_md5"]
             )

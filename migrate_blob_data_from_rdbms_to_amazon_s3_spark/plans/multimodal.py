@@ -48,25 +48,32 @@ QUERIES = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
-# The audio/frames oracles index CHARACTERS (substr/ascii are
-# codepoint-based) while the Spark kernels read raw payload BYTES — equal
-# only while the fixture text is pure ASCII. The `_ASCII_N` guard makes
-# that contract self-enforcing: any non-ASCII row raises a DuckDB error()
-# at oracle time instead of silently hash-mismatching (ADVICE r4). A real
-# non-ASCII corpus needs a byte-level oracle (unnest over blob bytes).
-_ASCII_N = (
-    "CASE WHEN length(text) <> octet_length(encode(text)) "
-    "THEN error('non-ASCII document text: byte-level oracle required') "
-    "ELSE octet_length(encode(text)) END"
+# BYTE-GRAIN oracles (round 7, VERDICT r6 item 5): both oracles address
+# raw payload BYTES — the blob is hexed once (2 chars/byte) and byte j is
+# recovered with a strpos('0123456789ABCDEF', ...) nibble lookup — so
+# they value-check ANY document text, multi-byte UTF-8 included. (The
+# previous oracles indexed CHARACTERS and needed a fail-loud ASCII guard;
+# tests/test_multimodal.py now value-checks a non-ASCII fixture instead.)
+_HEXED = (
+    "SELECT doc_id, hex(encode(text)) AS h, "
+    "octet_length(encode(text)) AS n FROM documents"
 )
+
+
+def _byte_at(off_expr: str) -> str:
+    """DuckDB expression: unsigned byte value at 0-based offset
+    ``off_expr`` of the hexed blob ``h``."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr(h, 2 * ({off_expr}) + 1, 1)) - 1) * 16"
+        f" + strpos('0123456789ABCDEF', substr(h, 2 * ({off_expr}) + 2, 1)) - 1)"
+    )
+
 
 ORACLES = {
     "multimodal_audio_windows": f"""
-        WITH d AS (
-            SELECT doc_id, text, {_ASCII_N} AS n FROM documents
-        ),
+        WITH d AS ({_HEXED}),
         w AS (
-            SELECT doc_id, text, n,
+            SELECT doc_id, h, n,
                    UNNEST(generate_series(0, n - 1, {FRAME_BYTES})) AS off
             FROM d
         ),
@@ -75,7 +82,7 @@ ORACLES = {
                    CAST(off / {FRAME_BYTES} AS INTEGER) AS window_idx,
                    LEAST({FRAME_BYTES}, n - off) AS n_samples,
                    list_transform(generate_series(1, LEAST({FRAME_BYTES}, n - off)),
-                                  i -> ascii(substr(text, off + i, 1))) AS codes
+                                  i -> {_byte_at("off + i - 1")}) AS codes
             FROM w
         )
         SELECT doc_id, window_idx, CAST(n_samples AS INTEGER) AS n_samples,
@@ -97,17 +104,16 @@ ORACLES = {
                3 AS channels
         FROM documents
     """,
-    # md5 over a character substring equals md5 over the corresponding
-    # payload bytes only under the ASCII contract _ASCII_N enforces.
+    # frame_md5 = md5 over the UPPERCASE HEX of the frame bytes (the
+    # kernel's engine-neutral fingerprint) — a VARCHAR md5 in DuckDB,
+    # byte-exact for arbitrary payloads.
     "multimodal_frames": f"""
-        WITH d AS (
-            SELECT doc_id, text, {_ASCII_N} AS n
-            FROM documents
-        )
+        WITH d AS ({_HEXED})
         SELECT doc_id,
                CAST(i AS INT) AS frame_idx,
                CAST(i * {FRAME_BYTES} AS INT) AS frame_offset,
-               md5(substring(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_md5
+               md5(substr(h, 1 + 2 * i * {FRAME_BYTES}, 2 * {FRAME_BYTES}))
+                 AS frame_md5
         FROM d, LATERAL (
             SELECT unnest(generate_series(0, CAST(ceil(n / {FRAME_BYTES}.0) AS INT) - 1)) AS i
         )
