@@ -398,7 +398,11 @@ def q_part_pagerank(spark, sf_dir):
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=False)
     )
-    n = deg.count()  # node count: the one driver scalar (cf. _kmeans_fit)
+    # node count: the one driver scalar (cf. _kmeans_fit); clamp to 1 so an
+    # empty graph yields an empty result instead of ZeroDivisionError — the
+    # constants feed per-node columns of a zero-row frame, so the clamp
+    # never changes a non-empty answer
+    n = deg.count() or 1
     pr = deg.select("src", F.lit(1.0 / n).alias("pr"))
     base = (1 - PR_DAMPING) / n
     for _ in range(PR_ITERS):

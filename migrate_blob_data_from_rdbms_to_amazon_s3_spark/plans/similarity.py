@@ -77,10 +77,13 @@ _PLANES = _mk_planes(N_PLANES)
 # measured optimum). At 100 TB, nd_bits rides the cap; beyond that the
 # hot-bucket cap ND_MAX_BUCKET bounds the join and ND_MAX_BITS is the
 # (linear-cost-per-bit) constant a deployment widens at index build.
-# The probe side emits nd_bits+1 keys per table (exact + one flip per
-# active bit); the build side stays exact, so the join is a plain
-# equi-join on (table, bucket) — O(n · tables · probes) shuffle, never
-# all-pairs.
+# The probe side emits, per (vector, table),
+#     1 + nd_bits + C(min(nd_bits, ND_PROBE_K), 2)
+#       + C(min(nd_bits, ND_PROBE_K3), 3)
+# keys (exact + every Hamming-1 flip + query-directed H2 pairs + H3
+# triples — 47 at the full width with K=8/K3=5); the build side stays
+# exact, so the join is a plain equi-join on (table, bucket) —
+# O(n · tables · probes) shuffle, never all-pairs.
 ND_BANDS = 8
 ND_MIN_BITS = 4
 ND_MAX_BITS = 12
@@ -203,7 +206,16 @@ def _assign_expr(cent_rows) -> str:
     the embedding column, per Lloyd round, at 100 TB. Distances keep the
     bit-identical left-fold of `_sq_dist_spark` so argmin ties can't
     diverge from the DuckDB twin; centroid literals round-trip exactly
-    (shortest-repr doubles)."""
+    (shortest-repr doubles).
+
+    Zero centroids (an EMPTY corpus — the seed collect returned no rows)
+    degrades to a typed null: `array_min(array())` is VOID in Spark and
+    the `.cluster` extraction is an AnalysisException, but the projection
+    only ever runs over the same zero rows the seed came from, so a null
+    assignment is vacuously correct and the query yields empty output
+    instead of crashing (round-7 empty-fixture sweep)."""
+    if not cent_rows:
+        return "cast(null as int)"
     return f"array_min(array({_centroid_structs(cent_rows)})).cluster"
 
 
@@ -221,7 +233,11 @@ def _centroid_structs(cent_rows) -> str:
 def _probe_clusters_expr(cent_rows, nprobe: int) -> str:
     """The ``nprobe`` nearest cluster ids as an array: full struct sort on
     (d, cluster) — the same lexicographic order as the argmin, so probe
-    rank 1 is always the vector's own cluster."""
+    rank 1 is always the vector's own cluster. Zero centroids (empty
+    corpus) degrades to a typed empty array for the same vacuous-truth
+    reason as `_assign_expr`."""
+    if not cent_rows:
+        return "cast(array() as array<int>)"
     return (
         f"transform(slice(array_sort(array({_centroid_structs(cent_rows)})), "
         f"1, {nprobe}), s -> s.cluster)"
@@ -354,7 +370,10 @@ def _nd_boundary_from_dots_duck(d: str) -> str:
 def _nd_probes(sigs, id_alias: str, extra: tuple[str, ...] = ()):
     """(id, *extra, tab, bv) probe rows from a ``_nd_sigs`` frame: one
     row per (vector, table, probe key) — exact bucket, every Hamming-1
-    flip, and the query-directed Hamming-2 flips of `_ND_PROBE_KEYS`."""
+    flip, the query-directed Hamming-2 pairs, AND the query-directed
+    Hamming-3 triples of `_ND_PROBE_KEYS`:
+    1 + nd_bits + C(min(nd_bits, ND_PROBE_K), 2)
+    + C(min(nd_bits, ND_PROBE_K3), 3) keys per (vector, table)."""
     structs = ", ".join(f"struct(t{t} AS v, p{t} AS pb)" for t in range(ND_BANDS))
     return (
         sigs.select(
@@ -421,8 +440,12 @@ def q_neardup_embedding(spark, sf_dir):
     from the multi-table multi-probe hyperplane-LSH index — the scale
     path that replaces the round-1 label block (near-quadratic per block
     at 100 TB). Probe side explodes each vector to ND_BANDS tables x
-    (nd_bits+1) probe keys (exact bucket + one Hamming-1 flip per active
-    bit, nd_bits corpus-derived — see the index comment at the top);
+    [1 + nd_bits + C(min(nd_bits, ND_PROBE_K), 2)
+    + C(min(nd_bits, ND_PROBE_K3), 3)] probe keys (exact bucket, every
+    Hamming-1 flip, and the query-directed H2/H3 flips among the
+    nearest-boundary bits; nd_bits corpus-derived — see the index
+    comment at the top; ~47 keys/table at full width, the price of
+    holding recall at the wider band);
     build side keeps exact buckets; candidates dedup before the
     exact-cosine verification. Same-label remains a semantic filter on
     the pair, not a join block."""
@@ -871,7 +894,13 @@ def q_coreset_kcenter(spark, sf_dir):
     selection order, vec id, and the coverage radius at selection (the
     distance that pick closed)."""
     emb = _emb(spark, sf_dir)
-    seed = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding").collect()[0]
+    seed_rows = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding").collect()
+    if not seed_rows:
+        # empty corpus: no seed to traverse from — empty coreset, not a crash
+        return spark.createDataFrame(
+            [], "selection_rank int, vec_id bigint, coverage_radius double"
+        )
+    seed = seed_rows[0]
 
     def lit_vec(vals):
         return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"

@@ -137,45 +137,43 @@ def test_corpus_and_similarity_ops_on_empty_tables(spark, tmp_path):
         assert qs[name](spark, sf).count() == 0, name
 
 
-def test_registry_queries_survive_empty_fixtures(spark, sf_dir, tmp_path):
-    """Representative registry queries must run (not crash) against an
-    EMPTY copy of the fixture tables — the shape of a filter that matches
-    nothing or an empty ingest batch. Iterative operators that seed from
-    a collected row (coreset/kmeans) document a non-empty contract and
-    are deliberately absent."""
-    import __spark_entry__ as E
+# --- full-registry empty-fixture sweep (round 7, VERDICT r6 item 6) --------
+#
+# EVERY registry query runs against an empty copy of all ten fixture
+# tables, or carries an explicit exemption with the reason. Two earlier
+# partial sweeps each caught a real division-by-zero crash — the shape of
+# a filter matching nothing must never be a crash at 100 TB.
 
-    empty_dir = str(tmp_path / "sf_empty")
-    import os
+import pytest
 
-    os.makedirs(empty_dir)
+import __spark_entry__ as E
+
+# No exemptions: the trainable/seeded operators (kmeans, coreset, IVF)
+# now degrade to typed-empty output when the seed collect returns zero
+# rows (`_assign_expr`/`_probe_clusters_expr` emit typed nulls, coreset
+# returns an empty frame), so ALL 219 registry queries run the sweep.
+_EMPTY_EXEMPT: dict[str, str] = {}
+
+_ALL_QUERIES = sorted(E.queries())
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Empty twin of every fixture table, written once per module."""
+    d = str(tmp_path_factory.mktemp("sf_empty"))
     for t in [
         "orders", "lineitem", "customer", "supplier", "part", "nation",
         "region", "events", "documents", "embeddings",
     ]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.parquet(
-            f"{empty_dir}/{t}.parquet"
+            f"{d}/{t}.parquet"
         )
+    return d
 
-    qs = E.queries()
-    survivors = [
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_threshold_sweep",
-        "bm25_topk",
-        "text_token_count",
-        "quality_classifier_filter",
-        "lsh_candidate_stats",
-        "lsh_width_sweep",
-        "knn_join",
-        "events_sessionize",
-        "q1_pricing_summary",
-        "grouped_linreg",
-        "order_backlog_peaks",
-        "graph_triangles",
-        "kcore_membership",
-        "decontaminate_substring",
-    ]
-    for name in survivors:
-        rows = qs[name](spark, empty_dir).collect()  # must not raise
-        assert isinstance(rows, list), name
+
+@pytest.mark.parametrize("name", _ALL_QUERIES)
+def test_registry_query_survives_empty_fixtures(spark, empty_sf_dir, name):
+    if name in _EMPTY_EXEMPT:
+        pytest.skip(f"exempt: {_EMPTY_EXEMPT[name]}")
+    rows = E.queries()[name](spark, empty_sf_dir).collect()  # must not raise
+    assert isinstance(rows, list), name
