@@ -205,10 +205,34 @@ def _run_worker(args: list[str]) -> dict:
     raise RuntimeError(f"bench worker {args}: no JSON line in stdout")
 
 
+LOAD_GATE = 2.0      # load1 above this -> wait for quiet before measuring
+LOAD_WARN = 0.5      # load1 above this at start -> tainted-record warning
+LOAD_WAIT_S = 600    # max seconds to wait for the machine to go quiet
+
+
+def _wait_for_quiet() -> float:
+    """Load gate (VERDICT r6 item 1: the r6 record was taken at load1
+    2.99 and 'regressed' untouched queries 2-4x — an unfalsifiable
+    cross-round comparison). If the machine is busy, wait up to
+    LOAD_WAIT_S for load1 to drop below LOAD_GATE; always return the
+    load at measurement start so the record carries it."""
+    t0 = time.time()
+    load1 = os.getloadavg()[0]
+    while load1 > LOAD_GATE and time.time() - t0 < LOAD_WAIT_S:
+        print(
+            f"bench: load1 {load1:.2f} > {LOAD_GATE} - waiting for quiet "
+            f"({int(time.time() - t0)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        load1 = os.getloadavg()[0]
+    return load1
+
+
 def main() -> None:
     ncpus = os.cpu_count() or 1
-    load1 = os.getloadavg()[0]
-    contended = load1 > 0.5 * ncpus
+    load1 = _wait_for_quiet()
+    contended = load1 > LOAD_WARN
 
     timings: dict[str, float] = {}
     chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
@@ -221,15 +245,36 @@ def main() -> None:
     # noise while the same-day solo/sweep number was ~1 s — an absolute
     # threshold alone misses sub-OUTLIER_SEC noise). A fresh JVM per
     # query is the ground truth the judge's isolated re-runs use.
+    # Baseline = per-query MIN over the previous local record AND the
+    # newest judged round record (ADVICE r6: comparing only against
+    # BENCH_LOCAL_latest.json lets a committed slowdown self-baseline —
+    # the >=1.5x trigger goes silent for ratcheting regressions; the
+    # judged BENCH_rNN.json can't be rewritten by this run).
+    here = os.path.dirname(os.path.abspath(__file__))
     prev: dict[str, float] = {}
-    prev_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
-    )
-    try:
-        with open(prev_path) as f:
-            prev = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        pass
+    import glob as _glob
+
+    candidates = [os.path.join(here, "BENCH_LOCAL_latest.json")]
+    candidates += sorted(_glob.glob(os.path.join(here, "BENCH_LOCAL_r[0-9][0-9].json")))
+    round_records = sorted(_glob.glob(os.path.join(here, "BENCH_r[0-9][0-9].json")))
+    if round_records:
+        candidates.append(round_records[-1])
+    sf_now = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    for path in candidates:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # only same-SF records are comparable (the scaling sweep rewrites
+        # BENCH_LOCAL_latest.json at each SF in turn — an sf0.001 record
+        # must not become the regression baseline for the sf0.01 leg)
+        if str(rec.get("sf", "")) != sf_now:
+            continue
+        qs = rec.get("queries") or rec.get("parsed", {}).get("queries") or {}
+        for k, v in qs.items():
+            if isinstance(v, (int, float)):
+                prev[k] = min(prev[k], v) if k in prev else v
     re_measured = []
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         regressed = name in prev and prev[name] > 0.2 and sec >= REGRESS_RATIO * prev[name]
