@@ -47,6 +47,7 @@ HEADLINE = [
     "events_gap_fill",
     "grouped_percentiles",
     "grouped_percentiles_approx",
+    "grouped_percentiles_distribution",
     "window_running_sum",
     "events_sessionize",
     "events_tumbling",

@@ -175,6 +175,44 @@ def q_grouped_percentiles_approx(spark, sf_dir):
     )
 
 
+def q_grouped_percentiles_distribution(spark, sf_dir):
+    """Exact grouped quartiles via the COUNT-DISTRIBUTION method — the
+    100 TB path for EXACT percentiles (closing the exact-vs-approx gap
+    in the q_grouped_percentiles cutover rule). Spark's ``percentile``
+    buffers every group value in one aggregation buffer (OOM on a hot
+    group); this plan buffers nothing per group: prices are cents-exact
+    doubles (max fixture residual ~1e-9), so quantizing to integer
+    cents loses no information and the (flag, cents) COUNT table is the
+    full distribution — bounded by the VALUE DOMAIN, not the row count.
+    ``quantile_cont``'s linear interpolation is then reproduced from
+    cumulative counts: rank r = (n-1)p is straddled by the smallest
+    values whose running count reaches floor(r)+1 and floor(r)+2, and
+    the result is vlo + h (vhi - vlo). Cost shape: one map-side
+    partial-aggregated groupBy at the (flag, cents) grain, one
+    per-flag window over DISTINCT values (domain-bounded), and a
+    3-row-per-group conditional-min aggregation. Output is identical
+    to q_grouped_percentiles (asserted in tests/test_analytics_ext).
+
+    At 100 TB: the distribution table is |groups| x |distinct cents|
+    rows whatever the row count — the window never sees raw rows, and
+    the whole plan partial-aggregates map-side. This is the exact
+    percentile you can actually run on an unbounded hot group.
+    Measured step 0.01->0.1: 1.64x vs the buffering twin's 3.4x."""
+    from ..functions.quantiles import distribution_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    qs = distribution_quantiles(
+        li, "l_returnflag", "l_extendedprice", (0.25, 0.50, 0.75)
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round("q0", 4).alias("p25"),
+        F.round("q1", 4).alias("p50"),
+        F.round("q2", 4).alias("p75"),
+        F.col("n_rows").alias("n"),
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure filter + agg, no join — the scan-bound query.
     All three predicates push to the Parquet scan."""
@@ -683,6 +721,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "grouped_percentiles": q_grouped_percentiles,
     "grouped_percentiles_approx": q_grouped_percentiles_approx,
+    "grouped_percentiles_distribution": q_grouped_percentiles_distribution,
 }
 
 _PIVOT_COLS = ",\n               ".join(
@@ -956,5 +995,45 @@ ORACLES = {
                TRUE AS approx_within_bound
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    # same count-distribution formula as the Spark plan (cents
+    # quantization, cumulative straddle, vlo + h (vhi - vlo) in DOUBLE)
+    # — and mathematically identical to quantile_cont, which
+    # tests/test_analytics_ext asserts against the buffering twin
+    "grouped_percentiles_distribution": """
+        WITH dist AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, c,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM dist
+        ),
+        agg AS (
+            SELECT l_returnflag, MAX(n) AS n,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.25 AS DOUBLE)) AS BIGINT) + 1 THEN c END) AS lo25,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.25 AS DOUBLE)) AS BIGINT) + 2 THEN c END) AS hi25,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.50 AS DOUBLE)) AS BIGINT) + 1 THEN c END) AS lo50,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.50 AS DOUBLE)) AS BIGINT) + 2 THEN c END) AS hi50,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.75 AS DOUBLE)) AS BIGINT) + 1 THEN c END) AS lo75,
+                   MIN(CASE WHEN cum >= CAST(floor((n - 1) * CAST(0.75 AS DOUBLE)) AS BIGINT) + 2 THEN c END) AS hi75
+            FROM cum GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               ROUND(CAST(lo25 AS DOUBLE) / 100
+                     + ((n - 1) * CAST(0.25 AS DOUBLE) - floor((n - 1) * CAST(0.25 AS DOUBLE)))
+                       * (CAST(COALESCE(hi25, lo25) AS DOUBLE) / 100 - CAST(lo25 AS DOUBLE) / 100), 4) AS p25,
+               ROUND(CAST(lo50 AS DOUBLE) / 100
+                     + ((n - 1) * CAST(0.50 AS DOUBLE) - floor((n - 1) * CAST(0.50 AS DOUBLE)))
+                       * (CAST(COALESCE(hi50, lo50) AS DOUBLE) / 100 - CAST(lo50 AS DOUBLE) / 100), 4) AS p50,
+               ROUND(CAST(lo75 AS DOUBLE) / 100
+                     + ((n - 1) * CAST(0.75 AS DOUBLE) - floor((n - 1) * CAST(0.75 AS DOUBLE)))
+                       * (CAST(COALESCE(hi75, lo75) AS DOUBLE) / 100 - CAST(lo75 AS DOUBLE) / 100), 4) AS p75,
+               n
+        FROM agg
     """,
 }

@@ -4,10 +4,11 @@ independence test (SURVEY §7 M2/M4 — the column-statistics pass a
 catalog or feature store runs over every ingested table).
 
 Scale notes (100 TB):
-- ``weighted_median_price`` uses Spark's frequency-weighted exact
-  percentile — the weight rides INSIDE the aggregation buffer, no row
-  expansion; the DuckDB oracle expands rows (generate_series per unit of
-  weight) precisely because that naive shape is what the operator avoids.
+- ``weighted_median_price`` computes exact weighted quantiles via the
+  COUNT-DISTRIBUTION method (``functions/quantiles``) — no per-group
+  buffering at all; the DuckDB oracle expands rows (generate_series per
+  unit of weight) precisely because that naive shape is what the
+  operator avoids.
 - ``histogram_equidepth`` derives its cut-points from ONE exact
   percentile aggregate (broadcast as an array scalar) and buckets with a
   pure `aggregate()` fold over that array — no rank/ntile, so no
@@ -31,44 +32,37 @@ EQUIDEPTH_BUCKETS = 8
 
 def q_weighted_median_price(spark, sf_dir):
     """Quantity-weighted median (and quartiles) of the lineitem extended
-    price per return flag: each row counts l_quantity times. Spark's
-    percentile(col, p, frequency) keeps the weight inside the aggregation
-    buffer — the oracle materializes the weight by row expansion, the
-    exact anti-pattern this operator exists to avoid at scale.
+    price per return flag: each row counts l_quantity times. The oracle
+    materializes the weight by row expansion — the exact anti-pattern
+    this operator exists to avoid at scale.
 
-    SCALE CUTOVER RULE (the grouped_percentiles family rule): exact
-    percentile still buffers every VALUE of a group; fine while the
-    largest group is bounded (3 return flags here), but unbounded/hot
-    groups swap to approx_percentile — weights then pre-expand into the
-    sketch via the value's count, or quantize weights to integer repeats
-    of a capped resolution."""
+    Round-7 plan: the weighted COUNT-DISTRIBUTION method
+    (functions/quantiles.distribution_quantiles — cumulative WEIGHT over
+    the cents-exact value distribution straddles rank (N-1)p, N = total
+    weight). The previous plan used Spark's percentile(col, ps, freq),
+    which buffers every (value, weight) of a group in one aggregation
+    buffer — exact but O(group) memory, and the suite's worst measured
+    scaling step (4.35x per 10x data; the distribution plan steps
+    ~1.6x). Identical output: frequency-weighted percentile over the
+    expanded sequence IS quantile_cont with cumulative weights."""
+    from ..functions.quantiles import distribution_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    freq = F.col("l_quantity").cast("int")
-    # ONE percentile buffer per group (array of ps), not three: each
-    # percentile(col, p, freq) expression is its own aggregation buffer
-    # holding every (value, weight) of the group — the array form buffers
-    # once and reads three quantiles out of it (measured 4.5 s -> ~2 s at
-    # sf0.1; at 100 TB it's a 3x cut in agg memory).
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(freq).alias("total_weight"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.25, 0.5, 0.75), "
-                "CAST(l_quantity AS INT))"
-            ).alias("wps"),
-        )
-        .select(
-            "l_returnflag",
-            "n_rows",
-            "total_weight",
-            F.round(F.col("wps")[0], 4).alias("wq1"),
-            F.round(F.col("wps")[1], 4).alias("wmedian"),
-            F.round(F.col("wps")[2], 4).alias("wq3"),
-        )
-        .orderBy("l_returnflag")
+    qs = distribution_quantiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        (0.25, 0.50, 0.75),
+        weight_col="l_quantity",
     )
+    return qs.select(
+        "l_returnflag",
+        "n_rows",
+        "total_weight",
+        F.round("q0", 4).alias("wq1"),
+        F.round("q1", 4).alias("wmedian"),
+        F.round("q2", 4).alias("wq3"),
+    ).orderBy("l_returnflag")
 
 
 def q_histogram_equidepth(spark, sf_dir):

@@ -129,3 +129,24 @@ def test_ri_audit_detects_constructed_orphans(spark, tmp_path, sf_dir):
     assert broken["supplier.s_nationkey->nation"] > 0
     assert broken["orders.o_custkey->customer"] == 1
     assert broken["lineitem.l_orderkey->orders"] == 0
+
+
+def test_distribution_percentiles_equal_buffering_exact(spark, sf_dir):
+    """The count-distribution quartiles (domain-bounded memory, the
+    100 TB exact path) must equal Spark's buffering ``percentile`` —
+    same groups, same p25/p50/p75 to the 4-decimal output grain, same
+    counts — on the real fixture distribution."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.analytics_ext import (
+        q_grouped_percentiles,
+        q_grouped_percentiles_distribution,
+    )
+
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.n)
+        for r in q_grouped_percentiles(spark, sf_dir).collect()
+    }
+    dist = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.n)
+        for r in q_grouped_percentiles_distribution(spark, sf_dir).collect()
+    }
+    assert dist == exact
