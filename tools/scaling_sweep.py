@@ -24,7 +24,19 @@ DEFAULT_SFS = [
 ]
 
 
+def _wait_quiet(target: float = 0.7, max_wait_s: float = 300.0) -> None:
+    """Let the previous leg's load decay before the next leg measures —
+    bench.py's own gate only refuses above 2.0, and the r7 sweep legs
+    each started at load1 1.5-1.9 from the prior leg's workers."""
+    import time
+
+    t0 = time.time()
+    while os.getloadavg()[0] > target and time.time() - t0 < max_wait_s:
+        time.sleep(15)
+
+
 def run_bench(sf_dir: str) -> dict:
+    _wait_quiet()
     env = os.environ.copy()
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     proc = subprocess.run(
