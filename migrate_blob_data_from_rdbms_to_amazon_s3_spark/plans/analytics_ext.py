@@ -116,9 +116,12 @@ def q_grouped_percentiles(spark, sf_dir):
     SCALE CUTOVER RULE: exact percentile buffers every group value in one
     aggregation buffer — use it only when the largest group is bounded and
     known (≲10M rows/group, e.g. the 3-key returnflag grain here). For
-    unbounded/hot groups use q_grouped_percentiles_approx (GK sketch,
-    O(accuracy) memory, map-side partials) — that twin is the 100 TB
-    production plan; this exact form is the oracle anchor."""
+    unbounded/hot groups use q_grouped_percentiles_distribution (exact,
+    domain-bounded memory — the 100 TB exact path since round 7) or
+    q_grouped_percentiles_approx (GK sketch, O(accuracy) memory, for
+    value domains that aren't fixed-precision); this buffering form is
+    kept as the independent oracle anchor the distribution twin is
+    asserted equal to."""
     li = _t(spark, sf_dir, "lineitem")
     # one array-percentile call = one value buffer per group (three separate
     # percentile() aggs would buffer the column three times)
@@ -149,28 +152,37 @@ def q_grouped_percentiles_approx(spark, sf_dir):
     boolean asserts the sketch landed within 1% of each group's value
     spread (the DuckDB twin computes exact and expects TRUE). At the
     oracle SF the sketch accuracy exceeds the group sizes, so the check
-    is deterministic."""
+    is deterministic.
+
+    Round 7: the exact anchor comes from the COUNT-DISTRIBUTION method
+    (functions/quantiles) instead of the buffering ``percentile`` — the
+    anchor was this query's only unbounded-memory stage and the suite's
+    second-worst measured step (4.17x per 10x data); with it the whole
+    audit is hot-group-safe."""
+    from ..functions.quantiles import distribution_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    qs = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", probs).alias("qe"),
+    dq = distribution_quantiles(
+        li, "l_returnflag", "l_extendedprice", (0.25, 0.50, 0.75)
+    )
+    ap = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)"
         ).alias("qa"),
         (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("spread"),
-        F.count("*").alias("n"),
     )
+    qs = dq.join(ap, "l_returnflag")
     within = (
-        (F.abs(F.col("qa")[0] - F.col("qe")[0]) <= F.col("spread") * 0.01)
-        & (F.abs(F.col("qa")[1] - F.col("qe")[1]) <= F.col("spread") * 0.01)
-        & (F.abs(F.col("qa")[2] - F.col("qe")[2]) <= F.col("spread") * 0.01)
+        (F.abs(F.col("qa")[0] - F.col("q0")) <= F.col("spread") * 0.01)
+        & (F.abs(F.col("qa")[1] - F.col("q1")) <= F.col("spread") * 0.01)
+        & (F.abs(F.col("qa")[2] - F.col("q2")) <= F.col("spread") * 0.01)
     )
     return qs.select(
         "l_returnflag",
-        F.round(F.col("qe")[0], 4).alias("p25"),
-        F.round(F.col("qe")[1], 4).alias("p50"),
-        F.round(F.col("qe")[2], 4).alias("p75"),
-        "n",
+        F.round("q0", 4).alias("p25"),
+        F.round("q1", 4).alias("p50"),
+        F.round("q2", 4).alias("p75"),
+        F.col("n_rows").alias("n"),
         within.alias("approx_within_bound"),
     )
 
