@@ -21,9 +21,12 @@ floor(r)+1 and floor(r)+2, and quantile_cont = vlo + h (vhi - vlo),
 h = r - floor(r).
 
 Scale shape: one partial-aggregated groupBy at the (group, grain)
-grain, one per-group window over DISTINCT grains, one 2-rows-per-
-(group, p) conditional-min aggregation. At 100 TB the window input is
-|groups| x |distinct grains| whatever the row count.
+grain, a DISTRIBUTED prefix sum over the distinct grains
+(range-partition -> per-partition totals -> tiny offsets window ->
+within-partition running sum; no single-partition stage anywhere), and
+one 2-rows-per-(group, p) conditional-min aggregation. At 100 TB every
+stage is partitioned — even when the grain domain is as large as the
+row count (e.g. per-customer revenue sums).
 """
 
 from __future__ import annotations
@@ -34,11 +37,13 @@ from pyspark.sql import functions as F
 
 def distribution_quantiles(
     df: DataFrame,
-    group_col: str,
+    group_col: str | None,
     value_col: str,
     ps: tuple[float, ...],
     weight_col: str | None = None,
     scale: int = 100,
+    grain_space: bool = False,
+    wide_domain: bool = True,
 ) -> DataFrame:
     """Exact grouped ``quantile_cont`` without per-group buffering.
 
@@ -49,8 +54,34 @@ def distribution_quantiles(
     are cents). Without ``weight_col`` every row weighs 1 and
     ``total_weight == n_rows``. The arithmetic (cent reconstruction,
     h = (N-1)p - floor((N-1)p), vlo + h (vhi - vlo), all DOUBLE) is
-    written identically in the DuckDB oracle twins so the engines can
-    never disagree on an interpolation ulp."""
+    written identically in the DuckDB oracle twins
+    (``distribution_quantiles_duck``) so the engines can never disagree
+    on an interpolation ulp.
+
+    ``group_col=None`` computes GLOBAL quantiles (one output row).
+    ``grain_space=True`` returns the quantiles in integer-grain units
+    (no /scale reconstruction) — for THRESHOLD consumers (bucketing,
+    clipping): comparing ``round(x * scale)`` grains against grain-space
+    cuts makes tie behavior exact — a cut that falls on a data value is
+    an exact integer double (h=0), and an interpolated cut (h>0) sits
+    strictly between integers, so no comparison is ever decided by a
+    reconstruction ulp.
+
+    ``wide_domain`` picks the cumulative-sum strategy (identical values
+    either way): True (default, safe) = the distributed prefix sum —
+    required when the grain domain grows with the data (per-entity SUMS
+    like customer revenue, durations); False = one window per group over
+    the distinct grains — cheaper by several stages, correct ONLY when
+    the value domain is bounded by catalog/config rather than corpus
+    size (list prices, token counts vs a max-doc-length cap). Callers
+    own that domain knowledge; say why at the call site."""
+    if group_col is None:
+        # global quantiles: a constant group, dropped on the way out
+        df = df.withColumn("__g", F.lit(0))
+        out = distribution_quantiles(
+            df, "__g", value_col, ps, weight_col, scale, grain_space, wide_domain
+        )
+        return out.drop("__g")
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
@@ -65,15 +96,54 @@ def distribution_quantiles(
         .groupBy(group_col, "__c")
         .agg(F.count("*").alias("__cnt"), F.sum("__w").alias("__wsum"))
     )
-    wc = Window.partitionBy(group_col).orderBy("__c")
-    wn = Window.partitionBy(group_col)
-    cum = dist.select(
-        group_col,
-        "__c",
-        F.sum("__wsum").over(wc).alias("__cum"),
-        F.sum("__wsum").over(wn).alias("__N"),
-        F.sum("__cnt").over(wn).alias("__nrows"),
-    )
+    # Distributed prefix sum (round 7): a Window.partitionBy(group)
+    # cumsum puts each group's whole distinct-grain table on ONE task —
+    # domain-bounded for prices/token-counts, but NOT for derived sums
+    # (per-customer revenue has ~|customers| distinct grains). Classic
+    # two-phase instead: range-partition the (group, grain) rows, take
+    # per-partition totals (a tiny P x groups table), turn those into
+    # per-partition starting offsets with a window over the TINY table,
+    # and add a within-partition running sum — every window below is
+    # partitioned on bounded input, nothing single-partitions raw data.
+    if wide_domain:
+        spark = df.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        tagged = dist.repartitionByRange(
+            nparts, F.col(group_col), F.col("__c")
+        ).withColumn("__pid", F.spark_partition_id())
+        ptot = tagged.groupBy("__pid", group_col).agg(
+            F.sum("__wsum").alias("__pw"), F.sum("__cnt").alias("__pc")
+        )
+        wo = Window.partitionBy(group_col).orderBy("__pid")
+        offs = ptot.select(
+            "__pid",
+            group_col,
+            (F.sum("__pw").over(wo) - F.col("__pw")).alias("__offw"),
+        )
+        totals = ptot.groupBy(group_col).agg(
+            F.sum("__pw").alias("__N"), F.sum("__pc").alias("__nrows")
+        )
+        wp = Window.partitionBy("__pid", group_col).orderBy("__c")
+        cum = (
+            tagged.join(offs, ["__pid", group_col])
+            .withColumn("__cum", F.col("__offw") + F.sum("__wsum").over(wp))
+            .join(totals, group_col)
+            .select(group_col, "__c", "__cum", "__N", "__nrows")
+        )
+    else:
+        # domain-bounded grains: one window per group over the distinct
+        # grains — the window input is |domain|-bounded whatever the
+        # row count, so the single task per group is safe by the
+        # caller's stated domain bound
+        wc = Window.partitionBy(group_col).orderBy("__c")
+        wn = Window.partitionBy(group_col)
+        cum = dist.select(
+            group_col,
+            "__c",
+            F.sum("__wsum").over(wc).alias("__cum"),
+            F.sum("__wsum").over(wn).alias("__N"),
+            F.sum("__cnt").over(wn).alias("__nrows"),
+        )
     aggs = [F.max("__N").alias("__N"), F.max("__nrows").alias("__nrows")]
     for idx, p in enumerate(ps):
         for off, tag in ((1, "lo"), (2, "hi")):
@@ -90,10 +160,66 @@ def distribution_quantiles(
         F.col("__N").alias("total_weight"),
     ]
     for idx, p in enumerate(ps):
-        vlo = F.col(f"__lo{idx}").cast("double") / F.lit(float(scale))
-        vhi = F.coalesce(F.col(f"__hi{idx}"), F.col(f"__lo{idx}")).cast(
-            "double"
-        ) / F.lit(float(scale))
+        vlo = F.col(f"__lo{idx}").cast("double")
+        vhi = F.coalesce(F.col(f"__hi{idx}"), F.col(f"__lo{idx}")).cast("double")
+        if not grain_space:
+            vlo = vlo / F.lit(float(scale))
+            vhi = vhi / F.lit(float(scale))
         h = (F.col("__N") - 1) * F.lit(p) - F.floor((F.col("__N") - 1) * F.lit(p))
         outs.append((vlo + h * (vhi - vlo)).alias(f"q{idx}"))
     return agg.select(*outs)
+
+
+def distribution_quantiles_duck(
+    src_sql: str,
+    group_col: str | None,
+    value_sql: str,
+    ps: tuple[float, ...],
+    weight_sql: str | None = None,
+    scale: int = 100,
+    grain_space: bool = False,
+) -> str:
+    """DuckDB twin of ``distribution_quantiles`` — identical quantize /
+    cumulate / straddle / interpolate arithmetic, so a Spark plan built
+    on the helper hash-matches an oracle built on this. Returns a SELECT
+    producing ``(group_col?, n_rows, total_weight, q0..q{len(ps)-1})``
+    over ``src_sql`` (any relation expression)."""
+    g = f"{group_col}, " if group_col else ""
+    gby = f"GROUP BY {group_col}" if group_col else ""
+    part = f"PARTITION BY {group_col}" if group_col else ""
+    w = f"CAST({weight_sql} AS BIGINT)" if weight_sql else "CAST(1 AS BIGINT)"
+    straddles, interps = [], []
+    for idx, p in enumerate(ps):
+        i = f"CAST(floor((__N - 1) * CAST({p!r} AS DOUBLE)) AS BIGINT)"
+        straddles.append(
+            f"MIN(CASE WHEN __cum >= {i} + 1 THEN __c END) AS __lo{idx}, "
+            f"MIN(CASE WHEN __cum >= {i} + 2 THEN __c END) AS __hi{idx}"
+        )
+        div = "" if grain_space else f" / {scale}"
+        h = (
+            f"((__N - 1) * CAST({p!r} AS DOUBLE)"
+            f" - floor((__N - 1) * CAST({p!r} AS DOUBLE)))"
+        )
+        interps.append(
+            f"CAST(__lo{idx} AS DOUBLE){div} + {h} * "
+            f"(CAST(COALESCE(__hi{idx}, __lo{idx}) AS DOUBLE){div}"
+            f" - CAST(__lo{idx} AS DOUBLE){div}) AS q{idx}"
+        )
+    return f"""
+        SELECT {g}__nrows AS n_rows, __N AS total_weight, {", ".join(interps)}
+        FROM (
+            SELECT {g}MAX(__N) AS __N, MAX(__nrows) AS __nrows,
+                   {", ".join(straddles)}
+            FROM (
+                SELECT {g}__c,
+                       SUM(__wsum) OVER ({part} ORDER BY __c) AS __cum,
+                       SUM(__wsum) OVER ({part}) AS __N,
+                       SUM(__cnt) OVER ({part}) AS __nrows
+                FROM (
+                    SELECT {g}CAST(round(({value_sql}) * {scale}) AS BIGINT) AS __c,
+                           COUNT(*) AS __cnt, SUM({w}) AS __wsum
+                    FROM ({src_sql})
+                    GROUP BY {g}__c
+                )
+            ) {gby}
+        ) """

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles_duck
 from ..sources.tables import load_table as _t_impl
 
 
@@ -692,15 +693,16 @@ def _quartile_bucket(col, cuts, ascending):
 def q_customer_rfm_segments(spark, sf_dir):
     """RFM segmentation: recency/frequency/monetary quartiles per
     customer, reported as per-segment counts + value. One orders shuffle
-    to the customer grain; then ONE ``percentile()`` aggregation computes
-    all nine quartile cut-points (3 metrics x p25/p50/p75) in a single
-    pass, the 1-row cut-point table is broadcast, and quartile assignment
-    is a map-side CASE — no global sort anywhere in the plan (the r2
-    version ran three unpartitioned ntile windows, an all-data-to-one-
-    partition sort; guarded now by test_plan_shapes.test_rfm_no_global_
-    sort_window). Exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``) keep the DuckDB twin hash-green; at 100 TB
-    the same shape holds with approx_percentile for a one-pass sketch.
+    to the customer grain; then ONE distribution-quantile pass computes
+    all nine quartile cut-points (3 melted metrics x p25/p50/p75, no
+    per-group value buffering — functions/quantiles), the 1-row
+    cut-point table is broadcast, and quartile assignment is a map-side
+    CASE — no global sort anywhere in the plan (the r2 version ran
+    three unpartitioned ntile windows, an all-data-to-one-partition
+    sort; guarded now by test_plan_shapes.test_rfm_no_global_
+    sort_window). Exact interpolated percentiles (identical
+    distribution arithmetic in both engines) keep the DuckDB twin
+    hash-green at any scale.
     Quartile semantics are threshold-based (ties share a bucket), the
     scale-sane definition — equal-count ntile would force a total order.
     """
@@ -721,28 +723,43 @@ def q_customer_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
-    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    cuts = per_cust.agg(
-        F.percentile("recency_days", ps).alias("r_cuts"),
-        F.percentile("frequency", ps).alias("f_cuts"),
-        F.percentile("monetary", ps).alias("m_cuts"),
+    # Cut-points via the COUNT-DISTRIBUTION method (functions/quantiles;
+    # round 7): the previous triple ``percentile()`` buffered the whole
+    # customer grain three times in one aggregation buffer — the shape
+    # that OOMs at an unbounded customer count. The three metrics melt
+    # (stack) into (metric, v) rows so ONE distribution pass computes
+    # all nine cut-points; both engines reconstruct bit-identical cut
+    # doubles, so the threshold CASEs can never disagree.
+    from ..functions.quantiles import distribution_quantiles
+
+    melted = per_cust.selectExpr(
+        "stack(3, 'r', CAST(recency_days AS DOUBLE), "
+        "'f', CAST(frequency AS DOUBLE), 'm', monetary) AS (metric, v)"
+    )
+    cut_rows = distribution_quantiles(melted, "metric", "v", (0.25, 0.5, 0.75))
+    cuts = cut_rows.groupBy().agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col(f"q{i}"))).alias(f"{m}_cut{i}")
+            for m in ("r", "f", "m")
+            for i in range(3)
+        ]
     )
     scored = per_cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "monetary",
         _quartile_bucket(
             F.col("recency_days"),
-            [F.col("r_cuts")[i] for i in range(3)],
+            [F.col(f"r_cut{i}") for i in range(3)],
             ascending=True,
         ).alias("r_q"),
         _quartile_bucket(
             F.col("frequency"),
-            [F.col("f_cuts")[i] for i in range(3)],
+            [F.col(f"f_cut{i}") for i in range(3)],
             ascending=False,
         ).alias("f_q"),
         _quartile_bucket(
             F.col("monetary"),
-            [F.col("m_cuts")[i] for i in range(3)],
+            [F.col(f"m_cut{i}") for i in range(3)],
             ascending=False,
         ).alias("m_q"),
     )
@@ -1262,7 +1279,7 @@ ORACLES = {
             FROM events
         ) WHERE rn = 1
     """,
-    "customer_rfm_segments": """
+    "customer_rfm_segments": f"""
         WITH per_cust AS (
             SELECT o_custkey,
                    datediff('day', MAX(o_orderdate),
@@ -1272,10 +1289,23 @@ ORACLES = {
             FROM orders GROUP BY o_custkey
         ),
         cuts AS (
-            SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r_cuts,
-                   quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f_cuts,
-                   quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m_cuts
-            FROM per_cust
+            SELECT [MAX(CASE WHEN metric = 'r' THEN q0 END),
+                    MAX(CASE WHEN metric = 'r' THEN q1 END),
+                    MAX(CASE WHEN metric = 'r' THEN q2 END)] AS r_cuts,
+                   [MAX(CASE WHEN metric = 'f' THEN q0 END),
+                    MAX(CASE WHEN metric = 'f' THEN q1 END),
+                    MAX(CASE WHEN metric = 'f' THEN q2 END)] AS f_cuts,
+                   [MAX(CASE WHEN metric = 'm' THEN q0 END),
+                    MAX(CASE WHEN metric = 'm' THEN q1 END),
+                    MAX(CASE WHEN metric = 'm' THEN q2 END)] AS m_cuts
+            FROM ({distribution_quantiles_duck(
+                "SELECT 'r' AS metric, CAST(recency_days AS DOUBLE) AS v FROM per_cust"
+                " UNION ALL SELECT 'f', CAST(frequency AS DOUBLE) FROM per_cust"
+                " UNION ALL SELECT 'm', monetary FROM per_cust",
+                "metric",
+                "v",
+                (0.25, 0.5, 0.75),
+            )})
         ),
         scored AS (
             SELECT o_custkey, monetary,

@@ -163,7 +163,11 @@ def q_grouped_percentiles_approx(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     dq = distribution_quantiles(
-        li, "l_returnflag", "l_extendedprice", (0.25, 0.50, 0.75)
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        (0.25, 0.50, 0.75),
+        wide_domain=False,  # catalog-bounded grain (see the exact twin)
     )
     ap = li.groupBy("l_returnflag").agg(
         F.expr(
@@ -214,7 +218,13 @@ def q_grouped_percentiles_distribution(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     qs = distribution_quantiles(
-        li, "l_returnflag", "l_extendedprice", (0.25, 0.50, 0.75)
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        (0.25, 0.50, 0.75),
+        # extended price = catalog part price x (qty <= 50): the grain
+        # domain is catalog-bounded, not corpus-sized
+        wide_domain=False,
     )
     return qs.select(
         "l_returnflag",

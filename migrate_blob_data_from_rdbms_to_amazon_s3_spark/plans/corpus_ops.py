@@ -92,6 +92,11 @@ def q_quality_percentile_filter(spark, sf_dir):
     ``percentile`` aggregation over the per-doc scores, broadcast back as
     a scalar cut (the same no-global-sort shape as customer_rfm_segments;
     a rank/ntile formulation would single-partition every document).
+    Scores are arbitrary floats (log-prob averages), so the
+    domain-quantized distribution method (functions/quantiles) does not
+    apply — at unbounded corpus scale the cut swaps to
+    approx_percentile (the grouped_percentiles cutover rule); exact is
+    kept here as the oracle-checkable form.
     The per-doc score table is materialized once: both the cut-point
     aggregate and the per-language report read it, and without the
     barrier the whole token->vocab->score DAG re-plans (and re-executes)

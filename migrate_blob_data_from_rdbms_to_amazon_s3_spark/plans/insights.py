@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles_duck
 from ..sources.tables import load_table as _t
 
 PATH_LEN = 5
@@ -162,11 +163,22 @@ def q_revenue_concentration(spark, sf_dir):
     percentile broadcast back as a scalar cut (the rfm/quality-filter
     discipline — a rank formulation would single-partition every
     customer); the report is one more aggregation over the customer
-    grain. Ties at the cut land in the top group in both engines (>=)."""
+    grain. Ties at the cut land in the top group in both engines (>=).
+
+    Round 7: the cut comes from the COUNT-DISTRIBUTION method
+    (functions/quantiles, grain space) — the previous global
+    ``percentile`` buffered every customer's revenue in one aggregation
+    buffer. The >= comparison runs on integer-grain cents against the
+    grain cut, so a tie at the boundary can never be decided by a
+    reconstruction or sum-order ulp in either engine."""
+    from ..functions.quantiles import distribution_quantiles
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    cut = per_cust.agg(F.percentile("rev", F.lit(CONC_PCTL)).alias("cut"))
-    top = F.col("rev") >= F.col("cut")
+    cut = distribution_quantiles(
+        per_cust, None, "rev", (CONC_PCTL,), grain_space=True
+    ).select(F.col("q0").alias("cut"))
+    top = F.round(F.col("rev") * 100).cast("double") >= F.col("cut")
     return per_cust.crossJoin(F.broadcast(cut)).agg(
         F.count("*").alias("n_customers"),
         F.sum(top.cast("int")).alias("n_top"),
@@ -174,7 +186,8 @@ def q_revenue_concentration(spark, sf_dir):
         F.round(F.sum(F.when(top, F.col("rev")).otherwise(0.0)) / F.sum("rev"), 6).alias(
             "top_revenue_share"
         ),
-        F.round(F.first("cut"), 4).alias("cut_revenue"),
+        # cut is in grain (cent) units; display in value units
+        F.round(F.first("cut") / 100.0, 4).alias("cut_revenue"),
     )
 
 
@@ -251,9 +264,13 @@ def q_session_length_stats(spark, sf_dir):
     gap rule (the events_sessionize grain), then ONE aggregate over the
     session grain reports count, mean/median/p90 of events-per-session,
     and mean/p90 duration — the distribution a capacity planner and a
-    session-window tuner both read. The exact percentile here aggregates
-    the SESSION grain (bounded: ≤ one row per user-gap), not raw
-    events."""
+    session-window tuner both read. Percentiles come from the
+    COUNT-DISTRIBUTION method (functions/quantiles; round 7 — the
+    session grain is unbounded at scale, and the previous global
+    ``percentile`` buffered every session in one aggregation buffer):
+    events-per-session at integer grain, durations at millisecond
+    grain."""
+    from ..functions.quantiles import distribution_quantiles
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -276,14 +293,28 @@ def q_session_length_stats(spark, sf_dir):
             F.count("*").alias("n_events"),
             ((F.max(ms) - F.min(ms)) / 1000.0).alias("duration_sec"),
         )
+        # three consumers (base aggregate + two quantile passes) — one
+        # materialization of the session grain
+        .localCheckpoint(eager=False)
     )
-    return sess.agg(
+    base = sess.agg(
         F.count("*").alias("n_sessions"),
         F.round(F.avg("n_events"), 4).alias("avg_events"),
-        F.round(F.percentile("n_events", F.lit(0.5)), 4).alias("p50_events"),
-        F.round(F.percentile("n_events", F.lit(0.9)), 4).alias("p90_events"),
         F.round(F.avg("duration_sec"), 2).alias("avg_duration_sec"),
-        F.round(F.percentile("duration_sec", F.lit(0.9)), 2).alias("p90_duration_sec"),
+    )
+    qe = distribution_quantiles(sess, None, "n_events", (0.5, 0.9), scale=1).select(
+        F.round("q0", 4).alias("p50_events"), F.round("q1", 4).alias("p90_events")
+    )
+    qd = distribution_quantiles(
+        sess, None, "duration_sec", (0.9,), scale=1000
+    ).select(F.round("q0", 2).alias("p90_duration_sec"))
+    return base.crossJoin(F.broadcast(qe)).crossJoin(F.broadcast(qd)).select(
+        "n_sessions",
+        "avg_events",
+        "p50_events",
+        "p90_events",
+        "avg_duration_sec",
+        "p90_duration_sec",
     )
 
 
@@ -408,16 +439,25 @@ def q_revenue_gini(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    ps = [i / GINI_BUCKETS for i in range(1, GINI_BUCKETS)]
-    cuts = per_cust.agg(
-        F.expr(
-            "percentile(rev, array(" + ", ".join(str(p) for p in ps) + "))"
-        ).alias("cuts")
-    )
+    # Bucket boundaries via the COUNT-DISTRIBUTION method (round 7 —
+    # the previous percentile() buffered every customer's revenue in
+    # one aggregation buffer). The cuts only partition work: the global
+    # rank i comes from the (rev, custkey) total order, so ANY monotone
+    # bucketing yields the identical gini — equal revs always share a
+    # bucket (strict > on grains), keeping buckets order-aligned.
+    from ..functions.quantiles import distribution_quantiles
+
+    ps = tuple(i / GINI_BUCKETS for i in range(1, GINI_BUCKETS))
+    cuts = distribution_quantiles(
+        per_cust, None, "rev", ps, grain_space=True
+    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
     bucketed = per_cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "rev",
-        F.expr("aggregate(cuts, 0, (acc, c) -> acc + IF(rev > c, 1, 0))").alias("b"),
+        F.expr(
+            "aggregate(cuts, 0, (acc, c) -> "
+            "acc + IF(CAST(round(rev * 100) AS DOUBLE) > c, 1, 0))"
+        ).alias("b"),
     )
     counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
     prev = counts.select(F.col("b").alias("pb"), F.col("n").alias("pn"))
@@ -583,14 +623,30 @@ ORACLES = {
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    (MAX(ms) - MIN(ms)) / 1000.0 AS duration_sec
             FROM sess GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT COUNT(*) AS n_sessions,
+                   ROUND(AVG(n_events), 4) AS avg_events,
+                   ROUND(AVG(duration_sec), 2) AS avg_duration_sec
+            FROM grains
+        ),
+        qe AS (
+            SELECT ROUND(q0, 4) AS p50_events, ROUND(q1, 4) AS p90_events
+            FROM ({distribution_quantiles_duck(
+                "SELECT n_events FROM grains", None, "n_events", (0.5, 0.9),
+                scale=1,
+            )})
+        ),
+        qd AS (
+            SELECT ROUND(q0, 2) AS p90_duration_sec
+            FROM ({distribution_quantiles_duck(
+                "SELECT duration_sec FROM grains", None, "duration_sec", (0.9,),
+                scale=1000,
+            )})
         )
-        SELECT COUNT(*) AS n_sessions,
-               ROUND(AVG(n_events), 4) AS avg_events,
-               ROUND(quantile_cont(n_events, 0.5), 4) AS p50_events,
-               ROUND(quantile_cont(n_events, 0.9), 4) AS p90_events,
-               ROUND(AVG(duration_sec), 2) AS avg_duration_sec,
-               ROUND(quantile_cont(duration_sec, 0.9), 2) AS p90_duration_sec
-        FROM grains
+        SELECT n_sessions, avg_events, p50_events, p90_events,
+               avg_duration_sec, p90_duration_sec
+        FROM base, qe, qd
     """,
     "order_frequency_histogram": """
         WITH per_cust AS (
@@ -667,13 +723,19 @@ ORACLES = {
         WITH per_cust AS (
             SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
         ),
-        cut AS (SELECT quantile_cont(rev, {CONC_PCTL}) AS cut FROM per_cust)
+        cut AS (
+            SELECT q0 AS cut FROM ({distribution_quantiles_duck(
+                "SELECT rev FROM per_cust", None, "rev", (CONC_PCTL,),
+                grain_space=True,
+            )})
+        )
         SELECT COUNT(*) AS n_customers,
-               CAST(SUM(CASE WHEN rev >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               CAST(SUM(CASE WHEN round(rev * 100) >= cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top,
                ROUND(SUM(rev), 2) AS total_revenue,
-               ROUND(SUM(CASE WHEN rev >= cut THEN rev ELSE 0 END) / SUM(rev), 6)
-                 AS top_revenue_share,
-               ROUND(MIN(cut), 4) AS cut_revenue
+               ROUND(SUM(CASE WHEN round(rev * 100) >= cut THEN rev ELSE 0 END)
+                     / SUM(rev), 6) AS top_revenue_share,
+               ROUND(MIN(cut) / 100, 4) AS cut_revenue
         FROM per_cust, cut
     """,
     "event_path_topk": f"""

@@ -9,9 +9,9 @@ Scale notes (100 TB):
   buffering at all; the DuckDB oracle expands rows (generate_series per
   unit of weight) precisely because that naive shape is what the
   operator avoids.
-- ``histogram_equidepth`` derives its cut-points from ONE exact
-  percentile aggregate (broadcast as an array scalar) and buckets with a
-  pure `aggregate()` fold over that array — no rank/ntile, so no
+- ``histogram_equidepth`` derives its cut-points from the distribution
+  method (broadcast as an array scalar) and buckets with a pure
+  `aggregate()` fold over that array — no rank/ntile, so no
   single-partition global sort (the customer_rfm_segments discipline).
 - ``numeric_corr_audit`` / ``completeness_audit`` are single partial+
   final aggregations: every statistic (corr pairs, null counts, distinct
@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles, distribution_quantiles_duck
 from ..sources.tables import load_table as _t
 
 EQUIDEPTH_BUCKETS = 8
@@ -54,6 +55,9 @@ def q_weighted_median_price(spark, sf_dir):
         "l_extendedprice",
         (0.25, 0.50, 0.75),
         weight_col="l_quantity",
+        # extended price = catalog part price x (qty <= 50): the grain
+        # domain is catalog-bounded, not corpus-sized
+        wide_domain=False,
     )
     return qs.select(
         "l_returnflag",
@@ -71,18 +75,27 @@ def q_histogram_equidepth(spark, sf_dir):
     The cut array is one aggregate broadcast to the scan; bucket id is a
     fold over the array (count of cuts strictly below x) — never a global
     rank. The histogram a cost-based optimizer actually wants (equi-width
-    twin: histogram_equiwidth)."""
+    twin: histogram_equiwidth).
+
+    Round 7: the cut-points come from the exact COUNT-DISTRIBUTION
+    method (functions/quantiles) — the previous GLOBAL ``percentile``
+    buffered the ENTIRE table in one aggregation buffer, the worst
+    possible shape at 100 TB. Cuts are compared in integer-GRAIN space
+    (round(x*100) vs grain cuts): a cut that lands on a data value is
+    an exact integer double and an interpolated cut sits strictly
+    between integers, so tie behavior is exact in both engines."""
     o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
-    ps = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
-    cuts = o.agg(
-        F.expr(
-            "percentile(x, array(" + ", ".join(str(p) for p in ps) + "))"
-        ).alias("cuts")
+    ps = tuple(i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS))
+    cuts = distribution_quantiles(o, None, "x", ps, grain_space=True).select(
+        F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts")
     )
     return (
         o.crossJoin(F.broadcast(cuts))
         .select(
-            F.expr("aggregate(cuts, 0, (acc, c) -> acc + IF(x > c, 1, 0))").alias("bucket"),
+            F.expr(
+                "aggregate(cuts, 0, (acc, c) -> "
+                "acc + IF(CAST(round(x * 100) AS DOUBLE) > c, 1, 0))"
+            ).alias("bucket"),
             "x",
         )
         .groupBy("bucket")
@@ -260,12 +273,16 @@ def q_winsorized_stats(spark, sf_dir):
     p1/p99 cut-points (one percentile aggregate broadcast back — no
     global sort), with raw-vs-winsorized mean/stddev side by side and the
     clip counts — the robust-feature preparation step, and the audit of
-    how much tail mass it moved. At unbounded scale swap the exact cuts
-    for approx_percentile (the grouped_percentiles family rule)."""
+    how much tail mass it moved.
+
+    Round 7: the p1/p99 cuts come from the exact COUNT-DISTRIBUTION
+    method (functions/quantiles) — the previous GLOBAL ``percentile``
+    buffered the entire table in one aggregation buffer. Both engines
+    derive bit-identical cut doubles from the same builder arithmetic,
+    so the clip comparisons can never disagree."""
     o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
-    cuts = o.agg(
-        F.percentile("x", F.lit(WINSOR_LO)).alias("lo"),
-        F.percentile("x", F.lit(WINSOR_HI)).alias("hi"),
+    cuts = distribution_quantiles(o, None, "x", (WINSOR_LO, WINSOR_HI)).select(
+        F.col("q0").alias("lo"), F.col("q1").alias("hi")
     )
     w = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
     return o.crossJoin(F.broadcast(cuts)).agg(
@@ -291,17 +308,21 @@ def q_price_qq_drift(spark, sf_dir):
     """Quantile-quantile drift table: the order-total deciles of 1996 vs
     1997 side by side with their gaps — the location-aware complement to
     price_psi_drift's single number (PSI says THAT the distribution
-    moved; the Q-Q table says WHERE). Two grouped exact-percentile
-    arrays, exploded to the 9-row decile grid — no global sort, constant
-    output."""
+    moved; the Q-Q table says WHERE). Two grouped exact decile arrays
+    from the COUNT-DISTRIBUTION method (functions/quantiles; round 7 —
+    the previous per-year ``percentile`` buffered each year's totals in
+    one aggregation buffer), exploded to the 9-row decile grid — no
+    global sort, constant output."""
     o = _t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("x")
     ).filter(F.col("yr").isin(QQ_YEAR_P, QQ_YEAR_Q))
-    ps = [i / 10 for i in range(1, 10)]
-    arr = "percentile(x, array(" + ", ".join(str(p) for p in ps) + "))"
-    per_yr = o.groupBy("yr").agg(F.expr(arr).alias("qs"))
+    ps = tuple(i / 10 for i in range(1, 10))
+    per_yr = distribution_quantiles(o, "yr", "x", ps)
     grid = per_yr.select(
-        "yr", F.posexplode("qs").alias("i", "q")
+        "yr",
+        F.posexplode(
+            F.array(*[F.col(f"q{i}") for i in range(len(ps))])
+        ).alias("i", "q"),
     ).select("yr", ((F.col("i") + 1) * 10).alias("pctl"), "q")
     p_side = grid.filter(F.col("yr") == QQ_YEAR_P).select(
         "pctl", F.col("q").alias("q_p")
@@ -480,9 +501,13 @@ ORACLES = {
             WHERE EXTRACT(year FROM o_orderdate) IN ({QQ_YEAR_P}, {QQ_YEAR_Q})
         ),
         per_yr AS (
-            SELECT yr, quantile_cont(x, [{", ".join(str(i / 10) for i in range(1, 10))}])
-                     AS qs
-            FROM o GROUP BY yr
+            SELECT yr, [{", ".join(f"q{i}" for i in range(9))}] AS qs
+            FROM ({distribution_quantiles_duck(
+                "SELECT yr, x FROM o",
+                "yr",
+                "x",
+                tuple(i / 10 for i in range(1, 10)),
+            )})
         ),
         grid AS (
             SELECT yr, (i * 10) AS pctl, qs[i] AS q
@@ -531,9 +556,13 @@ ORACLES = {
     """,
     "winsorized_stats": f"""
         WITH cuts AS (
-            SELECT quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
-                   quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
-            FROM orders
+            SELECT q0 AS lo, q1 AS hi
+            FROM ({distribution_quantiles_duck(
+                "SELECT o_totalprice AS x FROM orders",
+                None,
+                "x",
+                (WINSOR_LO, WINSOR_HI),
+            )})
         )
         SELECT COUNT(*) AS n,
                ROUND(MIN(lo), 4) AS p01,
@@ -593,13 +622,17 @@ ORACLES = {
     """,
     "histogram_equidepth": f"""
         WITH cuts AS (
-            SELECT quantile_cont(o_totalprice,
-                       [{", ".join(str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS))}])
-                   AS cs
-            FROM orders
+            SELECT [{", ".join(f"q{i}" for i in range(EQUIDEPTH_BUCKETS - 1))}] AS cs
+            FROM ({distribution_quantiles_duck(
+                "SELECT o_totalprice AS x FROM orders",
+                None,
+                "x",
+                tuple(i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)),
+                grain_space=True,
+            )})
         ),
         binned AS (
-            SELECT CAST(len(list_filter(cs, c -> o_totalprice > c)) AS INTEGER) AS bucket,
+            SELECT CAST(len(list_filter(cs, c -> round(o_totalprice * 100) > c)) AS INTEGER) AS bucket,
                    o_totalprice AS x
             FROM orders, cuts
         )

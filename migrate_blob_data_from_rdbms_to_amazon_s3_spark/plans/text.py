@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles_duck
+
 # Tiny deterministic English stopword list (language-ID heuristic: n-gram /
 # stopword-ratio detectors à la langid; shared verbatim with the oracles).
 EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "it")
@@ -298,29 +300,35 @@ def q_pack_sequences(spark, sf_dir):
 def q_length_percentiles(spark, sf_dir):
     """Per-language token-length distribution: exact p25/p50/p75/p95 plus
     mean — the corpus-shape audit that sizes context windows and packing
-    (see PACK_CONTEXT_TOKENS). Exact sort-based percentiles within each
-    (small) language group so the DuckDB twin is value-checkable; at
-    production scale swap percentile() for approx_percentile's one-pass
-    sketch."""
+    (see PACK_CONTEXT_TOKENS). Exact percentiles come from the
+    COUNT-DISTRIBUTION method (functions/quantiles; round 7): token
+    counts are integers, so the per-language (lang, n_toks) count table
+    is the full distribution — no per-group value buffering even on a
+    one-language corpus, where the previous grouped ``percentile()``
+    buffered every document."""
+    from ..functions.quantiles import distribution_quantiles
+
     docs = _docs(spark, sf_dir)
     toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-    ps = [0.25, 0.5, 0.75, 0.95]
-    # one array-percentile call = one value buffer per group (four separate
-    # percentile() aggs would buffer the column four times)
-    agged = (
-        docs.select("lang", toks.alias("n_toks"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.percentile("n_toks", F.array(*[F.lit(p) for p in ps])).alias("q"),
-            F.round(F.avg("n_toks"), 2).alias("mean_toks"),
-        )
-    )
-    return agged.select(
+    ps = (0.25, 0.5, 0.75, 0.95)
+    tok_tbl = docs.select("lang", toks.alias("n_toks")).localCheckpoint(eager=False)
+    qs = distribution_quantiles(
+        tok_tbl,
         "lang",
-        "n_docs",
-        *[F.round(F.col("q")[i], 2).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
-        "mean_toks",
+        "n_toks",
+        ps,
+        scale=1,
+        wide_domain=False,  # token counts are max-doc-length-bounded
+    )
+    means = tok_tbl.groupBy("lang").agg(F.round(F.avg("n_toks"), 2).alias("mean_toks"))
+    return (
+        qs.join(means, "lang")
+        .select(
+            "lang",
+            F.col("n_rows").alias("n_docs"),
+            *[F.round(F.col(f"q{i}"), 2).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
+            "mean_toks",
+        )
     )
 
 
@@ -599,20 +607,31 @@ ORACLES = {
         FROM c
         WHERE length(substr(text, start_pos, {CHUNK_CHARS})) > 0
     """,
-    "text_length_percentiles": r"""
-        SELECT lang, COUNT(*) AS n_docs,
-               ROUND(quantile_cont(n_toks, 0.25), 2) AS p25,
-               ROUND(quantile_cont(n_toks, 0.5), 2) AS p50,
-               ROUND(quantile_cont(n_toks, 0.75), 2) AS p75,
-               ROUND(quantile_cont(n_toks, 0.95), 2) AS p95,
-               ROUND(AVG(n_toks), 2) AS mean_toks
-        FROM (
+    "text_length_percentiles": rf"""
+        WITH tok_tbl AS (
             SELECT lang,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                      AS n_toks
             FROM documents
+        ),
+        qs AS (
+            SELECT lang, n_rows,
+                   ROUND(q0, 2) AS p25, ROUND(q1, 2) AS p50,
+                   ROUND(q2, 2) AS p75, ROUND(q3, 2) AS p95
+            FROM ({distribution_quantiles_duck(
+                "SELECT lang, n_toks FROM tok_tbl",
+                "lang",
+                "n_toks",
+                (0.25, 0.5, 0.75, 0.95),
+                scale=1,
+            )})
+        ),
+        means AS (
+            SELECT lang, ROUND(AVG(n_toks), 2) AS mean_toks
+            FROM tok_tbl GROUP BY lang
         )
-        GROUP BY lang
+        SELECT lang, n_rows AS n_docs, p25, p50, p75, p95, mean_toks
+        FROM qs JOIN means USING (lang)
     """,
     "text_repetition_filter": rf"""
         WITH t AS (

@@ -148,6 +148,29 @@ def _keys_bounded(keys) -> bool:
     return all(_strip_attr(k) in _BOUNDED_GROUP_KEYS for k in keys)
 
 
+def _subtree_text(node) -> str:
+    out, stack = [], [node]
+    while stack:
+        n = stack.pop()
+        out.append(n["line"])
+        stack.extend(n["children"])
+    return "\n".join(out)
+
+
+def _literal_aliased(subtree_text: str, key: str) -> bool:
+    """True when the grouping attribute `key` (e.g. '__g#66') is produced
+    as a literal alias ('0 AS __g#66') somewhere below — a literal-valued
+    grouping key has a 1-value domain, so the aggregate is bounded (the
+    functions/quantiles global-group pattern)."""
+    tok = key.strip()
+    return bool(
+        re.search(
+            rf"(?<![\w.#])-?\d+(?:\.\d+)?\s+AS\s+{re.escape(tok)}(?![0-9])",
+            subtree_text,
+        )
+    )
+
+
 def _is_bounded(node) -> bool:
     """Recursive boundedness: can this subtree's row count grow with the
     input data? Conservative — unknown node kinds inherit their
@@ -168,7 +191,14 @@ def _is_bounded(node) -> bool:
         # (exactly 1 row); two lists = grouped (first list = keys).
         if len(lists) == 1:
             return True
-        if _keys_bounded(_split_top_commas(lists[0])):
+        keys = _split_top_commas(lists[0])
+        if _keys_bounded(keys):
+            return True
+        subtree = _subtree_text(node)
+        if all(
+            _strip_attr(k) in _BOUNDED_GROUP_KEYS or _literal_aliased(subtree, k)
+            for k in keys
+        ):
             return True
         return all(_is_bounded(k) for k in kids)
     if line.startswith("Deduplicate "):
