@@ -44,6 +44,7 @@ def distribution_quantiles(
     scale: int = 100,
     grain_space: bool = False,
     wide_domain: bool = True,
+    _global: bool = False,
 ) -> DataFrame:
     """Exact grouped ``quantile_cont`` without per-group buffering.
 
@@ -79,7 +80,15 @@ def distribution_quantiles(
         # global quantiles: a constant group, dropped on the way out
         df = df.withColumn("__g", F.lit(0))
         out = distribution_quantiles(
-            df, "__g", value_col, ps, weight_col, scale, grain_space, wide_domain
+            df,
+            "__g",
+            value_col,
+            ps,
+            weight_col,
+            scale,
+            grain_space,
+            wide_domain,
+            _global=True,
         )
         return out.drop("__g")
     w = (
@@ -123,6 +132,15 @@ def distribution_quantiles(
         totals = ptot.groupBy(group_col).agg(
             F.sum("__pw").alias("__N"), F.sum("__pc").alias("__nrows")
         )
+        # At GLOBAL grain the group column is a folded constant, so the
+        # totals join has no residual equi-key — without a hint, join
+        # selection over hintless lineage (e.g. a localCheckpoint, whose
+        # LogicalRDD carries no size estimate) degrades to
+        # CartesianProduct. offs (one row per range partition) and
+        # totals (exactly one row) are provably tiny there, so hint
+        # them; grouped callers keep real keys and real stats.
+        if _global:
+            offs, totals = F.broadcast(offs), F.broadcast(totals)
         wp = Window.partitionBy("__pid", group_col).orderBy("__c")
         cum = (
             tagged.join(offs, ["__pid", group_col])

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles_duck
+
 # per-language keep-rates (percent) for the stratified downsampler: the
 # high-resource languages get downsampled, the tail kept — the standard
 # corpus-mixing move. Shared verbatim with the oracle CASE.
@@ -88,36 +90,44 @@ def q_unigram_logprob(spark, sf_dir):
 def q_quality_percentile_filter(spark, sf_dir):
     """Dynamic-threshold quality filter: drop the worst quartile of
     documents by unigram-LM score (highest avg -ln p = least fluent),
-    with the threshold derived FROM the corpus itself — one exact
-    ``percentile`` aggregation over the per-doc scores, broadcast back as
+    with the threshold derived FROM the corpus itself, broadcast back as
     a scalar cut (the same no-global-sort shape as customer_rfm_segments;
     a rank/ntile formulation would single-partition every document).
-    Scores are arbitrary floats (log-prob averages), so the
-    domain-quantized distribution method (functions/quantiles) does not
-    apply — at unbounded corpus scale the cut swaps to
-    approx_percentile (the grouped_percentiles cutover rule); exact is
-    kept here as the oracle-checkable form.
+
+    Round 7: the cut comes from the COUNT-DISTRIBUTION method
+    (functions/quantiles). The score is not an arbitrary float — it is
+    DEFINED as ``round(avg -ln p, 3)``, a milli-grain domain by
+    construction (the previous "no fixed grain" claim was stale), so the
+    exact quantile needs no per-group buffering: scale=1000 quantization,
+    distributed prefix sum, straddle+interpolate. With p=0.75 the
+    grain-space interpolation factor h ∈ {0, .25, .5, .75} — exact binary
+    fractions times integer grains — so the cut double is exactly
+    representable and the ``<=`` comparison (integer grains vs grain cut)
+    can never be decided by an ulp in either engine.
     The per-doc score table is materialized once: both the cut-point
     aggregate and the per-language report read it, and without the
     barrier the whole token->vocab->score DAG re-plans (and re-executes)
     per consumer — doc-grain, so the materialization is corpus-row-sized,
     not token-sized. Report: per-language total/kept/kept-token mass —
     the audit a corpus build logs when it applies the filter."""
+    from ..functions.quantiles import distribution_quantiles
+
     doc_scores = _unigram_doc_scores(spark, sf_dir, "score").localCheckpoint(
         eager=True
     )
-    cut = doc_scores.agg(F.percentile("score", F.lit(0.75)).alias("cut"))
+    cut = distribution_quantiles(
+        doc_scores, None, "score", (0.75,), scale=1000, grain_space=True
+    ).select(F.col("q0").alias("cut"))
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    kept = F.round(F.col("score") * 1000) <= F.col("cut")
     return (
         doc_scores.crossJoin(F.broadcast(cut))
         .join(docs, "doc_id")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("score") <= F.col("cut")).cast("int")).alias("n_kept"),
-            F.sum(
-                F.when(F.col("score") <= F.col("cut"), F.col("n_tokens")).otherwise(0)
-            ).alias("tokens_kept"),
+            F.sum(kept.cast("int")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
         )
     )
 
@@ -884,7 +894,7 @@ ORACLES = {
         JOIN norms nb ON nb.doc_id = doc_b
         WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= {TFIDF_THRESHOLD}
     """,
-    "quality_percentile_filter": r"""
+    "quality_percentile_filter": rf"""
         WITH toks AS (
             SELECT doc_id, u.tok
             FROM (
@@ -902,12 +912,17 @@ ORACLES = {
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
         ),
-        cut AS (SELECT quantile_cont(score, 0.75) AS cut FROM doc_scores)
+        cut AS (
+            SELECT q0 AS cut FROM ({distribution_quantiles_duck(
+                "SELECT score FROM doc_scores", None, "score", (0.75,),
+                scale=1000, grain_space=True,
+            )})
+        )
         SELECT d.lang, COUNT(*) AS n_docs,
-               CAST(SUM(CASE WHEN s.score <= cut THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_kept,
-               CAST(SUM(CASE WHEN s.score <= cut THEN s.n_tokens ELSE 0 END) AS BIGINT)
-                 AS tokens_kept
+               CAST(SUM(CASE WHEN round(s.score * 1000) <= cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN round(s.score * 1000) <= cut THEN s.n_tokens
+                    ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM doc_scores s CROSS JOIN cut JOIN documents d USING (doc_id)
         GROUP BY d.lang
     """,

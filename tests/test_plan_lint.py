@@ -46,11 +46,14 @@ def _formatted_plan(df):
 # language codes, cluster/centroid ids, fixed sweep configs, years of a
 # business calendar, embedding class labels, Bloom word indexes. An
 # aggregate or distinct grouped ONLY on these yields a bounded table.
+# __pid = spark_partition_id(): its domain is the configured partition
+# count (a config bound, not a data bound) — the distributed-prefix-sum
+# offsets table in functions/quantiles groups on it.
 _BOUNDED_GROUP_KEYS = {
     "event_type", "from_type", "to_type", "dow", "lang", "label",
     "cluster", "b", "j", "word", "y", "py", "yr", "mo", "theta",
     "band_bits", "grain", "bucket", "source", "split", "tok", "variant",
-    "r_name", "n_name", "bands",
+    "r_name", "n_name", "bands", "__pid",
 }
 
 # Unique-key columns: an equality filter `<key> = <literal>` on one of
