@@ -125,7 +125,11 @@ STREAMING = [
 CHUNK = 9          # queries per fresh-JVM subprocess
 OUTLIER_SEC = 2.5  # chunked median above this -> solo re-measure
 REGRESS_RATIO = 1.5  # chunked median >= ratio x previous record -> solo re-measure
-RUNS = 3
+# env-tunable for the sf1 soak (tools/soak_run.py): 100-second queries
+# don't need median-of-3, and a chunk of them outgrows the default
+# worker timeout
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT_S", "1800"))
 
 
 def _time_queries(names: list[str]) -> dict[str, float]:
@@ -195,7 +199,7 @@ def _run_worker(args: list[str]) -> dict:
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         env=os.environ.copy(),
-        timeout=1800,
+        timeout=WORKER_TIMEOUT_S,
     )
     if proc.returncode != 0:
         raise RuntimeError(f"bench worker {args} rc={proc.returncode}")
