@@ -74,24 +74,69 @@ _PLANES = _mk_planes(N_PLANES)
 # the width sweep below audits the exact live configurations.
 #
 # At fixture scale: n=500 -> 8 bits, n=2000 -> 10 bits (the sweep's
-# measured optimum). At 100 TB, nd_bits rides the cap; beyond that the
-# hot-bucket cap ND_MAX_BUCKET bounds the join and ND_MAX_BITS is the
-# (linear-cost-per-bit) constant a deployment widens at index build.
-# The probe side emits, per (vector, table),
+# measured optimum). When n outgrows ND_FILL_TARGET * 2^bits the width
+# rides its cap and mean bucket fill — hence candidates/vector — grows
+# linearly with n again: the round-7 sf1 soak MEASURED this (n=20k
+# wants 14 bits; capped at 12, fill hit ~4.9 vs target 2 and knn_join's
+# decade step blew out to 46x). But width alone is not enough: recall
+# at a fixed probe budget FALLS with width (a near pair has more bits
+# to disagree on — measured at sf1: 12 bits/8 tables 0.75, 14 bits/8
+# tables 0.52, and probe expansion has flat returns: tripling directed
+# probes bought back only +0.07). The dial that holds recall at wider
+# widths is MORE TABLES — 1 - (1 - q)^T compounding (measured at sf1
+# with the production planes: 14 bits: T=8 0.45, T=16 0.72 — above the
+# 12-bit/8-table config's 0.667 at 1.6x fewer unique candidates, 2090
+# vs 3364 pairs/vector, and the 0.1->1 decade slope bends 3.8x -> 2.4x).
+# Probe richness stays load-bearing at 16 tables (exact+H1 only: 0.35),
+# so the directed H2/H3 set is not trimmed. So BOTH dials derive from
+# the live corpus count inside the plan:
+#     nd_bits   = clamp(ceil(log2(n / ND_FILL_TARGET)), 4, 16)
+#     nd_tables = clamp(ND_BANDS_MIN + 2 (nd_bits - 10), 8, 16)
+# Tables above nd_tables and bits above ND_BASE_BITS are LAZY: their
+# plane dots sit behind row-level CASE gates on the broadcast config,
+# so a small corpus pays exactly the round-6 cost (8 tables x 12 dots)
+# and produces bit-identical results (the (t<8, f<12) plane layout is
+# frozen below). Beyond 16-bit/16-table saturation (n ~ 1e5) the
+# hot-bucket cap ND_MAX_BUCKET still bounds the join; widening further
+# is the documented index-build knob (linear cost per extra bit/table).
+# The probe side emits, per (vector, ACTIVE table),
 #     1 + nd_bits + C(min(nd_bits, ND_PROBE_K), 2)
 #       + C(min(nd_bits, ND_PROBE_K3), 3)
 # keys (exact + every Hamming-1 flip + query-directed H2 pairs + H3
-# triples — 47 at the full width with K=8/K3=5); the build side stays
+# triples — 47 at 10 bits with K=8/K3=5); the build side stays
 # exact, so the join is a plain equi-join on (table, bucket) —
 # O(n · tables · probes) shuffle, never all-pairs.
-ND_BANDS = 8
+ND_BANDS = 16  # static table columns (t0..t15); activity is runtime-derived
+ND_BANDS_MIN = 8  # tables active at small corpora (the round-6 config)
+ND_BASE_BITS = 12  # always-computed dot prefix per table (the round-6 cap)
 ND_MIN_BITS = 4
-ND_MAX_BITS = 12
+ND_MAX_BITS = 16
 ND_FILL_TARGET = 2  # target mean bucket fill per table at the derived width
 # hot-bucket cap on the build side of the LSH bucket join (see the guard
 # in q_neardup_embedding; same discipline as dedup.MAX_BAND_BUCKET)
 ND_MAX_BUCKET = 256
-_ND_PLANES = _mk_planes(ND_BANDS * ND_MAX_BITS)
+# Plane layout: round 6 assigned plane (t * 12 + f) to (table t, bit f)
+# for t < 8, f < 12 — that mapping is FROZEN at indices 0..95, and the
+# widened region (bits 12..15 of tables 0..7, all bits of tables 8..15)
+# APPENDS in deterministic (t, f) order. Widening the index therefore
+# never re-randomizes planes already baked into production signatures:
+# an incremental reindex at a wider config keeps every existing prefix.
+_ND_PLANE_IDX: dict[tuple[int, int], int] = {}
+for _t in range(8):
+    for _f in range(12):
+        _ND_PLANE_IDX[(_t, _f)] = _t * 12 + _f
+for _t in range(ND_BANDS):
+    for _f in range(ND_MAX_BITS):
+        if (_t, _f) not in _ND_PLANE_IDX:
+            _ND_PLANE_IDX[(_t, _f)] = len(_ND_PLANE_IDX)
+_ND_PLANES = _mk_planes(len(_ND_PLANE_IDX))
+
+
+def _nd_tables_expr(bits: str) -> str:
+    """Engine-neutral derived table count: 2 more tables per band bit
+    past 10, clamped to [ND_BANDS_MIN, ND_BANDS] — the measured recall
+    dial (see the index comment)."""
+    return f"least({ND_BANDS}, greatest({ND_BANDS_MIN}, {ND_BANDS_MIN} + 2 * ({bits} - 10)))"
 
 
 def _nd_bits_case(n_col: str) -> str:
@@ -303,21 +348,45 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return _ivf_probe(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
+def _nd_dot_spark_one(t: int, f: int) -> str:
+    plane = _ND_PLANES[_ND_PLANE_IDX[(t, f)]]
+    arr = ", ".join(f"{v:.1f}D" for v in plane)
+    return (
+        f"aggregate(zip_with(embedding, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
 def _nd_dots_spark(t: int) -> str:
     """Table-``t``'s ND_MAX_BITS hyperplane dots as one array expression
     (bit f always uses plane (t, f)). Left-fold double accumulation,
     bit-identical to the DuckDB twin so an ulp can never flip a sign at a
     bucket boundary — and, since round 6, can never reorder the
-    boundary-bit ranking the query-directed probes derive from |dot|."""
-    dots = []
-    for f in range(ND_MAX_BITS):
-        plane = _ND_PLANES[t * ND_MAX_BITS + f]
-        arr = ", ".join(f"{v:.1f}D" for v in plane)
-        dots.append(
-            f"aggregate(zip_with(embedding, array({arr}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
+    boundary-bit ranking the query-directed probes derive from |dot|.
+    UNGATED (all ND_MAX_BITS dots) — the width sweep masks it directly;
+    the live index uses `_nd_dots_spark_gated`."""
+    dots = [_nd_dot_spark_one(t, f) for f in range(ND_MAX_BITS)]
     return f"array({', '.join(dots)})"
+
+
+def _nd_dots_spark_gated(t: int) -> str:
+    """The live index's LAZY dot array for table ``t``: bits past
+    ND_BASE_BITS compute only when the corpus-derived ``nd_bits`` needs
+    them (row-level CASE — Spark evaluates the branch lazily), and
+    tables past ND_BANDS_MIN only when ``nd_tables`` activates them
+    (whole array NULL otherwise). A small corpus therefore pays exactly
+    the round-6 signature cost. Requires ``nd_bits``/``nd_tables`` in
+    scope (the `_nd_cfg` broadcast)."""
+    lo = [_nd_dot_spark_one(t, f) for f in range(ND_BASE_BITS)]
+    hi = [_nd_dot_spark_one(t, f) for f in range(ND_BASE_BITS, ND_MAX_BITS)]
+    arr = (
+        f"concat(array({', '.join(lo)}), "
+        f"CASE WHEN nd_bits > {ND_BASE_BITS} THEN array({', '.join(hi)}) "
+        f"ELSE array_repeat(CAST(NULL AS DOUBLE), {ND_MAX_BITS - ND_BASE_BITS}) END)"
+    )
+    if t >= ND_BANDS_MIN:
+        arr = f"CASE WHEN nd_tables > {t} THEN {arr} ELSE CAST(NULL AS ARRAY<DOUBLE>) END"
+    return arr
 
 
 def _nd_bucket_from_dots(d: str) -> str:
@@ -341,14 +410,34 @@ def _nd_boundary_from_dots(d: str) -> str:
 
 
 def _nd_dots_duck(t: int) -> str:
-    dots = []
-    for f in range(ND_MAX_BITS):
-        plane = _ND_PLANES[t * ND_MAX_BITS + f]
-        prods = " + ".join(
-            f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
-        )
-        dots.append(f"({prods})")
+    dots = [_nd_dot_duck_one(t, f) for f in range(ND_MAX_BITS)]
     return f"[{', '.join(dots)}]"
+
+
+def _nd_dot_duck_one(t: int, f: int) -> str:
+    plane = _ND_PLANES[_ND_PLANE_IDX[(t, f)]]
+    prods = " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * {v:.1f}" for i, v in enumerate(plane)
+    )
+    return f"({prods})"
+
+
+def _nd_dots_duck_gated(t: int) -> str:
+    """DuckDB twin of `_nd_dots_spark_gated` — identical lazy gating on
+    the cfg-derived nd_bits/nd_tables."""
+    lo = [_nd_dot_duck_one(t, f) for f in range(ND_BASE_BITS)]
+    hi = [_nd_dot_duck_one(t, f) for f in range(ND_BASE_BITS, ND_MAX_BITS)]
+    nulls = ", ".join(
+        ["CAST(NULL AS DOUBLE)"] * (ND_MAX_BITS - ND_BASE_BITS)
+    )
+    arr = (
+        f"list_concat([{', '.join(lo)}], "
+        f"CASE WHEN nd_bits > {ND_BASE_BITS} THEN [{', '.join(hi)}] "
+        f"ELSE [{nulls}] END)"
+    )
+    if t >= ND_BANDS_MIN:
+        arr = f"CASE WHEN nd_tables > {t} THEN {arr} ELSE CAST(NULL AS DOUBLE[]) END"
+    return arr
 
 
 def _nd_bucket_from_dots_duck(d: str) -> str:
@@ -390,49 +479,114 @@ def _nd_probes(sigs, id_alias: str, extra: tuple[str, ...] = ()):
             F.col("s.v").alias("v"),
             F.col("s.pb").alias("pb"),
         )
+        # inactive tables (t >= nd_tables) carry NULL buckets — drop them
+        # BEFORE the probe-key explode
+        .filter(F.col("v").isNotNull())
         .select(id_alias, *extra, "tab", F.explode(F.expr(_ND_PROBE_KEYS)).alias("bv"))
     )
 
 
 def _nd_cfg(emb):
-    """The 1-row broadcast index config: ``nd_bits`` derived from the live
-    corpus count. groupBy().agg() yields exactly one row even on an empty
-    corpus, so the crossJoin is always a broadcast scalar attachment."""
+    """The 1-row broadcast index config: ``nd_bits`` AND ``nd_tables``
+    derived from the live corpus count. groupBy().agg() yields exactly
+    one row even on an empty corpus, so the crossJoin is always a
+    broadcast scalar attachment."""
     return F.broadcast(
         emb.groupBy()
         .agg(F.count("*").alias("nd_n"))
         .select(F.expr(_nd_bits_case("nd_n")).alias("nd_bits"))
+        .select("nd_bits", F.expr(_nd_tables_expr("nd_bits")).alias("nd_tables"))
     )
 
 
 def _nd_sigs(emb, cols: list[str]):
     """Per-table masked bucket values ``t0..`` and boundary-bit arrays
-    ``p0..`` plus the derived ``nd_bits``, materialized once
-    (localCheckpoint): the plane dots are the most expensive per-row work
-    in every index consumer, and the exact/probe branches of the bucket
-    self-join would otherwise each recompute the whole dot subtree.
-    Materialized it is (n x ~(8 ints + 8 tiny int arrays)) — trivial at
-    any scale."""
-    dots = emb.select(
-        *cols,
-        *[F.expr(_nd_dots_spark(t)).alias(f"d{t}") for t in range(ND_BANDS)],
+    ``p0..`` plus the derived ``nd_bits``/``nd_tables``, materialized
+    once (localCheckpoint): the plane dots are the most expensive
+    per-row work in every index consumer, and the exact/probe branches
+    of the bucket self-join would otherwise each recompute the whole dot
+    subtree. Inactive tables (t >= nd_tables) carry NULL buckets/
+    boundaries — every consumer filters them after its table explode.
+    Materialized it is (n x ~(16 ints + 16 tiny int arrays)) — trivial
+    at any scale.
+
+    Round 7: the dot/bucket/boundary block is an Arrow-vectorized numpy
+    kernel (`mapInPandas`), not SQL higher-order functions. HOFs never
+    enter whole-stage codegen — they evaluate per-element with lambda
+    dispatch — and the measured cost at the sf1 soak was ~1.9 ms/row
+    (37 s for 20k rows) for what is 16k fused multiply-adds; a fully
+    unrolled arithmetic projection was 4x WORSE (the 16k-term tree
+    overflows codegen into interpreted eval). The kernel accumulates in
+    EXACT left-fold order (one vectorized pass per dimension, acc
+    starting at 0.0), so every dot is bit-identical to the SQL fold the
+    DuckDB twin still runs — a sign at a bucket boundary, and the
+    |dot| boundary-bit ranking, can never differ between the engines."""
+    sig_fields = ", ".join(
+        [f"t{t} int" for t in range(ND_BANDS)]
+        + [f"p{t} array<int>" for t in range(ND_BANDS)]
     )
-    return (
-        dots.crossJoin(_nd_cfg(emb))
-        .select(
-            *cols,
-            "nd_bits",
-            *[
-                F.expr(_nd_bucket_from_dots(f"d{t}")).alias(f"t{t}")
-                for t in range(ND_BANDS)
-            ],
-            *[
-                F.expr(_nd_boundary_from_dots(f"d{t}")).alias(f"p{t}")
-                for t in range(ND_BANDS)
-            ],
-        )
-        .localCheckpoint(eager=False)
+    in_df = emb.crossJoin(_nd_cfg(emb)).select(*cols, "embedding", "nd_bits", "nd_tables")
+    passthrough = [
+        f"{f.name} {f.dataType.simpleString()}" for f in in_df.schema if f.name in cols
+    ]
+    schema = ", ".join(passthrough + ["nd_bits int", "nd_tables int", sig_fields])
+    return in_df.mapInPandas(_nd_sig_batches(list(cols)), schema).localCheckpoint(
+        eager=False
     )
+
+
+def _nd_sig_batches(cols: list[str]):
+    """Build the `mapInPandas` kernel for `_nd_sigs` (closure over the
+    passthrough column list). Fold-order exactness: `acc += V[:, i] *
+    P[i]` adds dimension i's product to every (row, plane) accumulator
+    in ascending-i order from 0.0 — element-for-element the same IEEE
+    op sequence as `aggregate(zip_with(...), 0D, +)` and the DuckDB
+    unrolled sum, so bucket signs and boundary rankings are
+    bit-identical across all three implementations."""
+    import numpy as np
+
+    planes = np.empty((EMB_DIM, ND_BANDS * ND_MAX_BITS), dtype=np.float64)
+    for t in range(ND_BANDS):
+        for f in range(ND_MAX_BITS):
+            planes[:, t * ND_MAX_BITS + f] = _ND_PLANES[_ND_PLANE_IDX[(t, f)]]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            nd_bits = int(pdf["nd_bits"].iloc[0])
+            nd_tables = int(pdf["nd_tables"].iloc[0])
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, ND_BANDS * ND_MAX_BITS), dtype=np.float64)
+            for i in range(EMB_DIM):
+                acc += v[:, i : i + 1] * planes[i]
+            out = {c: pdf[c] for c in cols}
+            out["nd_bits"] = np.full(n, nd_bits, dtype=np.int32)
+            out["nd_tables"] = np.full(n, nd_tables, dtype=np.int32)
+            weights = (1 << np.arange(nd_bits, dtype=np.int64)).astype(np.int32)
+            k = min(ND_PROBE_K, nd_bits)
+            for t in range(ND_BANDS):
+                if t >= nd_tables:
+                    out[f"t{t}"] = pd.array([None] * n, dtype="Int32")
+                    out[f"p{t}"] = pd.Series([None] * n, dtype=object)
+                    continue
+                d = acc[:, t * ND_MAX_BITS : t * ND_MAX_BITS + nd_bits]
+                out[f"t{t}"] = ((d > 0.0).astype(np.int32) @ weights).astype(
+                    np.int32
+                )
+                a = np.abs(d)
+                # (|dot| asc, bit asc): argsort per row, stable on the
+                # pre-sorted bit index — matches array_sort(struct(a, f))
+                order = np.argsort(a, axis=1, kind="stable")[:, :k].astype(
+                    np.int32
+                )
+                out[f"p{t}"] = pd.Series(list(order))
+            yield pd.DataFrame(out)
+
+    return kernel
 
 
 def q_neardup_embedding(spark, sf_dir):
@@ -460,7 +614,7 @@ def q_neardup_embedding(spark, sf_dir):
         F.col("vec_id").alias("vec_b"),
         "label",
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
-    )
+    ).filter(F.col("bv").isNotNull())
     # hot-bucket guard (same df-cap discipline as dedup.MAX_BAND_BUCKET):
     # the probe x build join is |probes| x |bucket| on a degenerate bucket
     # (mass-duplicated embeddings collapse into one bucket in EVERY table,
@@ -572,7 +726,7 @@ def _knn_scored_pairs(emb, probe_max: int | None = None):
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
-    )
+    ).filter(F.col("bv").isNotNull())
     bucket_w = Window.partitionBy("tab", "bv")
     exact = (
         exact.withColumn("bdf", F.count("*").over(bucket_w))
@@ -723,18 +877,21 @@ def _nd_sigs_duck(extra_cols: str = "") -> str:
     dots (per-table hyperplane dot arrays) → sigs (masked buckets t0..
     plus boundary-bit arrays p0.. for query-directed probing)."""
     return f"""cfg AS (
-            SELECT {_nd_bits_case("nd_n")} AS nd_bits
-            FROM (SELECT COUNT(*) AS nd_n FROM embeddings)
+            SELECT nd_bits, {_nd_tables_expr("nd_bits")} AS nd_tables
+            FROM (
+                SELECT {_nd_bits_case("nd_n")} AS nd_bits
+                FROM (SELECT COUNT(*) AS nd_n FROM embeddings)
+            )
         ),
         nd_dots AS (
-            SELECT vec_id{extra_cols}, nd_bits,
-                   {", ".join(f"{_nd_dots_duck(t)} AS d{t}" for t in range(ND_BANDS))}
+            SELECT vec_id{extra_cols}, nd_bits, nd_tables,
+                   {", ".join(f"{_nd_dots_duck_gated(t)} AS d{t}" for t in range(ND_BANDS))}
             FROM embeddings, cfg
         ),
         sigs AS MATERIALIZED (
-            SELECT vec_id{extra_cols}, nd_bits,
-                   {", ".join(f"{_nd_bucket_from_dots_duck(f'd{t}')} AS t{t}" for t in range(ND_BANDS))},
-                   {", ".join(f"{_nd_boundary_from_dots_duck(f'd{t}')} AS p{t}" for t in range(ND_BANDS))}
+            SELECT vec_id{extra_cols}, nd_bits, nd_tables,
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {_nd_bucket_from_dots_duck(f'd{t}')} END AS t{t}" for t in range(ND_BANDS))},
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {_nd_boundary_from_dots_duck(f'd{t}')} END AS p{t}" for t in range(ND_BANDS))}
             FROM nd_dots
         )"""
 
@@ -763,7 +920,7 @@ def _knn_cte(probe_where: str = "", scored_where: str = "") -> str:
     `knn`. Twin of `_knn_topk`."""
     return f"""{_nd_sigs_duck()},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs WHERE t{t} IS NOT NULL" for t in range(ND_BANDS))}
         ),
         probes AS (
             SELECT * FROM (
@@ -1495,8 +1652,9 @@ def q_embedding_quantize(spark, sf_dir):
 # live corpus (see q_lsh_width_sweep). Since round 6 every width is a
 # MASK of the same (table, bit)-indexed plane matrix the live index
 # uses, so the sweep audits the exact configurations `_nd_bits_case`
-# can pick — not merely statistically similar ones.
-LSH_WIDTHS = [6, 8, 10, 12]
+# can pick — not merely statistically similar ones. 14/16 joined the
+# menu when round 7 raised the width cap.
+LSH_WIDTHS = [6, 8, 10, 12, 14, 16]
 
 
 def q_lsh_width_sweep(spark, sf_dir):
@@ -1522,9 +1680,11 @@ def q_lsh_width_sweep(spark, sf_dir):
         f"aggregate(sequence(0, {ND_MAX_BITS - 1}), 0, (acc, f) -> "
         f"acc + CASE WHEN element_at(d, f + 1) > 0D THEN shiftleft(1, f) ELSE 0 END)"
     )
+    # ND_BANDS_MIN tables: per-width occupancy is a per-table statistic
+    # (every table is an iid plane draw), so the always-active 8 suffice
     bands = emb.select(
         F.posexplode(
-            F.array(*[F.expr(_nd_dots_spark(t)) for t in range(ND_BANDS)])
+            F.array(*[F.expr(_nd_dots_spark(t)) for t in range(ND_BANDS_MIN)])
         ).alias("t", "d")
     ).select("t", F.expr(fullsig).alias("fullbv"))
     wb = bands.select(
@@ -1647,7 +1807,7 @@ def q_lsh_candidate_stats(spark, sf_dir):
     exact = sigs.select(
         F.col("vec_id").alias("vec_b"),
         F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
-    )
+    ).filter(F.col("bv").isNotNull())
     bsz = exact.groupBy("tab", "bv").agg(F.count("*").alias("sz"))
     bstats = bsz.agg(
         F.count("*").alias("n_buckets"),
@@ -1679,6 +1839,7 @@ def q_lsh_candidate_stats(spark, sf_dir):
         .select(
             "n_vectors",
             F.col("nd_bits").alias("band_bits"),
+            F.col("nd_tables").alias("band_tables"),
             "n_buckets",
             "max_bucket",
             "n_buckets_capped",
@@ -1752,7 +1913,7 @@ ORACLES = {
     "neardup_embedding": f"""
         WITH {_nd_sigs_duck(", label")},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, label, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, label, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs WHERE t{t} IS NOT NULL" for t in range(ND_BANDS))}
         ),
         probes AS (
             SELECT vec_id, label, tab, u.pbv AS bv
@@ -1811,7 +1972,7 @@ ORACLES = {
     "lsh_candidate_stats": f"""
         WITH {_nd_sigs_duck()},
         bands AS (
-            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT vec_id, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs WHERE t{t} IS NOT NULL" for t in range(ND_BANDS))}
         ),
         probes AS (
             SELECT vec_id, tab, u.pbv AS bv
@@ -1839,7 +2000,8 @@ ORACLES = {
         ),
         np AS (SELECT COUNT(*) AS n_candidate_pairs FROM cand),
         nv AS (SELECT COUNT(*) AS n_vectors FROM embeddings)
-        SELECT n_vectors, nd_bits AS band_bits, n_buckets, max_bucket,
+        SELECT n_vectors, nd_bits AS band_bits, nd_tables AS band_tables,
+               n_buckets, max_bucket,
                n_buckets_capped, n_candidate_pairs,
                ROUND(2.0 * n_candidate_pairs / n_vectors, 4) AS pairs_per_vector
         FROM nv, cfg, bstats, np
@@ -1858,11 +2020,11 @@ ORACLES = {
     "ann_recall_audit": _ann_recall_oracle(),
     "lsh_width_sweep": f"""
         WITH dts AS MATERIALIZED (
-            SELECT {", ".join(f"{_nd_dots_duck(t)} AS d{t}" for t in range(ND_BANDS))}
+            SELECT {", ".join(f"{_nd_dots_duck(t)} AS d{t}" for t in range(ND_BANDS_MIN))}
             FROM embeddings
         ),
         bands AS (
-            {" UNION ALL ".join(f"SELECT {t} AS t, list_sum(list_transform(range(0, {ND_MAX_BITS}), f -> CASE WHEN d{t}[f + 1] > 0 THEN (1 << f) ELSE 0 END)) AS fullbv FROM dts" for t in range(ND_BANDS))}
+            {" UNION ALL ".join(f"SELECT {t} AS t, list_sum(list_transform(range(0, {ND_MAX_BITS}), f -> CASE WHEN d{t}[f + 1] > 0 THEN (1 << f) ELSE 0 END)) AS fullbv FROM dts" for t in range(ND_BANDS_MIN))}
         ),
         wb AS (
             {" UNION ALL ".join(f"SELECT {w} AS band_bits, t, fullbv & {(1 << w) - 1} AS bv FROM bands" for w in LSH_WIDTHS)}
