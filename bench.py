@@ -308,7 +308,7 @@ def main() -> None:
     }
     if contended:
         record["warning"] = (
-            f"system load {load1:.1f} > {0.5 * ncpus:.0f} at start - "
+            f"system load {load1:.1f} > {LOAD_WARN} at start - "
             "timings likely inflated by a concurrent job; rerun isolated"
         )
 
