@@ -598,8 +598,8 @@ def q_neardup_embedding(spark, sf_dir):
     + C(min(nd_bits, ND_PROBE_K3), 3)] probe keys (exact bucket, every
     Hamming-1 flip, and the query-directed H2/H3 flips among the
     nearest-boundary bits; nd_bits corpus-derived — see the index
-    comment at the top; ~47 keys/table at full width, the price of
-    holding recall at the wider band);
+    comment at the top; 47 keys/table at 10 bits, 55 at the 16-bit cap —
+    the price of holding recall at the wider band);
     build side keeps exact buckets; candidates dedup before the
     exact-cosine verification. Same-label remains a semantic filter on
     the pair, not a join block."""
@@ -682,10 +682,10 @@ KNN_K = 3  # neighbors returned per query vector
 def q_knn_join(spark, sf_dir):
     """Batch k-NN join: top-KNN_K approximate neighbors for EVERY vector
     (the RAG/embedding-enrichment primitive: one pass annotates the whole
-    corpus with its neighbor lists), candidates from the same 8-table
-    Hamming-1 multi-probe sign-LSH index as neardup_embedding but with NO
-    label constraint and both directions ranked — vec a lists b even
-    when b's own list omits a.
+    corpus with its neighbor lists), candidates from the same
+    corpus-width (tables AND bits count-derived) multi-probe sign-LSH
+    index as neardup_embedding but with NO label constraint and both
+    directions ranked — vec a lists b even when b's own list omits a.
 
     Plan shape is the index discipline proven on neardup: signatures
     materialize once (localCheckpoint), the bucket join carries only
