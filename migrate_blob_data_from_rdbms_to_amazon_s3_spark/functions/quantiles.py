@@ -117,9 +117,23 @@ def distribution_quantiles(
     if wide_domain:
         spark = df.sparkSession
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        tagged = dist.repartitionByRange(
-            nparts, F.col(group_col), F.col("__c")
-        ).withColumn("__pid", F.spark_partition_id())
+        # PIN the range exchange (r7 ADVICE): repartitionByRange samples
+        # boundaries nondeterministically and spark_partition_id depends
+        # on them, and ``tagged`` feeds TWO consumers (the offsets table
+        # and the cum join). Without pinning, correctness silently rides
+        # on Spark reusing one exchange for both branches — if the
+        # exchange were ever recomputed (reuse disabled, plan
+        # canonicalization divergence, lineage recomputation after
+        # executor loss), the __pid assignments would diverge between
+        # branches and the quantiles would be silently wrong. A lazy
+        # localCheckpoint materializes the tagged table ONCE (it is the
+        # post-aggregation distinct-grain table, far smaller than raw
+        # input) so every consumer reads identical __pid tags.
+        tagged = (
+            dist.repartitionByRange(nparts, F.col(group_col), F.col("__c"))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
         ptot = tagged.groupBy("__pid", group_col).agg(
             F.sum("__wsum").alias("__pw"), F.sum("__cnt").alias("__pc")
         )
@@ -134,11 +148,12 @@ def distribution_quantiles(
         )
         # At GLOBAL grain the group column is a folded constant, so the
         # totals join has no residual equi-key — without a hint, join
-        # selection over hintless lineage (e.g. a localCheckpoint, whose
-        # LogicalRDD carries no size estimate) degrades to
+        # selection over hintless lineage (the localCheckpoint above:
+        # its LogicalRDD carries no size estimate) degrades to
         # CartesianProduct. offs (one row per range partition) and
         # totals (exactly one row) are provably tiny there, so hint
-        # them; grouped callers keep real keys and real stats.
+        # them; grouped callers keep real equi-keys, and sort-merge on
+        # the already-tiny offs/totals tables is fine unhinted.
         if _global:
             offs, totals = F.broadcast(offs), F.broadcast(totals)
         wp = Window.partitionBy("__pid", group_col).orderBy("__c")

@@ -728,15 +728,24 @@ def q_customer_rfm_segments(spark, sf_dir):
     # customer grain three times in one aggregation buffer — the shape
     # that OOMs at an unbounded customer count. The three metrics melt
     # (stack) into (metric, v) rows so ONE distribution pass computes
-    # all nine cut-points; both engines reconstruct bit-identical cut
-    # doubles, so the threshold CASEs can never disagree.
+    # all nine cut-points. GRAIN SPACE (round 8): the quartile CASEs
+    # compare round(v*100) integer grains against grain-space cuts — the
+    # revenue_concentration / revenue_gini discipline. Comparing the raw
+    # ``monetary`` double (an order-dependent float SUM with ~1e-9
+    # engine-dependent residual) against a reconstructed cut can flip a
+    # boundary customer's bucket between engines when a cut lands on a
+    # data grain (h=0, common); grain-vs-grain comparison cannot — the
+    # grain is an exact integer and an interpolated cut sits strictly
+    # between integers. recency/frequency are integer-exact either way.
     from ..functions.quantiles import distribution_quantiles
 
     melted = per_cust.selectExpr(
         "stack(3, 'r', CAST(recency_days AS DOUBLE), "
         "'f', CAST(frequency AS DOUBLE), 'm', monetary) AS (metric, v)"
     )
-    cut_rows = distribution_quantiles(melted, "metric", "v", (0.25, 0.5, 0.75))
+    cut_rows = distribution_quantiles(
+        melted, "metric", "v", (0.25, 0.5, 0.75), grain_space=True
+    )
     cuts = cut_rows.groupBy().agg(
         *[
             F.max(F.when(F.col("metric") == m, F.col(f"q{i}"))).alias(f"{m}_cut{i}")
@@ -748,17 +757,17 @@ def q_customer_rfm_segments(spark, sf_dir):
         "o_custkey",
         "monetary",
         _quartile_bucket(
-            F.col("recency_days"),
+            F.round(F.col("recency_days") * 100).cast("double"),
             [F.col(f"r_cut{i}") for i in range(3)],
             ascending=True,
         ).alias("r_q"),
         _quartile_bucket(
-            F.col("frequency"),
+            F.round(F.col("frequency") * 100).cast("double"),
             [F.col(f"f_cut{i}") for i in range(3)],
             ascending=False,
         ).alias("f_q"),
         _quartile_bucket(
-            F.col("monetary"),
+            F.round(F.col("monetary") * 100).cast("double"),
             [F.col(f"m_cut{i}") for i in range(3)],
             ascending=False,
         ).alias("m_q"),
@@ -1305,21 +1314,22 @@ ORACLES = {
                 "metric",
                 "v",
                 (0.25, 0.5, 0.75),
+                grain_space=True,
             )})
         ),
         scored AS (
             SELECT o_custkey, monetary,
-                   CASE WHEN recency_days <= r_cuts[1] THEN 1
-                        WHEN recency_days <= r_cuts[2] THEN 2
-                        WHEN recency_days <= r_cuts[3] THEN 3
+                   CASE WHEN round(recency_days * 100) <= r_cuts[1] THEN 1
+                        WHEN round(recency_days * 100) <= r_cuts[2] THEN 2
+                        WHEN round(recency_days * 100) <= r_cuts[3] THEN 3
                         ELSE 4 END AS r_q,
-                   CASE WHEN frequency >= f_cuts[3] THEN 1
-                        WHEN frequency >= f_cuts[2] THEN 2
-                        WHEN frequency >= f_cuts[1] THEN 3
+                   CASE WHEN round(frequency * 100) >= f_cuts[3] THEN 1
+                        WHEN round(frequency * 100) >= f_cuts[2] THEN 2
+                        WHEN round(frequency * 100) >= f_cuts[1] THEN 3
                         ELSE 4 END AS f_q,
-                   CASE WHEN monetary >= m_cuts[3] THEN 1
-                        WHEN monetary >= m_cuts[2] THEN 2
-                        WHEN monetary >= m_cuts[1] THEN 3
+                   CASE WHEN round(monetary * 100) >= m_cuts[3] THEN 1
+                        WHEN round(monetary * 100) >= m_cuts[2] THEN 2
+                        WHEN round(monetary * 100) >= m_cuts[1] THEN 3
                         ELSE 4 END AS m_q
             FROM per_cust CROSS JOIN cuts
         )

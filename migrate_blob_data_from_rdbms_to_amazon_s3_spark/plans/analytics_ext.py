@@ -167,7 +167,10 @@ def q_grouped_percentiles_approx(spark, sf_dir):
         "l_returnflag",
         "l_extendedprice",
         (0.25, 0.50, 0.75),
-        wide_domain=False,  # catalog-bounded grain (see the exact twin)
+        # wide_domain default: extended-price grains scale with the part
+        # catalog (~|parts| x 50 = corpus-sized), so the distributed
+        # prefix sum is required — the per-group-window cheap path is
+        # only for config-bounded domains (r7 ADVICE)
     )
     ap = li.groupBy("l_returnflag").agg(
         F.expr(
@@ -204,15 +207,16 @@ def q_grouped_percentiles_distribution(spark, sf_dir):
     cumulative counts: rank r = (n-1)p is straddled by the smallest
     values whose running count reaches floor(r)+1 and floor(r)+2, and
     the result is vlo + h (vhi - vlo). Cost shape: one map-side
-    partial-aggregated groupBy at the (flag, cents) grain, one
-    per-flag window over DISTINCT values (domain-bounded), and a
+    partial-aggregated groupBy at the (flag, cents) grain, a
+    DISTRIBUTED prefix sum over the distinct grains (extended-price
+    grains scale with the part catalog, so no per-group window), and a
     3-row-per-group conditional-min aggregation. Output is identical
     to q_grouped_percentiles (asserted in tests/test_analytics_ext).
 
     At 100 TB: the distribution table is |groups| x |distinct cents|
-    rows whatever the row count — the window never sees raw rows, and
-    the whole plan partial-aggregates map-side. This is the exact
-    percentile you can actually run on an unbounded hot group.
+    rows whatever the row count — no stage sees raw rows after the
+    first partial aggregation, and nothing single-partitions. This is
+    the exact percentile you can actually run on an unbounded hot group.
     Measured step 0.01->0.1: 1.64x vs the buffering twin's 3.4x."""
     from ..functions.quantiles import distribution_quantiles
 
@@ -222,9 +226,9 @@ def q_grouped_percentiles_distribution(spark, sf_dir):
         "l_returnflag",
         "l_extendedprice",
         (0.25, 0.50, 0.75),
-        # extended price = catalog part price x (qty <= 50): the grain
-        # domain is catalog-bounded, not corpus-sized
-        wide_domain=False,
+        # wide_domain default: extended-price grains scale with the part
+        # catalog (~|parts| x 50 = corpus-sized), so the distributed
+        # prefix sum is required here too (r7 ADVICE)
     )
     return qs.select(
         "l_returnflag",

@@ -55,9 +55,11 @@ def q_weighted_median_price(spark, sf_dir):
         "l_extendedprice",
         (0.25, 0.50, 0.75),
         weight_col="l_quantity",
-        # extended price = catalog part price x (qty <= 50): the grain
-        # domain is catalog-bounded, not corpus-sized
-        wide_domain=False,
+        # wide_domain default (distributed prefix sum): the part catalog
+        # grows linearly with SF, so distinct extended-price grains
+        # (~|parts| x 50) are corpus-sized, not config-bounded — the
+        # per-group window of the cheap path would single-task billions
+        # of grains at 100 TB (r7 ADVICE)
     )
     return qs.select(
         "l_returnflag",

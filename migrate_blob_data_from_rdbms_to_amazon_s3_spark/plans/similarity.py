@@ -103,7 +103,7 @@ _PLANES = _mk_planes(N_PLANES)
 #     1 + nd_bits + C(min(nd_bits, ND_PROBE_K), 2)
 #       + C(min(nd_bits, ND_PROBE_K3), 3)
 # keys (exact + every Hamming-1 flip + query-directed H2 pairs + H3
-# triples — 47 at 10 bits with K=8/K3=5); the build side stays
+# triples — 49 at 10 bits with K=8/K3=5); the build side stays
 # exact, so the join is a plain equi-join on (table, bucket) —
 # O(n · tables · probes) shuffle, never all-pairs.
 ND_BANDS = 16  # static table columns (t0..t15); activity is runtime-derived
@@ -363,20 +363,25 @@ def _nd_dots_spark(t: int) -> str:
     bit-identical to the DuckDB twin so an ulp can never flip a sign at a
     bucket boundary — and, since round 6, can never reorder the
     boundary-bit ranking the query-directed probes derive from |dot|.
-    UNGATED (all ND_MAX_BITS dots) — the width sweep masks it directly;
-    the live index uses `_nd_dots_spark_gated`."""
+    UNGATED (all ND_MAX_BITS dots) — the width sweep masks it directly.
+    The LIVE index path is the Arrow numpy kernel (`_nd_sig_batches`);
+    this SQL fold and `_nd_dots_spark_gated` are its pinned bit-identity
+    references (tests/test_lsh_kernel.py)."""
     dots = [_nd_dot_spark_one(t, f) for f in range(ND_MAX_BITS)]
     return f"array({', '.join(dots)})"
 
 
 def _nd_dots_spark_gated(t: int) -> str:
-    """The live index's LAZY dot array for table ``t``: bits past
+    """SQL-fold reference for the LIVE numpy signature kernel
+    (`_nd_sig_batches`): the gated per-table dot array — bits past
     ND_BASE_BITS compute only when the corpus-derived ``nd_bits`` needs
     them (row-level CASE — Spark evaluates the branch lazily), and
     tables past ND_BANDS_MIN only when ``nd_tables`` activates them
-    (whole array NULL otherwise). A small corpus therefore pays exactly
-    the round-6 signature cost. Requires ``nd_bits``/``nd_tables`` in
-    scope (the `_nd_cfg` broadcast)."""
+    (whole array NULL otherwise). Not used in any registered plan since
+    the round-7 Arrow kernel; kept as the same-engine bit-identity
+    oracle tests/test_lsh_kernel.py pins the kernel against (the DuckDB
+    twin `_nd_dots_duck_gated` is the cross-engine one). Requires
+    ``nd_bits``/``nd_tables`` in scope (the `_nd_cfg` broadcast)."""
     lo = [_nd_dot_spark_one(t, f) for f in range(ND_BASE_BITS)]
     hi = [_nd_dot_spark_one(t, f) for f in range(ND_BASE_BITS, ND_MAX_BITS)]
     arr = (
@@ -598,7 +603,7 @@ def q_neardup_embedding(spark, sf_dir):
     + C(min(nd_bits, ND_PROBE_K3), 3)] probe keys (exact bucket, every
     Hamming-1 flip, and the query-directed H2/H3 flips among the
     nearest-boundary bits; nd_bits corpus-derived — see the index
-    comment at the top; 47 keys/table at 10 bits, 55 at the 16-bit cap —
+    comment at the top; 49 keys/table at 10 bits, 55 at the 16-bit cap —
     the price of holding recall at the wider band);
     build side keeps exact buckets; candidates dedup before the
     exact-cosine verification. Same-label remains a semantic filter on
