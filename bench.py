@@ -82,6 +82,7 @@ HEADLINE = [
     "cms_frequency",
     "ann_ivf_multiprobe",
     "knn_join",
+    "ann_index_knn_persisted",
     "importance_sample",
     "events_attribution",
     "hll_multigrain_rollup",

@@ -134,28 +134,60 @@ def distribution_quantiles(
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint(eager=False)
         )
-        ptot = tagged.groupBy("__pid", group_col).agg(
-            F.sum("__wsum").alias("__pw"), F.sum("__cnt").alias("__pc")
-        )
+        if _global:
+            # the checkpoint's LogicalRDD hides the group column's
+            # literal origin (0 AS __g); re-attach it as a literal so
+            # every downstream aggregate keyed on it — including
+            # CALLERS that broadcast the quantile result — keeps a
+            # visible boundedness witness for the plan lint. Value
+            # identical: the column was already the constant 0.
+            tagged = tagged.withColumn(group_col, F.lit(0))
         wo = Window.partitionBy(group_col).orderBy("__pid")
-        offs = ptot.select(
-            "__pid",
-            group_col,
-            (F.sum("__pw").over(wo) - F.col("__pw")).alias("__offw"),
-        )
-        totals = ptot.groupBy(group_col).agg(
-            F.sum("__pw").alias("__N"), F.sum("__pc").alias("__nrows")
-        )
         # At GLOBAL grain the group column is a folded constant, so the
         # totals join has no residual equi-key — without a hint, join
         # selection over hintless lineage (the localCheckpoint above:
         # its LogicalRDD carries no size estimate) degrades to
         # CartesianProduct. offs (one row per range partition) and
         # totals (exactly one row) are provably tiny there, so hint
-        # them; grouped callers keep real equi-keys, and sort-merge on
-        # the already-tiny offs/totals tables is fine unhinted.
+        # them — and derive them through shapes the plan-lint's
+        # boundedness walker can witness THROUGH the checkpoint: a
+        # global aggregate (totals) and a __pid-keyed aggregate (offs),
+        # with the constant group column re-attached as a literal.
+        # Identical values to the grouped derivation (grouping by
+        # (__pid, const) == grouping by __pid). Grouped callers keep
+        # real equi-keys, and sort-merge on the already-tiny
+        # offs/totals tables is fine unhinted.
         if _global:
-            offs, totals = F.broadcast(offs), F.broadcast(totals)
+            ptot = (
+                tagged.groupBy("__pid")
+                .agg(F.sum("__wsum").alias("__pw"), F.sum("__cnt").alias("__pc"))
+                .withColumn(group_col, F.lit(0))
+            )
+            offs = F.broadcast(
+                ptot.select(
+                    "__pid",
+                    group_col,
+                    (F.sum("__pw").over(wo) - F.col("__pw")).alias("__offw"),
+                )
+            )
+            totals = F.broadcast(
+                tagged.groupBy()
+                .agg(F.sum("__wsum").alias("__N"), F.sum("__cnt").alias("__nrows"))
+                .withColumn(group_col, F.lit(0))
+                .select(group_col, "__N", "__nrows")
+            )
+        else:
+            ptot = tagged.groupBy("__pid", group_col).agg(
+                F.sum("__wsum").alias("__pw"), F.sum("__cnt").alias("__pc")
+            )
+            offs = ptot.select(
+                "__pid",
+                group_col,
+                (F.sum("__pw").over(wo) - F.col("__pw")).alias("__offw"),
+            )
+            totals = ptot.groupBy(group_col).agg(
+                F.sum("__pw").alias("__N"), F.sum("__pc").alias("__nrows")
+            )
         wp = Window.partitionBy("__pid", group_col).orderBy("__c")
         cum = (
             tagged.join(offs, ["__pid", group_col])

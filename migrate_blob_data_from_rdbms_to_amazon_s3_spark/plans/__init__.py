@@ -25,6 +25,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         dedup,
         contamination,
         similarity,
+        ann_index_entries,
         multimodal,
         quality,
         corpus_ops,
@@ -37,9 +38,9 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
-        grouped_map, text, dedup, contamination, similarity, multimodal,
-        quality, corpus_ops, streaming_entries, profiling, profiling_stats,
-        graph_ops, insights,
+        grouped_map, text, dedup, contamination, similarity, ann_index_entries,
+        multimodal, quality, corpus_ops, streaming_entries, profiling,
+        profiling_stats, graph_ops, insights,
     )
     queries: dict = {}
     oracles: dict = {}

@@ -1,0 +1,195 @@
+"""Registry entries for the persisted ANN-LSH index (build-once /
+probe-many — operators/ann_index).
+
+Three queries:
+
+- ``ann_index_knn_persisted`` — builds the standing index at a temp
+  path, then runs the k-NN join AS A PROBE against it (signatures and
+  pre-capped band table come from Parquet; no dot kernel, no bucket
+  window at probe time). Result-identical to ``knn_join``, so it shares
+  its DuckDB oracle — the cross-engine proof that the persisted path
+  computes the same index.
+- ``ann_index_neardup_persisted`` — the same for the label-constrained
+  near-dup pairs (index built with label_col; the per-(tab, bv, label)
+  cap is the stored ``bdf_label`` column). Shares neardup_embedding's
+  oracle.
+- ``ann_index_widen_audit`` — builds at a FORCED narrow config (8 bits,
+  8 tables), incrementally widens to (12 bits, 12 tables) computing
+  only the new planes, and compares the widened signatures per table
+  against a FROM-SCRATCH build at the wide config plus the narrow
+  index's bucket prefixes. The DuckDB twin recomputes both configs'
+  signatures from the embeddings (forced-literal cfg, same gated dot
+  arithmetic) and asserts the same invariants — so a hash match proves
+  the incremental widen is bit-identical to a full rebuild AND that the
+  frozen plane layout preserves every existing bucket prefix in both
+  engines.
+
+At 100 TB: the build is one corpus pass; each probe is a Parquet scan
+of the signatures plus an equi-join against the pre-capped bands — the
+difference between one index build and one per query (VERDICT r7
+item 1). The widen audit is the operational story: outgrowing the
+width is an incremental reindex, not a rebuild.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators.ann_index import (
+    _forced_cfg,
+    build_ann_index,
+    knn_join_persisted,
+    load_signatures,
+    neardup_persisted,
+    widen_ann_index,
+)
+from . import similarity as S
+from .similarity import _emb
+
+# forced configs for the widen audit (corpus-size independent so the
+# audit exercises the same widen at any sf)
+_W_OLD_BITS, _W_OLD_TABLES = 8, 8
+_W_NEW_BITS, _W_NEW_TABLES = 12, 12
+
+
+def q_ann_index_knn_persisted(spark, sf_dir):
+    """knn_join over the standing index (see module docstring)."""
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_idx_")
+    build_ann_index(emb, path)
+    return knn_join_persisted(spark, emb, path)
+
+
+def q_ann_index_neardup_persisted(spark, sf_dir):
+    """neardup_embedding over a standing label-carrying index."""
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_idx_nd_")
+    build_ann_index(emb, path, label_col="label")
+    return neardup_persisted(spark, emb, path)
+
+
+def q_ann_index_widen_audit(spark, sf_dir):
+    """Incremental-widen bit-identity audit (see module docstring).
+    Output per table of the WIDE config: vector count, widened-vs-
+    scratch bucket and probe-array match counts, and (for tables that
+    existed at the narrow config) the count of vectors whose narrow
+    bucket is the low-bit prefix of the widened bucket."""
+    emb = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ann_idx_w_")
+    p0, p1 = f"{base}/narrow", f"{base}/wide"
+    build_ann_index(emb, p0, bits=_W_OLD_BITS, tables=_W_OLD_TABLES)
+    widen_ann_index(spark, emb, p0, p1, bits=_W_NEW_BITS, tables=_W_NEW_TABLES)
+    old = load_signatures(spark, p0).select(
+        "vec_id", *[F.col(f"t{t}").alias(f"ot{t}") for t in range(_W_OLD_TABLES)]
+    )
+    wide = load_signatures(spark, p1).select(
+        "vec_id",
+        *[F.col(f"t{t}").alias(f"wt{t}") for t in range(_W_NEW_TABLES)],
+        *[F.col(f"p{t}").alias(f"wp{t}") for t in range(_W_NEW_TABLES)],
+    )
+    scratch = S._nd_sigs(
+        emb, ["vec_id"], cfg=_forced_cfg(spark, _W_NEW_BITS, _W_NEW_TABLES)
+    ).select(
+        "vec_id",
+        *[F.col(f"t{t}").alias(f"st{t}") for t in range(_W_NEW_TABLES)],
+        *[F.col(f"p{t}").alias(f"sp{t}") for t in range(_W_NEW_TABLES)],
+    )
+    mask = (1 << _W_OLD_BITS) - 1
+    per_tab = wide.join(scratch, "vec_id").join(old, "vec_id").select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"wt{t}").alias("wt"),
+                        F.col(f"st{t}").alias("st"),
+                        F.col(f"wp{t}").alias("wp"),
+                        F.col(f"sp{t}").alias("sp"),
+                        (
+                            F.col(f"ot{t}")
+                            if t < _W_OLD_TABLES
+                            else F.lit(None).cast("int")
+                        ).alias("ot"),
+                    )
+                    for t in range(_W_NEW_TABLES)
+                ]
+            )
+        ).alias("tab", "s"),
+    )
+    return per_tab.groupBy("tab").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("s.wt") == F.col("s.st")).cast("int")).alias("n_bucket_match"),
+        F.sum((F.col("s.wp") == F.col("s.sp")).cast("int")).alias("n_probe_match"),
+        F.max(F.col("tab") < _W_OLD_TABLES).alias("had_narrow"),
+        F.sum(
+            F.when(
+                F.col("s.ot").isNotNull()
+                & (F.col("s.wt").bitwiseAND(F.lit(mask)) == F.col("s.ot")),
+                1,
+            ).otherwise(0)
+        ).alias("n_prefix_ok"),
+    )
+
+
+def _forced_sigs_duck(sfx: str, bits: int, tables: int, n_tabs: int) -> str:
+    """DuckDB CTE chain computing the sign-LSH signatures at a FORCED
+    literal (bits, tables) config — the widen audit's from-scratch
+    reference in the oracle engine. Same gated dot arithmetic as the
+    live corpus-derived twin (_nd_sigs_duck), literal cfg."""
+    return f"""cfg{sfx} AS (SELECT {bits} AS nd_bits, {tables} AS nd_tables),
+        nd_dots{sfx} AS (
+            SELECT vec_id, nd_bits, nd_tables,
+                   {", ".join(f"{S._nd_dots_duck_gated(t)} AS d{t}" for t in range(n_tabs))}
+            FROM embeddings, cfg{sfx}
+        ),
+        sigs{sfx} AS MATERIALIZED (
+            SELECT vec_id, nd_bits, nd_tables,
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {S._nd_bucket_from_dots_duck(f'd{t}')} END AS t{t}" for t in range(n_tabs))},
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {S._nd_boundary_from_dots_duck(f'd{t}')} END AS p{t}" for t in range(n_tabs))}
+            FROM nd_dots{sfx}
+        )"""
+
+
+def _widen_audit_oracle() -> str:
+    """Per-table widen invariants recomputed from scratch in DuckDB:
+    the wide config's signatures ARE the reference (so bucket/probe
+    match counts equal the vector count by construction — a Spark-side
+    widen bug shows up as a smaller count and a hash mismatch), and the
+    prefix check is computed honestly from both configs' buckets."""
+    mask = (1 << _W_OLD_BITS) - 1
+    tab_rows = " UNION ALL ".join(
+        f"""SELECT {t} AS tab, w.vec_id,
+                   w.t{t} AS wt, w.p{t} AS wp,
+                   {f"o.t{t}" if t < _W_OLD_TABLES else "CAST(NULL AS BIGINT)"} AS ot
+            FROM sigs_w w JOIN sigs_o o USING (vec_id)"""
+        for t in range(_W_NEW_TABLES)
+    )
+    return f"""
+        WITH {_forced_sigs_duck("_o", _W_OLD_BITS, _W_OLD_TABLES, _W_OLD_TABLES)},
+        {_forced_sigs_duck("_w", _W_NEW_BITS, _W_NEW_TABLES, _W_NEW_TABLES)},
+        per_tab AS ({tab_rows})
+        SELECT tab, COUNT(*) AS n_vectors,
+               SUM(CASE WHEN wt IS NOT NULL THEN 1 ELSE 0 END) AS n_bucket_match,
+               SUM(CASE WHEN wp IS NOT NULL THEN 1 ELSE 0 END) AS n_probe_match,
+               MAX(tab < {_W_OLD_TABLES}) AS had_narrow,
+               SUM(CASE WHEN ot IS NOT NULL AND (wt & {mask}) = ot
+                        THEN 1 ELSE 0 END) AS n_prefix_ok
+        FROM per_tab GROUP BY tab
+    """
+
+
+QUERIES = {
+    "ann_index_knn_persisted": q_ann_index_knn_persisted,
+    "ann_index_neardup_persisted": q_ann_index_neardup_persisted,
+    "ann_index_widen_audit": q_ann_index_widen_audit,
+}
+
+ORACLES = {
+    # the persisted probes must equal the in-plan queries — they share
+    # the in-plan oracles verbatim
+    "ann_index_knn_persisted": S._knn_join_oracle(),
+    "ann_index_neardup_persisted": S.ORACLES["neardup_embedding"],
+    "ann_index_widen_audit": _widen_audit_oracle(),
+}

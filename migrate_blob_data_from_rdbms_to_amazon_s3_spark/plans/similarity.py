@@ -504,7 +504,7 @@ def _nd_cfg(emb):
     )
 
 
-def _nd_sigs(emb, cols: list[str]):
+def _nd_sigs(emb, cols: list[str], cfg=None, emit_dots: bool = False):
     """Per-table masked bucket values ``t0..`` and boundary-bit arrays
     ``p0..`` plus the derived ``nd_bits``/``nd_tables``, materialized
     once (localCheckpoint): the plane dots are the most expensive
@@ -529,25 +529,35 @@ def _nd_sigs(emb, cols: list[str]):
     sig_fields = ", ".join(
         [f"t{t} int" for t in range(ND_BANDS)]
         + [f"p{t} array<int>" for t in range(ND_BANDS)]
+        + ([f"d{t} array<double>" for t in range(ND_BANDS)] if emit_dots else [])
     )
-    in_df = emb.crossJoin(_nd_cfg(emb)).select(*cols, "embedding", "nd_bits", "nd_tables")
+    if cfg is None:
+        cfg = _nd_cfg(emb)
+    in_df = emb.crossJoin(cfg).select(*cols, "embedding", "nd_bits", "nd_tables")
     passthrough = [
         f"{f.name} {f.dataType.simpleString()}" for f in in_df.schema if f.name in cols
     ]
     schema = ", ".join(passthrough + ["nd_bits int", "nd_tables int", sig_fields])
-    return in_df.mapInPandas(_nd_sig_batches(list(cols)), schema).localCheckpoint(
-        eager=False
-    )
+    return in_df.mapInPandas(
+        _nd_sig_batches(list(cols), emit_dots=emit_dots), schema
+    ).localCheckpoint(eager=False)
 
 
-def _nd_sig_batches(cols: list[str]):
+def _nd_sig_batches(cols: list[str], emit_dots: bool = False):
     """Build the `mapInPandas` kernel for `_nd_sigs` (closure over the
     passthrough column list). Fold-order exactness: `acc += V[:, i] *
     P[i]` adds dimension i's product to every (row, plane) accumulator
     in ascending-i order from 0.0 — element-for-element the same IEEE
     op sequence as `aggregate(zip_with(...), 0D, +)` and the DuckDB
     unrolled sum, so bucket signs and boundary rankings are
-    bit-identical across all three implementations."""
+    bit-identical across all three implementations.
+
+    ``emit_dots=True`` additionally emits each active table's raw dot
+    array ``d{t}`` (array<double>, nd_bits long) — the persisted-index
+    build (operators/ann_index) stores them so an incremental WIDEN can
+    re-rank boundary bits over old+new dots without recomputing the old
+    planes. Each plane column's fold is independent in the accumulator,
+    so a subset-of-planes recompute is bit-identical to the fused pass."""
     import numpy as np
 
     planes = np.empty((EMB_DIM, ND_BANDS * ND_MAX_BITS), dtype=np.float64)
@@ -577,6 +587,8 @@ def _nd_sig_batches(cols: list[str]):
                 if t >= nd_tables:
                     out[f"t{t}"] = pd.array([None] * n, dtype="Int32")
                     out[f"p{t}"] = pd.Series([None] * n, dtype=object)
+                    if emit_dots:
+                        out[f"d{t}"] = pd.Series([None] * n, dtype=object)
                     continue
                 d = acc[:, t * ND_MAX_BITS : t * ND_MAX_BITS + nd_bits]
                 out[f"t{t}"] = ((d > 0.0).astype(np.int32) @ weights).astype(
@@ -589,6 +601,8 @@ def _nd_sig_batches(cols: list[str]):
                     np.int32
                 )
                 out[f"p{t}"] = pd.Series(list(order))
+                if emit_dots:
+                    out[f"d{t}"] = pd.Series(list(d))
             yield pd.DataFrame(out)
 
     return kernel
@@ -635,6 +649,13 @@ def q_neardup_embedding(spark, sf_dir):
         .filter(F.col("bdf") <= ND_MAX_BUCKET)
         .drop("bdf")
     )
+    return _neardup_from_index(emb, sigs, exact)
+
+
+def _neardup_from_index(emb, sigs, exact):
+    """The label-constrained near-dup pair pipeline over an index given
+    as (sigs, capped exact-bucket rows) — shared by q_neardup_embedding
+    (in-plan index) and the persisted-index twin (operators/ann_index)."""
     probes = _nd_probes(sigs, "vec_a", extra=("label",))
     # canonicalize to unordered pairs: query-directed probing is not
     # symmetric (a's boundary bits are not b's), so a pair can be reached
@@ -705,12 +726,13 @@ def q_knn_join(spark, sf_dir):
     return _knn_topk(_emb(spark, sf_dir))
 
 
-def _knn_topk(emb, probe_max: int | None = None):
+def _knn_topk(emb, probe_max: int | None = None, sigs=None, exact=None):
     """(vec_id, nn_rank, neighbor_id, score) — see q_knn_join. With
     ``probe_max`` the PROBE side restricts to vec_id < probe_max (the
     recall audit's fixed query sample) while the build side stays the
-    full corpus."""
-    scored = _knn_scored_pairs(emb, probe_max)
+    full corpus. ``sigs``/``exact`` inject a persisted index (see
+    _knn_scored_pairs)."""
+    scored = _knn_scored_pairs(emb, probe_max, sigs=sigs, exact=exact)
     w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
@@ -724,20 +746,29 @@ def _knn_topk(emb, probe_max: int | None = None):
     )
 
 
-def _knn_scored_pairs(emb, probe_max: int | None = None):
+def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None):
     """Directed (vec_a, vec_b, score) over the LSH candidate set — the
-    shared half of q_knn_join and q_hard_negative_mining."""
-    sigs = _nd_sigs(emb, ["vec_id"])
-    exact = sigs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias("tab", "bv"),
-    ).filter(F.col("bv").isNotNull())
-    bucket_w = Window.partitionBy("tab", "bv")
-    exact = (
-        exact.withColumn("bdf", F.count("*").over(bucket_w))
-        .filter(F.col("bdf") <= ND_MAX_BUCKET)
-        .drop("bdf")
-    )
+    shared half of q_knn_join and q_hard_negative_mining. ``sigs`` /
+    ``exact`` inject a PREBUILT index (operators/ann_index's persisted
+    signatures and capped band table) so a standing index replaces the
+    in-plan signature build with a Parquet scan; defaults rebuild both
+    in-plan (identical rows, so the two forms are result-identical —
+    pinned by tests/test_ann_index.py)."""
+    if sigs is None:
+        sigs = _nd_sigs(emb, ["vec_id"])
+    if exact is None:
+        exact = sigs.select(
+            F.col("vec_id").alias("vec_b"),
+            F.posexplode(F.array(*[f"t{t}" for t in range(ND_BANDS)])).alias(
+                "tab", "bv"
+            ),
+        ).filter(F.col("bv").isNotNull())
+        bucket_w = Window.partitionBy("tab", "bv")
+        exact = (
+            exact.withColumn("bdf", F.count("*").over(bucket_w))
+            .filter(F.col("bdf") <= ND_MAX_BUCKET)
+            .drop("bdf")
+        )
     probe_src = sigs if probe_max is None else sigs.filter(F.col("vec_id") < probe_max)
     probes = _nd_probes(probe_src, "vec_a")
     # Candidates canonicalize to unordered pairs (least/greatest): each

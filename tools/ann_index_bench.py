@@ -1,0 +1,96 @@
+"""Measure the build-once/probe-many amortization of the persisted
+ANN-LSH index (VERDICT r7 item 1's "done" evidence).
+
+Times, in ONE fresh session at $SPARK_GRAFT_SF_DIR (default sf0.1):
+
+- ``knn_inplan``: q_knn_join as registered (index rebuilt in-plan),
+  RUNS times — the per-query price every consumer pays today.
+- ``index_build``: one build_ann_index (signatures + bands + meta to
+  Parquet).
+- ``knn_probe``: knn_join_persisted against the prebuilt path, RUNS
+  times — the amortized per-query price.
+- ``neardup_inplan`` / ``neardup_probe``: same pair for the
+  label-constrained consumer (its own label-carrying index build is
+  timed into ``index_build_label``).
+
+Writes ANN_INDEX_BENCH_latest.json and prints one summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark import get_spark
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        build_ann_index,
+        knn_join_persisted,
+        neardup_persisted,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        q_knn_join,
+        q_neardup_embedding,
+    )
+
+    spark = get_spark(cpus=int(CPUS))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def t(fn) -> float:
+        t0 = time.monotonic()
+        fn()
+        return round(time.monotonic() - t0, 3)
+
+    out: dict = {"sf_dir": SF_DIR, "runs": RUNS, "n": emb.count()}
+    out["knn_inplan"] = [
+        t(lambda: q_knn_join(spark, SF_DIR).count()) for _ in range(RUNS)
+    ]
+    path = tempfile.mkdtemp(prefix="ann_idx_bench_")
+    out["index_build"] = t(lambda: build_ann_index(emb, path))
+    out["knn_probe"] = [
+        t(lambda: knn_join_persisted(spark, emb, path).count()) for _ in range(RUNS)
+    ]
+    out["neardup_inplan"] = [
+        t(lambda: q_neardup_embedding(spark, SF_DIR).count()) for _ in range(RUNS)
+    ]
+    path_l = tempfile.mkdtemp(prefix="ann_idx_bench_l_")
+    out["index_build_label"] = t(
+        lambda: build_ann_index(emb, path_l, label_col="label")
+    )
+    out["neardup_probe"] = [
+        t(lambda: neardup_persisted(spark, emb, path_l).count()) for _ in range(RUNS)
+    ]
+    try:
+        out["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["load1"] = None
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "ANN_INDEX_BENCH_latest.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    print(
+        json.dumps(
+            {
+                "knn_inplan_med": med(out["knn_inplan"]),
+                "knn_probe_med": med(out["knn_probe"]),
+                "build": out["index_build"],
+                "neardup_inplan_med": med(out["neardup_inplan"]),
+                "neardup_probe_med": med(out["neardup_probe"]),
+                "build_label": out["index_build_label"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
