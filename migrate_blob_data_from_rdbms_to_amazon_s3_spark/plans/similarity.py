@@ -5,12 +5,13 @@ Three operators:
 - brute-force cosine top-k — the exactness baseline: broadcast the query
   vector, one narrow projection computes the score, TakeOrdered top-k.
   At 100 TB this is a single pass, no shuffle except the final k-merge.
-- IVF top-k — the scale path: the coarse quantizer is the TRAINED
-  k-means (Lloyd rounds, `_kmeans_fit`); every vector is assigned to its
-  nearest centroid and queries search only their cluster's inverted
-  list. Assignment is a map-side argmin over the inlined k x dim
-  centroid literal table (`_assign_expr` — no row blowup, no shuffle);
-  at 1000 executors the probe touches 1/n_clusters of the data.
+- IVF top-k — the coarse quantizer is the TRAINED k-means (Lloyd
+  rounds, `_kmeans_fit`) with a CORPUS-DERIVED codebook size (mean cell
+  fill held ~constant as n grows); every vector is assigned to its
+  nearest centroid by the map-side Arrow argmin kernel (`_assign_df` —
+  no row blowup, no shuffle) and queries search only their nprobe
+  nearest cells' inverted lists. At 1000 executors the probe touches
+  ~nprobe/k of the data.
 - embedding near-dup pairs — multi-table multi-probe hyperplane-LSH
   candidate join with an exact cosine verification (the "semantic dedup"
   primitive). Candidates come from ND_BANDS independent sign-LSH tables
@@ -242,6 +243,14 @@ def q_ann_bruteforce(spark, sf_dir):
 def _assign_expr(cent_rows) -> str:
     """Map-side nearest-centroid assignment as ONE projection expression.
 
+    Since round 8 the LIVE assignment path is the Arrow numpy kernel
+    (`_assign_df` / `_assign_batches`): with the corpus-derived codebook
+    (k up to KMEANS_K_CAP) this k x dim HOF projection costs O(k * dim)
+    lambda dispatches per row — the same HOF-vs-kernel trade the LSH
+    signature block went through in round 7. This SQL form is kept as
+    the kernel's pinned same-engine bit-identity reference
+    (tests/test_similarity_props.py) and stays the DuckDB twin's shape.
+
     The trained centroid table is k x dim (tiny); inlining it as literals
     and taking ``array_min`` over (d, cluster) structs computes the
     argmin — smallest distance, cluster-id tiebreak, exactly the
@@ -293,11 +302,15 @@ def q_ann_ivf(spark, sf_dir):
     """IVF probe against the TRAINED quantizer: the coarse centroids are
     the k-means output (`_kmeans_fit`, KMEANS_ITERS Lloyd rounds), not raw
     seed vectors — the honest IVF contract. Every vector is assigned to
-    its nearest trained centroid map-side (`_assign_expr`: inlined k x dim
-    centroid literals, argmin in one projection — no crossJoin blowup, no
-    window shuffle); the probe then ranks the query's cluster only, by
-    exact cosine. At 1000 executors the assignment runs at scan speed and
-    the probe touches ~1/k of the data."""
+    its nearest trained centroid map-side (the Arrow argmin kernel
+    `_assign_batches` — no crossJoin blowup, no window shuffle); the
+    probe then ranks the query's cluster only, by exact cosine. The
+    codebook size k is CORPUS-DERIVED since round 8 (`_derived_k`:
+    ceil(n / IVF_FILL_TARGET), clamped) so mean cell size — hence
+    per-query candidate volume — stays ~constant as the corpus grows
+    (the r7 sf1 soak measured the fixed k=8 toy's candidates growing
+    6.7x per decade as n/k). At 1000 executors the assignment runs at
+    scan speed and the probe touches ~nprobe/k of the data."""
     return _ivf_probe(spark, sf_dir, nprobe=1)
 
 
@@ -311,9 +324,7 @@ def _ivf_probe(spark, sf_dir, nprobe: int):
     by construction (same (d, cluster) struct order in both expressions)."""
     emb = _emb(spark, sf_dir)
     cent_rows, _ = _kmeans_fit(emb)
-    assigned = emb.select(
-        "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
-    )
+    assigned = _assign_df(emb, cent_rows)
     query = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"),
@@ -1362,23 +1373,112 @@ def _sq_dist_duck(a: str, b: str) -> str:
 
 
 KMEANS_ITERS = 2
-KMEANS_K = N_CENTROIDS  # seed centroids = vec_id < 8, same as IVF
+KMEANS_K = N_CENTROIDS  # floor of the derived codebook size ladder
+
+# Corpus-derived codebook size (round 8 — VERDICT r7 item 2): per-query
+# IVF candidate volume is the mean cell size n/k, so a FIXED k means
+# candidates grow linearly with the corpus (the sf1 soak measured 6.7x
+# per decade at k=8). Deriving k = ceil(n / IVF_FILL_TARGET) holds mean
+# cell fill ~constant; the fill target is a POWER OF TWO so n/64.0 is
+# an exact IEEE division and both engines' ceil can never disagree.
+# The cap bounds the driver-side centroid collect (cap x dim doubles =
+# ~2 MB) and the inlined probe-ranking expression; past it, cell size
+# grows linearly again — the same documented saturation shape as the
+# LSH ND_MAX_BITS cap, and the LSH family remains the unbounded-scale
+# path.
+IVF_FILL_TARGET = 64
+KMEANS_K_CAP = 4096
 
 
-def _kmeans_fit(emb, k: int = KMEANS_K):
+def _derived_k(n: int) -> int:
+    return min(KMEANS_K_CAP, max(KMEANS_K, -(-n // IVF_FILL_TARGET)))
+
+
+# DuckDB twin of _derived_k over a COUNT(*) column (exact: n/64.0 is an
+# exact double for any row count, so ceil is deterministic)
+def _k_expr_duck(n_col: str) -> str:
+    return (
+        f"LEAST({KMEANS_K_CAP}, GREATEST({KMEANS_K}, "
+        f"CAST(ceil({n_col} / {IVF_FILL_TARGET}.0) AS INT)))"
+    )
+
+
+def _assign_df(emb, cent_rows):
+    """Map-side nearest-centroid assignment via the Arrow numpy kernel —
+    (vec_id, embedding, cluster). The k x dim codebook ships inside the
+    kernel closure (broadcast by task serialization); per batch the
+    distance matrix is one fused per-dimension pass with EXACT left-fold
+    accumulation, so every distance is bit-identical to the SQL fold
+    `_assign_expr` remains as the pinned reference for
+    (tests/test_similarity_props.py::test_assign_kernel_bit_identity)
+    and to the DuckDB twin. The inlined-literal SQL projection it
+    replaces costs O(k * dim) lambda dispatches per ROW at HOF speed —
+    the corpus-derived k made that the dominant per-row cost."""
+    fields = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    schema = (
+        f"vec_id {fields['vec_id']}, embedding {fields['embedding']}, cluster int"
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _assign_batches(cent_rows), schema
+    )
+
+
+def _assign_batches(cent_rows):
+    import numpy as np
+
+    ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+    cmat = (
+        np.array([cv for _, cv in cent_rows], dtype=np.float64)
+        if cent_rows
+        else np.zeros((0, EMB_DIM))
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = pdf[["vec_id", "embedding"]].copy()
+            if len(ids) == 0:
+                # empty corpus -> no seeds: vacuously-null assignment,
+                # same degradation as _assign_expr's typed null
+                out["cluster"] = pd.array([None] * n, dtype="Int32")
+                yield out
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, len(ids)), dtype=np.float64)
+            for i in range(EMB_DIM):
+                diff = v[:, i : i + 1] - cmat[:, i]
+                acc += diff * diff
+            # first min = smallest cluster id (cent_rows sorted asc) —
+            # the same (d, cluster) lexicographic tiebreak as the SQL
+            out["cluster"] = ids[np.argmin(acc, axis=1)]
+            yield out
+
+    return kernel
+
+
+def _kmeans_fit(emb, k: int | None = None):
     """KMEANS_ITERS Lloyd iterations, one Spark job per round — the
     iterative-algorithm pattern done the way MLlib does it: the k x dim
     centroid table is COLLECTED to the driver each round (k*dim doubles —
-    trivially small at any corpus scale) and inlined into the next
-    round's map-side argmin projection (`_assign_expr`). Per round the
-    only shuffle is the (cluster, pos) mean — k*dim groups — while the
-    vectors themselves never shuffle and are scanned exactly once (the r2
-    version crossJoined k copies and windowed them back together: a k×
-    scan blowup + full embedding shuffle per round). Centroid means round
+    cap-bounded at ~2 MB) and shipped into the next round's map-side
+    argmin kernel (`_assign_df`). Per round the only shuffle is the
+    (cluster, pos) mean — k*dim groups — while the vectors themselves
+    never shuffle and are scanned exactly once (the r2 version
+    crossJoined k copies and windowed them back together: a k× scan
+    blowup + full embedding shuffle per round). Centroid means round
     to 4 decimals after every round so cross-engine float summation can't
     drift into the next iteration; distances use bit-identical left-fold
-    accumulation. Returns (trained centroid rows [(cluster, [dim]) ...],
+    accumulation. ``k=None`` derives the codebook size from the corpus
+    count (`_derived_k` — one count job, the same driver-coordination
+    grade as the seed collect); explicit k keeps a caller-owned dial
+    (semdedup). Returns (trained centroid rows [(cluster, [dim]) ...],
     last-round lazy assignment DataFrame)."""
+    if k is None:
+        k = _derived_k(emb.count())
     seed = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
@@ -1387,9 +1487,7 @@ def _kmeans_fit(emb, k: int = KMEANS_K):
     cent_rows = sorted((r.cluster, list(r.embedding)) for r in seed)
     assigned = None
     for _ in range(KMEANS_ITERS):
-        assigned = emb.select(
-            "vec_id", "embedding", F.expr(_assign_expr(cent_rows)).alias("cluster")
-        )
+        assigned = _assign_df(emb, cent_rows)
         new_cents = (
             assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -1447,7 +1545,7 @@ def q_semdedup(spark, sf_dir):
     Report per vector: cluster, centroid_sim, max similarity to any
     prior member, and the keep/remove verdict.
 
-    Plan: assignment is the map-side argmin projection (`_assign_expr`,
+    Plan: assignment is the map-side argmin kernel (`_assign_df`,
     no shuffle); vectors then shuffle ONCE on the cluster id and the
     pairwise stage is a per-cluster self-join guarded by the rank
     predicate — |cluster|^2/2 cosines per cluster, embarrassingly
@@ -1544,14 +1642,22 @@ def _semdedup_frame(spark, emb):
     )
 
 
-def _kmeans_ctes(k: int = KMEANS_K) -> str:
+def _kmeans_ctes(k: int | None = None) -> str:
     """The shared Lloyd-round CTE chain (WITH ... cents_{KMEANS_ITERS}),
     the twin of `_kmeans_fit` — used by the kmeans audit oracle, the IVF
     oracle (which probes against the trained centroids), and the
-    semdedup oracle (its own, larger k)."""
+    semdedup oracle (its own explicit k). ``k=None`` derives the
+    codebook size from the corpus count (`_k_expr_duck`, the twin of
+    `_derived_k`); the Lloyd CTEs themselves are k-agnostic (cross join
+    + argmin row_number), only the seed filter changes."""
     iters = KMEANS_ITERS
+    seed_k = (
+        str(k)
+        if k is not None
+        else f"(SELECT {_k_expr_duck('nd_n')} FROM (SELECT COUNT(*) AS nd_n FROM embeddings))"
+    )
     sql = [
-        f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {k})"
+        f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {seed_k})"
     ]
     for i in range(iters):
         d = _sq_dist_duck("e.embedding", "c.cv")

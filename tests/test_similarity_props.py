@@ -107,3 +107,52 @@ def test_semdedup_collapses_mass_identical_vectors(spark):
     for r in dup_rows:
         if r.vec_id != group_keeper_id:
             assert r.removed and r.max_prior_sim == 1.0
+
+
+def test_assign_kernel_bit_identity(spark, sf_dir):
+    """The Arrow argmin kernel (_assign_df) must assign every vector to
+    the SAME cluster as the pinned SQL fold (_assign_expr) — same
+    left-fold distance arithmetic, same (d, cluster) tiebreak — at both
+    a small and a forced larger codebook."""
+    import pyspark.sql.functions as F
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        _assign_df,
+        _assign_expr,
+        _kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for k in (8, 23):
+        cent_rows, _ = _kmeans_fit(emb, k=k)
+        got = {
+            r.vec_id: r.cluster for r in _assign_df(emb, cent_rows).collect()
+        }
+        want = {
+            r.vec_id: r.cluster
+            for r in emb.select(
+                "vec_id", F.expr(_assign_expr(cent_rows)).alias("cluster")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+
+def test_derived_k_ladder():
+    """_derived_k and its DuckDB twin agree on every corpus size around
+    the ladder's breakpoints and the clamps."""
+    import duckdb
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        IVF_FILL_TARGET,
+        KMEANS_K,
+        KMEANS_K_CAP,
+        _derived_k,
+        _k_expr_duck,
+    )
+
+    probe = [0, 1, 7, 8, 511, 512, 513, 2000, 20000, 64 * 4096, 64 * 4096 + 1, 10**7]
+    for n in probe:
+        duck = duckdb.sql(f"SELECT {_k_expr_duck(str(n))}").fetchone()[0]
+        assert _derived_k(n) == duck, n
+    assert _derived_k(0) == KMEANS_K
+    assert _derived_k(10**9) == KMEANS_K_CAP
+    assert _derived_k(IVF_FILL_TARGET * 100) == 100
