@@ -969,14 +969,35 @@ def q_top3_orders_per_segment(spark, sf_dir):
 
 # --- grouped stats (median/stddev) ---------------------------------------------------------------
 def q_events_stats(spark, sf_dir):
+    """Per-type summary stats. The median uses the COUNT-DISTRIBUTION
+    method (functions/quantiles; values are cents-exact in any
+    ledger-derived metric): the previous ``percentile`` buffered every
+    group value in one aggregation buffer — event types are few but a
+    hot type's group is corpus-sized, the shape that OOMs at 100 TB
+    (round 8, closing the last undocumented buffering call site; the
+    remaining exact ``percentile`` calls are the documented oracle
+    anchors of approx twins)."""
+    from ..functions.quantiles import distribution_quantiles
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    base = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
+    )
+    med = distribution_quantiles(ev, "event_type", "value", (0.5,)).select(
+        "event_type", F.round("q0", 4).alias("median_value")
+    )
+    return base.join(med, "event_type").select(
+        "event_type",
+        "n",
+        "avg_value",
+        "sd_value",
+        "median_value",
+        "min_value",
+        "max_value",
     )
 
 
@@ -1441,15 +1462,20 @@ ORACLES = {
         FROM sessions
         GROUP BY user_id, session_seq
     """,
-    "events_stats": """
-        SELECT event_type,
+    "events_stats": f"""
+        WITH med AS (
+            {distribution_quantiles_duck(
+                "SELECT event_type, value FROM events", "event_type", "value", (0.5,)
+            )}
+        )
+        SELECT e.event_type,
                COUNT(*) AS n,
-               ROUND(AVG(value), 4) AS avg_value,
-               ROUND(STDDEV_SAMP(value), 4) AS sd_value,
-               ROUND(quantile_cont(value, 0.5), 4) AS median_value,
-               ROUND(MIN(value), 4) AS min_value,
-               ROUND(MAX(value), 4) AS max_value
-        FROM events
-        GROUP BY event_type
+               ROUND(AVG(e.value), 4) AS avg_value,
+               ROUND(STDDEV_SAMP(e.value), 4) AS sd_value,
+               ROUND(MAX(m.q0), 4) AS median_value,
+               ROUND(MIN(e.value), 4) AS min_value,
+               ROUND(MAX(e.value), 4) AS max_value
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
     """,
 }

@@ -121,7 +121,19 @@ def q_grouped_percentiles(spark, sf_dir):
     q_grouped_percentiles_approx (GK sketch, O(accuracy) memory, for
     value domains that aren't fixed-precision); this buffering form is
     kept as the independent oracle anchor the distribution twin is
-    asserted equal to."""
+    asserted equal to.
+
+    ANCHOR INVARIANT (do not convert this query): ~12 registered
+    queries generate BOTH their Spark plan and their DuckDB twin from
+    the shared functions/quantiles helper, so a bug in that shared
+    arithmetic would be twin-consistent and invisible to the hash gate.
+    This query is the deliberately INDEPENDENT implementation —
+    Spark's own ``percentile`` against DuckDB's own ``quantile_cont``
+    — that anchors the family: tests/test_quantiles_distribution.py
+    property-tests the helper against it, and
+    tests/test_plan_lint.py::test_percentile_anchor_invariant asserts
+    this plan still contains the buffering ``percentile`` (and that no
+    UNDOCUMENTED buffering call site exists anywhere else)."""
     li = _t(spark, sf_dir, "lineitem")
     # one array-percentile call = one value buffer per group (three separate
     # percentile() aggs would buffer the column three times)

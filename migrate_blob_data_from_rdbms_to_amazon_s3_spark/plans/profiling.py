@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distribution_quantiles_duck
 from ..sources.tables import load_table as _t
 
 HIST_BINS = 20
@@ -492,14 +493,26 @@ def q_events_ewma(spark, sf_dir):
 
 
 # --- Theil-Sen robust trend ------------------------------------------------------------
+SLOPE_SCALE = 1_000_000  # slope quantization grain (1e-6 = reported precision)
 def q_events_trend_theilsen(spark, sf_dir):
     """Theil-Sen robust trend of daily event volume per type: the median
     of all pairwise slopes (y_j − y_i)/(day_j − day_i) — immune to the
     outlier days that wreck least squares. The pair join is keyed on
     event_type over the DAILY grain (|days|² pairs per type, bounded by
-    the reporting window, never raw-event-sized); the median is one exact
-    percentile per type (group = slope pairs, bounded likewise). Output:
-    slope per type plus the OLS slope for comparison."""
+    the reporting window, never raw-event-sized). Output: slope per type
+    plus the OLS slope for comparison.
+
+    Round 8 (closing the float-percentile scale gap): the slope median
+    uses the COUNT-DISTRIBUTION method over slopes QUANTIZED to the
+    1e-6 reporting grain (SLOPE_SCALE — the previous form rounded the
+    exact median to 6 dp anyway, so the stated grain matches the
+    reported precision). |days|² pairs per type is window-bounded, but
+    a long retention window times a hot type made the one-buffer-per-
+    group ``percentile`` the last non-anchor buffering aggregate in the
+    fleet; the distribution pass buffers nothing per group. The median
+    is emitted as grain/1e-6 with NO final round: grain cuts at p=0.5
+    are exact integer-or-half doubles, so both engines produce the
+    bit-identical quotient and a ROUND decimal-tie can never flip."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n")
@@ -514,9 +527,14 @@ def q_events_trend_theilsen(spark, sf_dir):
             ((F.col("y2") - F.col("y1")) / F.datediff("d2", "d1")).alias("slope"),
         )
     )
-    ts = slopes.groupBy("event_type").agg(
-        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theilsen_slope"),
-        F.count("*").alias("n_pairs"),
+    from ..functions.quantiles import distribution_quantiles
+
+    ts = distribution_quantiles(
+        slopes, "event_type", "slope", (0.5,), scale=SLOPE_SCALE, grain_space=True
+    ).select(
+        "event_type",
+        (F.col("q0") / F.lit(float(SLOPE_SCALE))).alias("theilsen_slope"),
+        F.col("n_rows").alias("n_pairs"),
     )
     ols = daily.groupBy("event_type").agg(
         F.round(
@@ -811,7 +829,7 @@ ORACLES = {
                                + POWER({1 - EWMA_ALPHA}, rn) * first_x, 4) END AS ewma
         FROM runs ORDER BY event_type, day
     """,
-    "events_trend_theilsen": """
+    "events_trend_theilsen": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
             FROM events GROUP BY 1, 2
@@ -824,9 +842,16 @@ ORACLES = {
         ),
         ts AS (
             SELECT event_type,
-                   ROUND(quantile_cont(slope, 0.5), 6) AS theilsen_slope,
-                   COUNT(*) AS n_pairs
-            FROM slopes GROUP BY 1
+                   q0 / {float(SLOPE_SCALE)!r} AS theilsen_slope,
+                   n_rows AS n_pairs
+            FROM ({distribution_quantiles_duck(
+                "SELECT event_type, slope FROM slopes",
+                "event_type",
+                "slope",
+                (0.5,),
+                scale=SLOPE_SCALE,
+                grain_space=True,
+            )})
         ),
         ols AS (
             SELECT event_type,

@@ -197,19 +197,27 @@ def q_distributed_global_rank(spark, sf_dir):
     rank = bucket offset + intra-bucket row_number (window PARTITIONED BY
     bucket). The naive ROW_NUMBER() OVER (ORDER BY ...) — one partition
     holding the entire table — is the oracle only. Output: the global
-    top-500 slice (rank, key, price)."""
+    top-500 slice (rank, key, price).
+
+    Round 8: the cut-points come from the COUNT-DISTRIBUTION method in
+    GRAIN space — the previous GLOBAL ``percentile`` buffered the
+    ENTIRE table in one aggregation buffer (the exact shape the r7
+    percentile conversions removed elsewhere). Bucketing compares
+    round(price*100) grains against grain cuts: order-isomorphic to the
+    value-space comparison (grains are monotone in price; equal prices
+    share a grain, so ties still never straddle a boundary), hence the
+    final ranks — and the naive oracle — are unchanged."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ps = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
-    cuts = o.agg(
-        F.expr(
-            "percentile(o_totalprice, array(" + ", ".join(str(p) for p in ps) + "))"
-        ).alias("cuts")
-    )
+    ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
+    cuts = distribution_quantiles(
+        o, None, "o_totalprice", ps, grain_space=True
+    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
     bucketed = o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey",
         "o_totalprice",
         F.expr(
-            "aggregate(cuts, 0, (acc, c) -> acc + IF(o_totalprice < c, 1, 0))"
+            "aggregate(cuts, 0, (acc, c) -> "
+            "acc + IF(CAST(round(o_totalprice * 100) AS DOUBLE) < c, 1, 0))"
         ).alias("b"),
     )
     counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))

@@ -283,3 +283,70 @@ def test_no_scale_antipatterns_in_plan(spark, sf_dir, name):
             f"(no 1-row aggregate / LIMIT / literal relation / "
             f"spec-bounded dim / bounded-key grouping witness):\n" + bad[0]
         )
+
+
+# ---------------------------------------------------------------------------
+# Buffering-percentile anchor invariant (VERDICT r7 item 8 / round 8):
+# exact `percentile(` buffers every group value in one aggregation buffer,
+# so each remaining call site must be a DOCUMENTED anchor — either the
+# independent oracle anchor of the shared distribution-quantile helper
+# (q_grouped_percentiles: ~12 twins co-generate from functions/quantiles,
+# and a twin-consistent bug there would be invisible to the hash gate
+# without an independent implementation) or the exact half of an
+# approx-audit query whose whole point is the exact-vs-sketch comparison.
+# Everything else must use the distribution method or a GK sketch.
+_PERCENTILE_ANCHORS = {
+    # file (relative to the package) -> allowed buffering-call count
+    "plans/analytics_ext.py": 1,  # q_grouped_percentiles (THE anchor)
+    "plans/analytics.py": 5,  # grouped_mad_outliers (med+mad, the anchor of
+    #   its approx twin), grouped_mad_outliers_approx's exact halves
+    #   (med_e+mad_e), approx_percentiles_bounded's exact half
+}
+
+
+def test_percentile_anchor_invariant():
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "migrate_blob_data_from_rdbms_to_amazon_s3_spark",
+    )
+    pat = re.compile(r"(?<!approx_)\bpercentile\s*\(")
+    found: dict[str, int] = {}
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as f:
+                n = 0
+                for line in f:
+                    code = line.split("#", 1)[0]
+                    if '"' in line and "percentile(" in line and "F." not in code:
+                        # docstrings / SQL strings mentioning the word are
+                        # counted only when they build a Spark expr
+                        pass
+                    for m in pat.finditer(code):
+                        # only Spark-side aggregate constructions count:
+                        # F.percentile(...) or percentile( inside F.expr
+                        before = code[: m.start()]
+                        if before.rstrip().endswith("F.") or "expr" in before or "F.percentile" in code:
+                            n += 1
+                if n:
+                    found[rel] = n
+    assert found == {
+        k: v for k, v in _PERCENTILE_ANCHORS.items()
+    }, f"undocumented buffering percentile call sites: {found}"
+
+
+def test_anchor_query_plan_still_buffers(spark, sf_dir):
+    """q_grouped_percentiles must keep Spark's buffering `percentile`
+    aggregate (NOT the distribution stages) — it is the independent
+    anchor the co-generated twins are property-tested against."""
+    df = E.queries()["grouped_percentiles"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "percentile(" in analyzed
+    # the distribution method's signature stages must be absent
+    assert "__pid" not in analyzed and "__offw" not in analyzed
