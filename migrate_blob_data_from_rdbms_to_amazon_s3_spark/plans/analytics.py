@@ -722,6 +722,10 @@ def q_customer_rfm_segments(spark, sf_dir):
             "frequency",
             "monetary",
         )
+        # two consumers (the melted cut-point pass and the scoring pass)
+        # — materialize the customer grain once instead of re-running
+        # the orders groupBy per branch (round 8 scan sharing)
+        .localCheckpoint(eager=False)
     )
     # Cut-points via the COUNT-DISTRIBUTION method (functions/quantiles;
     # round 7): the previous triple ``percentile()`` buffered the whole

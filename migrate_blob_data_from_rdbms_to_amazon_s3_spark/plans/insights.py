@@ -302,13 +302,29 @@ def q_session_length_stats(spark, sf_dir):
         F.round(F.avg("n_events"), 4).alias("avg_events"),
         F.round(F.avg("duration_sec"), 2).alias("avg_duration_sec"),
     )
-    qe = distribution_quantiles(sess, None, "n_events", (0.5, 0.9), scale=1).select(
-        F.round("q0", 4).alias("p50_events"), F.round("q1", 4).alias("p90_events")
+    # ONE melted distribution pass for both metrics (round 8, VERDICT r7
+    # item 4 — the two separate passes each paid the full prefix-sum
+    # machinery): durations pre-scale to the millisecond grain so both
+    # metrics share scale=1 ((max-min) ms round-trips /1000*1000 under
+    # round() exactly); the ms-space quantile divides back by 1000 at
+    # the end, mirrored in the DuckDB twin.
+    melted = sess.selectExpr(
+        "stack(2, 'e', CAST(n_events AS DOUBLE), "
+        "'d', duration_sec * 1000) AS (metric, v)"
     )
-    qd = distribution_quantiles(
-        sess, None, "duration_sec", (0.9,), scale=1000
-    ).select(F.round("q0", 2).alias("p90_duration_sec"))
-    return base.crossJoin(F.broadcast(qe)).crossJoin(F.broadcast(qd)).select(
+    q = distribution_quantiles(melted, "metric", "v", (0.5, 0.9), scale=1)
+    qs = q.groupBy().agg(
+        F.round(
+            F.max(F.when(F.col("metric") == "e", F.col("q0"))), 4
+        ).alias("p50_events"),
+        F.round(
+            F.max(F.when(F.col("metric") == "e", F.col("q1"))), 4
+        ).alias("p90_events"),
+        F.round(
+            F.max(F.when(F.col("metric") == "d", F.col("q1"))) / 1000.0, 2
+        ).alias("p90_duration_sec"),
+    )
+    return base.crossJoin(F.broadcast(qs)).select(
         "n_sessions",
         "avg_events",
         "p50_events",
@@ -630,23 +646,24 @@ ORACLES = {
                    ROUND(AVG(duration_sec), 2) AS avg_duration_sec
             FROM grains
         ),
-        qe AS (
-            SELECT ROUND(q0, 4) AS p50_events, ROUND(q1, 4) AS p90_events
-            FROM ({distribution_quantiles_duck(
-                "SELECT n_events FROM grains", None, "n_events", (0.5, 0.9),
-                scale=1,
-            )})
+        melted AS (
+            SELECT 'e' AS metric, CAST(n_events AS DOUBLE) AS v FROM grains
+            UNION ALL
+            SELECT 'd', duration_sec * 1000 FROM grains
         ),
-        qd AS (
-            SELECT ROUND(q0, 2) AS p90_duration_sec
+        qs AS (
+            SELECT ROUND(MAX(CASE WHEN metric = 'e' THEN q0 END), 4) AS p50_events,
+                   ROUND(MAX(CASE WHEN metric = 'e' THEN q1 END), 4) AS p90_events,
+                   ROUND(MAX(CASE WHEN metric = 'd' THEN q1 END) / 1000.0, 2)
+                       AS p90_duration_sec
             FROM ({distribution_quantiles_duck(
-                "SELECT duration_sec FROM grains", None, "duration_sec", (0.9,),
-                scale=1000,
+                "SELECT metric, v FROM melted", "metric", "v", (0.5, 0.9),
+                scale=1,
             )})
         )
         SELECT n_sessions, avg_events, p50_events, p90_events,
                avg_duration_sec, p90_duration_sec
-        FROM base, qe, qd
+        FROM base, qs
     """,
     "order_frequency_histogram": """
         WITH per_cust AS (

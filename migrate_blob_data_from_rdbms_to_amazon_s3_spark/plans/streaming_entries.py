@@ -3,11 +3,13 @@
 Each entry materializes the fixture as a file-source stream (micro-batch
 drops in a temp dir), runs the streaming query with
 ``trigger(availableNow=True)``, and returns the drained result as a batch
-DataFrame. The windowed/sessionized drains have no ``oracle_sql()`` twins
-(emission timing isn't SQL-expressible), so the driver records rows-only
-checks and the strong statements (stream == batch twin) live in
-tests/test_streaming.py. The dedup drain IS value-deterministic, so it
-carries a full oracle.
+DataFrame. Since round 8 EVERY drain carries a full value oracle: the
+single-batch drain (files_per_trigger=None) makes emission deterministic
+— no mid-drain watermark can drop late rows — and the final no-data
+micro-batch's watermark cutoff (max(ts) - delay) is a scalar subquery in
+the twin (the stream_window_champions pattern; the stateful sessionizer
+adds the timeout-flush rule pinned by tests/test_streaming.py). The
+stream==batch parity statements remain in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -44,14 +46,22 @@ def _stage_stream_source(spark, sf_dir: str) -> str:
 
 
 def q_stream_tumbling(spark, sf_dir):
-    """Watermarked tumbling-window counts, drained with availableNow.
-    Batch twin (and oracle): analytics.q_events_tumbling."""
+    """Watermarked tumbling-window counts, drained with availableNow in
+    COMPLETE mode — the final snapshot holds every window (complete mode
+    never evicts emitted groups), and the single-batch drain
+    (files_per_trigger=None) means no mid-drain watermark can drop late
+    rows, so the result deterministically equals the batch twin
+    analytics.q_events_tumbling and carries its FULL VALUE ORACLE
+    (round 8 — this drain was the fleet's last rows-only entry besides
+    the sessionizer)."""
     import shutil
 
     src = _stage_stream_source(spark, sf_dir)
     try:
         with _bounded_state_partitions(spark):
-            result = SE.windowed_counts(SE.read_event_stream(spark, src))
+            result = SE.windowed_counts(
+                SE.read_event_stream(spark, src, files_per_trigger=None)
+            )
             SE.run_to_memory(result, "q_stream_tumbling")  # awaits full drain
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -59,8 +69,16 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 def q_stream_sessionize(spark, sf_dir):
-    """applyInPandasWithState gap sessionization (closed sessions only —
-    each user's final session stays open in the state store at drain)."""
+    """applyInPandasWithState gap sessionization. Emission rule under a
+    single-batch availableNow drain (files_per_trigger=None, so no
+    mid-drain watermark drops): every gap-closed session emits, and the
+    final no-data micro-batch advances the watermark to max(ts) - 2h and
+    fires the EventTimeTimeout for each user's still-open session whose
+    gap deadline (last_ts + 30 min) lies strictly below it — the rule
+    tests/test_streaming.py::test_stateful_sessionize_matches_batch pins
+    against the batch sessions. Deterministic, SQL-expressible, hence a
+    FULL VALUE ORACLE since round 8 (the same cutoff-subquery pattern as
+    stream_window_champions)."""
     import shutil
 
     from ..streaming.stateful import sessionize_stream
@@ -68,7 +86,9 @@ def q_stream_sessionize(spark, sf_dir):
     src = _stage_stream_source(spark, sf_dir)
     try:
         with _bounded_state_partitions(spark):
-            result = sessionize_stream(SE.read_event_stream(spark, src))
+            result = sessionize_stream(
+                SE.read_event_stream(spark, src, files_per_trigger=None)
+            )
             SE.run_to_memory_append(result, "q_stream_sessionize")
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -271,6 +291,14 @@ QUERIES = {
     "stream_interval_join": q_stream_interval_join,
 }
 
+def _batch_tumbling_oracle() -> str:
+    """events_tumbling's oracle, shared verbatim — a complete-mode
+    single-batch drain is the batch aggregation."""
+    from .analytics import ORACLES as _A
+
+    return _A["events_tumbling"]
+
+
 def _stream_ewma_oracle() -> str:
     """Recursive-CTE fold of EXACTLY the kernel's float recursion: the
     repr'd double literals parse to the same IEEE doubles Python
@@ -307,6 +335,39 @@ def _stream_ewma_oracle() -> str:
 
 ORACLES = {
     "stream_ewma": _stream_ewma_oracle(),
+    # complete-mode single-batch drain == the batch tumbling aggregation
+    # (see q_stream_tumbling) — share the batch twin's oracle verbatim
+    "stream_tumbling_windows": _batch_tumbling_oracle(),
+    "stream_sessionize_stateful": """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+                             OR (epoch(ts) - LAG(epoch(ts)) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, value, epoch(ts) AS ts_epoch,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM seq
+        ),
+        agg AS (
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS session_value,
+                   MAX(ts_epoch) AS end_ts,
+                   MAX(MAX(session_seq)) OVER (PARTITION BY user_id)
+                       AS last_seq
+            FROM sessions GROUP BY user_id, session_seq
+        ),
+        wm AS (SELECT MAX(epoch(ts)) - 7200.0 AS w FROM events)
+        SELECT user_id, session_seq, n_events, session_value
+        FROM agg, wm
+        WHERE session_seq < last_seq OR end_ts + 1800.0 < wm.w
+    """,
     "stream_window_champions": """
         WITH cut AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events),
         bucketed AS (

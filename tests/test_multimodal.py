@@ -130,3 +130,69 @@ def test_custom_id_col_name_flows_through(spark):
         assert out.columns[0] == "video_id", out.columns
         assert dict(out.dtypes)["video_id"] == "string"
         assert {r.video_id for r in out.collect()} == {"v1", "v2"}
+
+
+def test_parse_media_header_golden_png():
+    """A genuine spec-minimal PNG (1x1 truecolour, the canonical 67-byte
+    file — signature, IHDR with its real CRC, IDAT, IEND) parses to the
+    fields a real decoder would report."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    # IHDR len 13, 'IHDR', w=1, h=1, depth 8, colour 2 (truecolour),
+    # CRC 0x907753DE (the published value for this exact chunk)
+    png_1x1 = (
+        bytes.fromhex("89504e470d0a1a0a")
+        + bytes.fromhex("0000000d") + b"IHDR"
+        + bytes.fromhex("0000000100000001" "08" "02" "00" "00" "00")
+        + bytes.fromhex("907753de")
+        + bytes.fromhex("0000000c4944415478da63f8cfc0f01f0005050202efadc5c2")
+        + bytes.fromhex("0000000049454e44ae426082")
+    )
+    import zlib
+
+    chunk = b"IHDR" + bytes.fromhex("0000000100000001080200000000")[:13]
+    assert zlib.crc32(chunk) & 0xFFFFFFFF == 0x907753DE  # the CRC is real
+    assert parse_media_header(png_1x1) == ("png", 1, 1, 3, None, 8)
+
+
+def test_parse_media_header_wav_chunk_scan():
+    """A WAV whose fmt chunk sits AFTER a JUNK chunk (and an odd-sized
+    chunk exercising the RIFF pad rule) still parses — the parser scans
+    chunks, it does not assume the canonical 44-byte layout."""
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    junk_odd = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    data = b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    body = b"WAVE" + junk_odd + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_media_header(wav) == ("wav", None, None, 2, 44100, 16)
+
+
+def test_header_roundtrip_and_truncation():
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        build_media_fixture_payload,
+        parse_media_header,
+    )
+
+    for i in range(10):
+        body = bytes(range(i * 7 % 250))
+        fmt, w, h, ch, rate, bits = parse_media_header(
+            build_media_fixture_payload(i, body)
+        )
+        if i % 2 == 0:
+            assert (fmt, w, h, ch, rate, bits) == (
+                "png", len(body) % 1024 + 1, (len(body) * 7) % 768 + 1, 3, None, 8
+            )
+        else:
+            assert (fmt, ch, rate, bits) == ("wav", i % 3 + 1, 8000 + (i % 5) * 1000, 8)
+    # garbage and truncated headers degrade to 'unknown', never raise
+    assert parse_media_header(b"")[0] == "unknown"
+    assert parse_media_header(b"\x89PNG\r\n\x1a\x08rest")[0] == "unknown"
+    assert parse_media_header(b"RIFFxxxx")[0] == "unknown"
