@@ -22,7 +22,7 @@ SOAK_QUERIES = [
     "knn_join", "hard_negative_mining", "neardup_embedding", "semdedup",
     "lsh_candidate_stats", "lsh_tuning_curve", "ann_ivf_topk",
     "ann_ivf_multiprobe", "coreset_kcenter", "kmeans_clusters",
-    "embedding_batch_drift",
+    "embedding_batch_drift", "ann_index_knn_persisted",
     # text / dedup family
     "dedup_minhash_lsh", "dedup_threshold_sweep", "dedup_ngram_jaccard",
     "dedup_containment", "tfidf_cosine_pairs", "bigram_logprob_score",
