@@ -1460,7 +1460,7 @@ def _assign_batches(cent_rows):
     return kernel
 
 
-def _kmeans_fit(emb, k: int | None = None):
+def _kmeans_fit(emb, k: int | None = None, k_floor: int = KMEANS_K):
     """KMEANS_ITERS Lloyd iterations, one Spark job per round — the
     iterative-algorithm pattern done the way MLlib does it: the k x dim
     centroid table is COLLECTED to the driver each round (k*dim doubles —
@@ -1474,11 +1474,12 @@ def _kmeans_fit(emb, k: int | None = None):
     drift into the next iteration; distances use bit-identical left-fold
     accumulation. ``k=None`` derives the codebook size from the corpus
     count (`_derived_k` — one count job, the same driver-coordination
-    grade as the seed collect); explicit k keeps a caller-owned dial
-    (semdedup). Returns (trained centroid rows [(cluster, [dim]) ...],
-    last-round lazy assignment DataFrame)."""
+    grade as the seed collect), with ``k_floor`` raising the clamp floor
+    for callers whose published recipe wants a finer quantizer at small
+    corpora (semdedup). Returns (trained centroid rows
+    [(cluster, [dim]) ...], last-round lazy assignment DataFrame)."""
     if k is None:
-        k = _derived_k(emb.count())
+        k = max(k_floor, _derived_k(emb.count()))
     seed = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
@@ -1526,12 +1527,15 @@ def q_kmeans(spark, sf_dir):
 # SemDeDup pruning threshold: within a cluster, a vector dominated by an
 # earlier-kept vector at cosine >= EPS is marked removed.
 SEMDEDUP_EPS = 0.30
-# SemDeDup trains its OWN quantizer, 4x finer than the IVF one: k is the
-# cost dial — the pairwise stage is Σ|cluster|², so k must grow ∝ corpus
-# to hold |cluster| (and the per-task quadratic) constant. Measured at
-# sf0.1: k=8 → 8.0 s, k=32 → ~4x fewer pairs per cluster. The published
-# recipe runs ~100k clusters on billion-scale corpora for the same
-# reason.
+# SemDeDup trains its OWN quantizer with a higher clamp FLOOR than the
+# IVF one: k is the cost dial — the pairwise stage is Σ|cluster|², so k
+# must grow ∝ corpus to hold |cluster| (and the per-task quadratic)
+# constant. Measured at sf0.1: k=8 → 8.0 s, k=32 → ~4x fewer pairs per
+# cluster. The published recipe runs ~100k clusters on billion-scale
+# corpora for the same reason — and since round 8 the growth is
+# automatic: k = max(SEMDEDUP_K, _derived_k(n)) in both engines (at the
+# shipped fixture SFs the derived value never exceeds the floor, so
+# fixture results are unchanged; at the sf1 soak k becomes 313).
 SEMDEDUP_K = 32
 
 
@@ -1567,8 +1571,12 @@ def q_semdedup(spark, sf_dir):
 
 
 def _semdedup_frame(spark, emb):
-    """SemDeDup core over an embeddings DF — see q_semdedup."""
-    cent_rows, assigned = _kmeans_fit(emb, k=SEMDEDUP_K)
+    """SemDeDup core over an embeddings DF — see q_semdedup. The
+    quantizer size is CORPUS-DERIVED with floor SEMDEDUP_K (round 8:
+    the docstring's own dial — k must grow ∝ corpus to hold |cluster|²
+    bounded — is now automatic; at the shipped fixture SFs the derived
+    k never exceeds the floor, so results there are unchanged)."""
+    cent_rows, assigned = _kmeans_fit(emb, k=None, k_floor=SEMDEDUP_K)
     cents = spark.createDataFrame(
         [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
@@ -1642,7 +1650,7 @@ def _semdedup_frame(spark, emb):
     )
 
 
-def _kmeans_ctes(k: int | None = None) -> str:
+def _kmeans_ctes(k: int | None = None, k_floor: int = KMEANS_K) -> str:
     """The shared Lloyd-round CTE chain (WITH ... cents_{KMEANS_ITERS}),
     the twin of `_kmeans_fit` — used by the kmeans audit oracle, the IVF
     oracle (which probes against the trained centroids), and the
@@ -1654,7 +1662,8 @@ def _kmeans_ctes(k: int | None = None) -> str:
     seed_k = (
         str(k)
         if k is not None
-        else f"(SELECT {_k_expr_duck('nd_n')} FROM (SELECT COUNT(*) AS nd_n FROM embeddings))"
+        else f"(SELECT GREATEST({k_floor}, {_k_expr_duck('nd_n')}) "
+        f"FROM (SELECT COUNT(*) AS nd_n FROM embeddings))"
     )
     sql = [
         f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {seed_k})"
@@ -2017,7 +2026,7 @@ QUERIES = {
 
 def _semdedup_oracle() -> str:
     iters = KMEANS_ITERS
-    return f"""{_kmeans_ctes(SEMDEDUP_K)}
+    return f"""{_kmeans_ctes(None, k_floor=SEMDEDUP_K)}
         , scored AS (
             SELECT a.cluster, a.vec_id, a.embedding,
                    {_cos_duck("a.embedding", "c.cv")} AS centroid_sim
