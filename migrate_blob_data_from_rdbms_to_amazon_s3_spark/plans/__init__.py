@@ -26,6 +26,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         contamination,
         similarity,
         ann_index_entries,
+        ivf_index_entries,
         multimodal,
         quality,
         corpus_ops,
@@ -39,7 +40,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, dedup, contamination, similarity, ann_index_entries,
-        multimodal, quality, corpus_ops, streaming_entries, profiling,
+        ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
         profiling_stats, graph_ops, insights,
     )
     queries: dict = {}

@@ -1650,23 +1650,31 @@ def _semdedup_frame(spark, emb):
     )
 
 
-def _kmeans_ctes(k: int | None = None, k_floor: int = KMEANS_K) -> str:
+def _kmeans_ctes(
+    k: int | None = None,
+    k_floor: int = KMEANS_K,
+    corpus: str = "embeddings",
+    pre: str = "",
+) -> str:
     """The shared Lloyd-round CTE chain (WITH ... cents_{KMEANS_ITERS}),
     the twin of `_kmeans_fit` — used by the kmeans audit oracle, the IVF
     oracle (which probes against the trained centroids), and the
     semdedup oracle (its own explicit k). ``k=None`` derives the
     codebook size from the corpus count (`_k_expr_duck`, the twin of
     `_derived_k`); the Lloyd CTEs themselves are k-agnostic (cross join
-    + argmin row_number), only the seed filter changes."""
+    + argmin row_number), only the seed filter changes. ``corpus`` names
+    the training relation (the persisted-IVF append audit trains on a
+    prefix CTE injected via ``pre``); defaults produce the exact SQL the
+    pre-round-9 oracles hashed against."""
     iters = KMEANS_ITERS
     seed_k = (
         str(k)
         if k is not None
         else f"(SELECT GREATEST({k_floor}, {_k_expr_duck('nd_n')}) "
-        f"FROM (SELECT COUNT(*) AS nd_n FROM embeddings))"
+        f"FROM (SELECT COUNT(*) AS nd_n FROM {corpus}))"
     )
     sql = [
-        f"WITH cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM embeddings WHERE vec_id < {seed_k})"
+        f"WITH {pre}cents_0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv FROM {corpus} WHERE vec_id < {seed_k})"
     ]
     for i in range(iters):
         d = _sq_dist_duck("e.embedding", "c.cv")
@@ -1676,7 +1684,7 @@ def _kmeans_ctes(k: int | None = None, k_floor: int = KMEANS_K) -> str:
                 SELECT e.vec_id, e.embedding, c.cluster,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                           ORDER BY {d}, c.cluster) AS rn
-                FROM embeddings e, cents_{i} c
+                FROM {corpus} e, cents_{i} c
             ) WHERE rn = 1
         )
         , cents_{i + 1} AS (
