@@ -268,7 +268,36 @@ def q_referential_integrity_audit(spark, sf_dir):
     return out
 
 
+def q_incremental_pointer_latest(spark, sf_dir):
+    """The incremental-migration consumer view, oracle-shaped: two
+    deterministic pointer runs derived from orders (run 0 = the
+    backfill at cursor o_orderkey; run 1 = every 7th key re-migrated at
+    a later cursor with an updated description — the shape
+    operators/incremental_migration.migrate_increment writes), merged
+    by the operator's own ``keep_latest`` transform (row_number over
+    (cursor desc, run_id desc) per key — one shuffle on the PK). A
+    value match proves a later increment's pointer row shadows the
+    backfill row without rewriting run-0 output."""
+    from ..operators.incremental_migration import keep_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    run0 = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("description"),
+        F.col("o_orderkey").alias("cursor"),
+        F.lit(0).alias("run_id"),
+    )
+    run1 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.concat(F.col("o_orderpriority"), F.lit(" (v2)")).alias("description"),
+        (F.col("o_orderkey") + F.lit(1000000)).alias("cursor"),
+        F.lit(1).alias("run_id"),
+    )
+    return keep_latest(run0.unionByName(run1), pk="order_id")
+
+
 QUERIES = {
+    "incremental_pointer_latest": q_incremental_pointer_latest,
     "referential_integrity_audit": q_referential_integrity_audit,
     "profile_orders": q_profile_orders,
     "dataset_split": q_dataset_split,
@@ -280,6 +309,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_pointer_latest": """
+        WITH runs AS (
+            SELECT o_orderkey AS order_id, o_orderpriority AS description,
+                   o_orderkey AS cursor, 0 AS run_id
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority || ' (v2)',
+                   o_orderkey + 1000000, 1
+            FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT order_id, description, cursor, run_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY order_id
+                ORDER BY cursor DESC, run_id DESC) AS rn
+            FROM runs
+        ) WHERE rn = 1
+    """,
     "referential_integrity_audit": "\n        UNION ALL\n".join(
         f"""
         SELECT '{name}' AS fk_edge, COUNT(*) AS n_orphans
