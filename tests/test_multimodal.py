@@ -181,18 +181,72 @@ def test_header_roundtrip_and_truncation():
         parse_media_header,
     )
 
-    for i in range(10):
+    for i in range(16):
         body = bytes(range(i * 7 % 250))
+        n = len(body)
         fmt, w, h, ch, rate, bits = parse_media_header(
             build_media_fixture_payload(i, body)
         )
-        if i % 2 == 0:
+        if i % 4 == 0:
             assert (fmt, w, h, ch, rate, bits) == (
-                "png", len(body) % 1024 + 1, (len(body) * 7) % 768 + 1, 3, None, 8
+                "png", n % 1024 + 1, (n * 7) % 768 + 1, 3, None, 8
+            )
+        elif i % 4 == 1:
+            assert (fmt, ch, rate, bits) == ("wav", i % 3 + 1, 8000 + (i % 5) * 1000, 8)
+        elif i % 4 == 2:
+            assert (fmt, w, h, ch, rate, bits) == (
+                "jpeg", n % 2048 + 1, (n * 5) % 1536 + 1, i % 3 + 1, None, 8
             )
         else:
-            assert (fmt, ch, rate, bits) == ("wav", i % 3 + 1, 8000 + (i % 5) * 1000, 8)
+            assert (fmt, w, h, ch, rate, bits) == (
+                "gif", n % 4096 + 1, (n * 3) % 2048 + 1, 1, None, i % 8 + 1
+            )
     # garbage and truncated headers degrade to 'unknown', never raise
     assert parse_media_header(b"")[0] == "unknown"
     assert parse_media_header(b"\x89PNG\r\n\x1a\x08rest")[0] == "unknown"
     assert parse_media_header(b"RIFFxxxx")[0] == "unknown"
+    assert parse_media_header(b"GIF89")[0] == "unknown"
+    # a JPEG whose marker walk runs off the end degrades typed, not raises
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00") == (
+        "jpeg", None, None, None, None, None
+    )
+
+
+def test_parse_media_header_jpeg_marker_walk():
+    """A progressive JPEG (SOF2) whose frame header sits behind APP0,
+    an APP1/Exif segment, a COM segment, a DQT, and a DRI — plus legal
+    fill bytes before a marker — parses: the walk reads segment lengths,
+    it does not assume a fixed SOF offset."""
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + bytes(9))
+        + seg(0xE1, b"Exif\x00\x00" + bytes(20))
+        + seg(0xFE, b"a comment")
+        + seg(0xDB, bytes(65))
+        + seg(0xDD, bytes(2))  # DRI
+        + b"\xff"  # fill byte before the next marker (T.81 B.1.1.2)
+        + seg(0xC2, struct.pack(">BHHB", 8, 480, 640, 3) + bytes(9))
+        + b"opaque entropy data"
+    )
+    assert parse_media_header(jpg) == ("jpeg", 640, 480, 3, None, 8)
+
+
+def test_parse_media_header_gif87a():
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    # GCT flag set, color resolution 7, palette depth 8 (packed 0xF7)
+    gif = b"GIF87a" + struct.pack("<HHBBB", 320, 200, 0xF7, 0, 0)
+    assert parse_media_header(gif) == ("gif", 320, 200, 1, None, 8)

@@ -11,6 +11,7 @@ strings, rows sorted). Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -54,6 +55,15 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from migrate_blob_data_from_rdbms_to_amazon_s3_spark import get_spark
 
+    # the r7 verdict's nit: Spark's stderr progress bar emits bare \r
+    # frames that overwrite OK lines when the caller merges streams
+    # (2>&1) — kill the bar (static conf: must be set before the JVM
+    # starts) and line-buffer our own output so every verdict line
+    # survives any piping
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--conf spark.ui.showConsoleProgress=false pyspark-shell",
+    )
     spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -71,18 +81,18 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
             failures.append(name)
             continue
         problems = []
@@ -110,7 +120,7 @@ def main() -> int:
                 print(f"      {p}")
             failures.append(name)
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]", flush=True)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
