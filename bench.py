@@ -83,6 +83,8 @@ HEADLINE = [
     "ann_ivf_multiprobe",
     "knn_join",
     "ann_index_knn_persisted",
+    "ann_index_ivf_persisted",
+    "incremental_pointer_latest",
     "importance_sample",
     "events_attribution",
     "hll_multigrain_rollup",

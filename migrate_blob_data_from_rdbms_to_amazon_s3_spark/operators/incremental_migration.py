@@ -125,6 +125,41 @@ def read_current(spark: SparkSession, target_path: str, pk: str = "order_id",
     return keep_latest(pointers, pk, cursor_col)
 
 
+def compact_pointer_runs(
+    spark: SparkSession, target_path: str, state_path: str,
+    pk: str = "order_id", cursor_col: str = "cursor",
+) -> dict:
+    """Materialize the keep-latest view into ONE pointer run and drop the
+    shadowed history — the periodic compaction that keeps merge-on-read
+    cheap (read_current's window cost grows with run count, not data).
+
+    Rows keep their ORIGINAL (cursor, run_id) lineage, so a crash after
+    the compacted run lands but before the old dirs are removed leaves
+    only byte-identical duplicates — keep_latest resolves them to the
+    same view, and the next compaction sweeps the leftovers. Serialized
+    against migrators by the same ledger lease; the ledger entry records
+    the compaction without moving the watermark."""
+    import shutil
+
+    os.makedirs(state_path, exist_ok=True)
+    with _writer_lock(f"{state_path}/ledger"):
+        watermark, run_id = current_watermark(state_path)
+        pointers_root = f"{target_path}/pointers"
+        if not os.path.isdir(pointers_root):
+            return {"run_id": run_id, "n_rows": 0, "compaction": True,
+                    "committed": False}
+        old_runs = [d for d in os.listdir(pointers_root) if d.startswith("run=")]
+        current = read_current(spark, target_path, pk, cursor_col)
+        n_rows = current.count()
+        current.write.mode("overwrite").parquet(f"{pointers_root}/run={run_id}")
+        for d in old_runs:  # compacted copy is in place: drop the history
+            shutil.rmtree(os.path.join(pointers_root, d), ignore_errors=True)
+        entry = {"run_id": run_id, "watermark": watermark, "n_rows": n_rows,
+                 "compaction": True, "committed": True}
+        _commit_run(state_path, entry)
+        return entry
+
+
 def migrate_increment(
     spark: SparkSession,
     source: DataFrame,

@@ -143,6 +143,42 @@ def test_crash_before_ledger_commit_is_idempotent(spark, derby_cdc, tmp_path):
     assert current_watermark(state) == (13, 2)
 
 
+def test_compaction_preserves_view_and_drops_history(spark, derby_cdc, tmp_path):
+    import os as _os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    write([(11, "id-005", "desc 5 UPDATED", b"u" * 8),
+           (12, "id-012", "desc 12", b"n" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    before = {tuple(r) for r in read_current(spark, target).collect()}
+    assert len(_os.listdir(f"{target}/pointers")) == 2
+
+    entry = compact_pointer_runs(spark, target, state)
+    assert entry["committed"] and entry["n_rows"] == 11
+    # one run dir left; the view is unchanged, lineage columns included
+    runs = [d for d in _os.listdir(f"{target}/pointers") if d.startswith("run=")]
+    assert runs == [f"run={entry['run_id']}"]
+    after = {tuple(r) for r in read_current(spark, target).collect()}
+    assert after == before
+    # the watermark did not move, and the next pass still works
+    wm, next_run = current_watermark(state)
+    assert wm == 12 and next_run == entry["run_id"] + 1
+    write([(13, "id-013", "desc 13", b"x" * 8)])
+    e = migrate_increment(spark, source, store_url=store_url, target_path=target,
+                          state_path=state, cursor_col="seq")
+    assert e["n_rows"] == 1
+    assert {r["order_id"] for r in read_current(spark, target).collect()} >= {"id-013"}
+
+
 def test_watermark_filter_prunes_source_scan(spark, derby_cdc, tmp_path):
     """The staged increment is exactly the rows past the watermark — the
     RDBMS never ships old rows (row-count proof on top of the plan

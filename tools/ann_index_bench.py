@@ -12,6 +12,11 @@ Times, in ONE fresh session at $SPARK_GRAFT_SF_DIR (default sf0.1):
 - ``neardup_inplan`` / ``neardup_probe``: same pair for the
   label-constrained consumer (its own label-carrying index build is
   timed into ``index_build_label``).
+- ``ivf_inplan`` / ``ivf_build`` / ``ivf_probe``: the same
+  amortization split for the persisted IVF index (round 9) — the r8
+  soak measured in-plan IVF wall ≈ k-means wall, so the probe should
+  shed nearly all of it. ``ivf_append_slice`` times the frozen-codebook
+  incremental ingest of a 10% slice into a 90% index.
 
 Writes ANN_INDEX_BENCH_latest.json and prints one summary line.
 """
@@ -70,6 +75,39 @@ def main() -> None:
     out["neardup_probe"] = [
         t(lambda: neardup_persisted(spark, emb, path_l).count()) for _ in range(RUNS)
     ]
+    from pyspark.sql import functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_persisted,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        IVF_NPROBE,
+        q_ann_ivf_multiprobe,
+    )
+
+    out["ivf_inplan"] = [
+        t(lambda: q_ann_ivf_multiprobe(spark, SF_DIR).count()) for _ in range(RUNS)
+    ]
+    path_ivf = tempfile.mkdtemp(prefix="ivf_idx_bench_")
+    out["ivf_build"] = t(lambda: build_ivf_index(emb, path_ivf))
+    query = emb.filter(F.col("vec_id") == 0)
+    out["ivf_probe"] = [
+        t(
+            lambda: ivf_topk_persisted(
+                spark, path_ivf, query, nprobe=IVF_NPROBE, exclude_vec_id=0
+            ).count()
+        )
+        for _ in range(RUNS)
+    ]
+    path_ivf9 = tempfile.mkdtemp(prefix="ivf_idx_bench9_")
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path_ivf9)
+    out["ivf_append_slice"] = t(
+        lambda: append_ivf_index(
+            spark, emb.filter(F.col("vec_id") % 10 == 0), path_ivf9
+        )
+    )
     try:
         out["load1"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -87,6 +125,10 @@ def main() -> None:
                 "neardup_inplan_med": med(out["neardup_inplan"]),
                 "neardup_probe_med": med(out["neardup_probe"]),
                 "build_label": out["index_build_label"],
+                "ivf_inplan_med": med(out["ivf_inplan"]),
+                "ivf_build": out["ivf_build"],
+                "ivf_probe_med": med(out["ivf_probe"]),
+                "ivf_append_slice": out["ivf_append_slice"],
             }
         )
     )
