@@ -57,10 +57,36 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import DEFAULT_S3_PREFIX
+from ..sources.object_store import make_store
 from .blob_pipeline import externalize_blobs
 from .mutation import _writer_lock
 
 LEDGER_PREFIX = "run-"
+
+
+def _delete_objects(tombstones: DataFrame, store_url: str, pk: str) -> int:
+    """Tolerant distributed object delete for tombstoned keys (one store
+    client per task, same G1 batching as the writes). ``delete`` itself
+    is absence-tolerant (S3 returns 204 for a missing key), so the
+    returned audit counter comes from an A14 existence check first: it
+    counts keys whose object was PRESENT and removed — a retry that
+    finds them already gone reports 0 and is equally converged."""
+    import pandas as pd
+
+    def kernel(batches):
+        store = make_store(store_url)
+        for pdf in batches:
+            out = []
+            for oid in pdf[pk]:
+                key = f"orders/{oid}/{DEFAULT_S3_PREFIX}"
+                existed = store.head(key)
+                store.delete(key)
+                out.append(bool(existed))
+            yield pd.DataFrame({"deleted": out})
+
+    results = tombstones.select(pk).mapInPandas(kernel, "deleted boolean")
+    return results.filter(F.col("deleted")).count()
 
 
 def _ledger_entries(state_path: str) -> list[dict]:
@@ -122,7 +148,14 @@ def read_current(spark: SparkSession, target_path: str, pk: str = "order_id",
     pointers = spark.read.parquet(f"{target_path}/pointers")
     if "run" in pointers.columns:
         pointers = pointers.drop("run")
-    return keep_latest(pointers, pk, cursor_col)
+    latest = keep_latest(pointers, pk, cursor_col)
+    if "is_deleted" in latest.columns:
+        # a key whose LATEST row is a tombstone is gone from the view
+        # (its history stays in the runs until compaction sweeps it)
+        latest = latest.filter(
+            ~F.coalesce(F.col("is_deleted"), F.lit(False))
+        )
+    return latest
 
 
 def compact_pointer_runs(
@@ -170,12 +203,22 @@ def migrate_increment(
     cursor_col: str,
     pk: str = "order_id",
     blob_col: str = "order_blob",
+    op_col: str | None = None,
 ) -> dict:
     """One incremental pass (module docstring). ``source`` is the lazily
     built full-table frame (e.g. ``JdbcSource.load(spark)``); the
     watermark filter applied here reaches the RDBMS as a pushed
     predicate. Returns the pass summary (committed ledger entry, or a
-    no-op marker when the increment is empty)."""
+    no-op marker when the increment is empty).
+
+    ``op_col`` enables source-side DELETE capture for append-only CDC
+    feeds whose rows carry an op marker ('D' = tombstone, anything else
+    = upsert). Tombstoned keys get their OBJECT deleted first (tolerant
+    — a retry after a crash finds it already gone) and then a pointer
+    tombstone row (``is_deleted = true``), the reference's S3-first
+    cascade ordering (order.js:346-351 / README.md:126) applied
+    incrementally; ``read_current`` hides keys whose LATEST row is a
+    tombstone while the history stays queryable until compaction."""
     os.makedirs(state_path, exist_ok=True)
     with _writer_lock(f"{state_path}/ledger"):
         watermark, run_id = current_watermark(state_path)
@@ -189,13 +232,23 @@ def migrate_increment(
         if n_rows == 0:
             return {"run_id": run_id, "watermark": watermark, "n_rows": 0,
                     "committed": False}
-        manifest = externalize_blobs(staged, store_url, pk=pk, blob_col=blob_col)
+        is_tomb = (
+            F.col(op_col) == F.lit("D") if op_col else F.lit(False)
+        )
+        live = staged.filter(~is_tomb)
+        manifest = externalize_blobs(live, store_url, pk=pk, blob_col=blob_col)
         n_written = manifest.filter(F.col("status") == "written").count()
+        n_deleted = 0
+        if op_col:
+            # objects FIRST, pointer tombstones second (order.js:346-351
+            # ordering) — tolerant delete, so a crash-retry converges
+            n_deleted = _delete_objects(staged.filter(is_tomb), store_url, pk)
         pointer_rows = staged.select(
             F.col(pk).alias("order_id"),
             "description",
             F.col(cursor_col).alias("cursor"),
             F.lit(run_id).alias("run_id"),
+            is_tomb.alias("is_deleted"),
         )
         pointer_rows.write.mode("overwrite").parquet(
             f"{target_path}/pointers/run={run_id}"
@@ -210,6 +263,7 @@ def migrate_increment(
             ),
             "n_rows": n_rows,
             "n_objects_written": n_written,
+            "n_objects_deleted": n_deleted,
             "committed": True,
         }
         _commit_run(state_path, entry)

@@ -77,7 +77,8 @@ def test_incremental_passes_and_keep_latest(spark, derby_cdc, tmp_path):
         state_path=state, cursor_col="seq",
     )
     assert e1 == {"run_id": 0, "watermark": 10, "n_rows": 10,
-                  "n_objects_written": 10, "committed": True}
+                  "n_objects_written": 10, "n_objects_deleted": 0,
+                  "committed": True}
     assert current_watermark(state) == (10, 1)
     assert make_store(store_url).head("orders/id-003/image.png")
 
@@ -141,6 +142,64 @@ def test_crash_before_ledger_commit_is_idempotent(spark, derby_cdc, tmp_path):
     after = {tuple(r) for r in read_current(spark, target).collect()}
     assert after == before
     assert current_watermark(state) == (13, 2)
+
+
+def test_tombstones_cascade_s3_first(spark, tmp_path):
+    """op_col='D' rows delete the object FIRST, then land a pointer
+    tombstone; read_current hides the key; a replay of the same pass
+    (crash simulation) converges — the tolerant delete finds the object
+    already gone."""
+    import os as _os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/tombdb;create=true"
+
+    def write(rows, mode="append"):
+        spark.createDataFrame(
+            rows,
+            "seq long, order_id string, description string, "
+            "order_blob binary, op string",
+        ).write.format("jdbc").options(
+            url=url, dbtable="orders_cdc_ops", driver=DERBY_DRIVER
+        ).mode(mode).save()
+
+    write([(i, f"id-{i:03d}", f"desc {i}", bytes([i]) * 20, "I")
+           for i in range(1, 6)], mode="overwrite")
+    store_url, target, state = _paths(tmp_path)
+    source = JdbcSource(url=url, table="orders_cdc_ops",
+                        driver=DERBY_DRIVER).load(spark)
+    kw = dict(store_url=store_url, target_path=target, state_path=state,
+              cursor_col="seq", op_col="op")
+    e1 = migrate_increment(spark, source, **kw)
+    assert e1["n_objects_written"] == 5 and e1["n_objects_deleted"] == 0
+    store = make_store(store_url)
+    assert store.head("orders/id-002/image.png")
+
+    # tombstone id-002, update id-003
+    write([(6, "id-002", None, None, "D"),
+           (7, "id-003", "desc 3 v2", b"v2" * 5, "U")])
+    e2 = migrate_increment(spark, source, **kw)
+    assert e2["n_rows"] == 2
+    assert e2["n_objects_written"] == 1 and e2["n_objects_deleted"] == 1
+    assert not store.head("orders/id-002/image.png")  # object gone FIRST
+    cur = {r["order_id"]: r["description"]
+           for r in read_current(spark, target).collect()}
+    assert "id-002" not in cur and cur["id-003"] == "desc 3 v2"
+    assert len(cur) == 4
+
+    # crash-replay of pass 2: delete its ledger entry and rerun
+    _os.unlink(_os.path.join(state, f"run-{e2['run_id']:08d}.json"))
+    e2b = migrate_increment(spark, source, **kw)
+    assert e2b["n_objects_deleted"] == 0  # already gone: tolerant, converged
+    assert {r["order_id"] for r in read_current(spark, target).collect()} == set(cur)
+
+    # compaction sweeps the tombstone history entirely
+    entry = compact_pointer_runs(spark, target, state)
+    assert entry["n_rows"] == 4
+    assert {r["order_id"] for r in read_current(spark, target).collect()} == set(cur)
 
 
 def test_compaction_preserves_view_and_drops_history(spark, derby_cdc, tmp_path):
