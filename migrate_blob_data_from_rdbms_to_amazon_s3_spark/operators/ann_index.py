@@ -195,6 +195,26 @@ def neardup_persisted(spark: SparkSession, emb: DataFrame, path: str) -> DataFra
     return S._neardup_from_index(emb, sigs, exact)
 
 
+def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
+    """Is the standing LSH index stale against the live corpus? Same
+    contract as operators/ivf_index.freshness_audit: ``n_missing`` > 0 →
+    the delta needs indexing (signatures for just those rows, bands
+    appended — the widen kernel's sibling move); ``n_orphaned`` > 0 →
+    corpus rewritten: rebuild. Id-column-only anti-joins."""
+    meta = read_meta(spark, path)
+    indexed = load_signatures(spark, path).select("vec_id")
+    live = emb.select("vec_id")
+    n_missing = live.join(indexed, "vec_id", "left_anti").count()
+    n_orphaned = indexed.join(live, "vec_id", "left_anti").count()
+    return {
+        "n_indexed": int(meta["n_vectors"]),
+        "n_live": live.count(),
+        "n_missing": n_missing,
+        "n_orphaned": n_orphaned,
+        "stale": bool(n_missing or n_orphaned),
+    }
+
+
 def register_bands_bucketed(
     spark: SparkSession, path: str, table: str, n_buckets: int = 32
 ) -> None:

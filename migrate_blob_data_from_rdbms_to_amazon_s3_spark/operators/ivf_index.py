@@ -213,6 +213,31 @@ def ivf_topk_persisted(
     )
 
 
+def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
+    """Is the standing index stale against the live corpus? Two anti-join
+    counts decide the next operation:
+
+    - ``n_missing`` (live vectors absent from the index) > 0 → run
+      ``append_ivf_index`` over exactly those rows;
+    - ``n_orphaned`` (indexed vectors gone from the corpus) > 0 → the
+      corpus shrank/was rewritten: rebuild (the cells are append-only).
+
+    One scan of each side; at 100 TB both anti-joins are id-column-only
+    (the cell scan prunes to vec_id)."""
+    meta = read_meta(spark, path)
+    indexed = load_cells(spark, path).select("vec_id")
+    live = emb.select("vec_id")
+    n_missing = live.join(indexed, "vec_id", "left_anti").count()
+    n_orphaned = indexed.join(live, "vec_id", "left_anti").count()
+    return {
+        "n_indexed": int(meta["n_vectors"]),
+        "n_live": live.count(),
+        "n_missing": n_missing,
+        "n_orphaned": n_orphaned,
+        "stale": bool(n_missing or n_orphaned),
+    }
+
+
 def cell_fill_audit(spark: SparkSession, path: str) -> DataFrame:
     """Per-cell fill by ingest generation: (cluster, n_base, n_appended,
     n_total). The operational dial for append drift — when max fill

@@ -63,6 +63,22 @@ def test_persisted_knn_equals_in_plan(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_freshness_audit(spark, sf_dir, tmp_path):
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        freshness_audit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    path = str(tmp_path / "idx")
+    build_ann_index(emb.filter(F.col("vec_id") < n // 2), path)
+    a = freshness_audit(spark, emb, path)
+    assert a["n_missing"] == n - n // 2 and a["n_orphaned"] == 0 and a["stale"]
+    full = str(tmp_path / "idx_full")
+    build_ann_index(emb, full)
+    assert freshness_audit(spark, emb, full)["stale"] is False
+
+
 def test_persisted_knn_equals_in_plan_forced_width(spark, sf_dir, tmp_path):
     # the equivalence must hold at a width the corpus would not derive:
     # force the SAME config on both sides and compare

@@ -139,6 +139,27 @@ def test_appended_probe_equals_full_rebuild_probe(spark, sf_dir, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_freshness_audit_drives_the_next_operation(spark, sf_dir, tmp_path):
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ivf_index import (
+        freshness_audit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    cut = n // 2
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    # stale: the second half is missing -> append is the indicated move
+    a = freshness_audit(spark, emb, path)
+    assert a == {"n_indexed": cut, "n_live": n, "n_missing": n - cut,
+                 "n_orphaned": 0, "stale": True}
+    append_ivf_index(spark, emb.filter(F.col("vec_id") >= cut), path)
+    assert freshness_audit(spark, emb, path)["stale"] is False
+    # corpus shrank -> orphaned rows flag a rebuild
+    b = freshness_audit(spark, emb.filter(F.col("vec_id") % 3 != 0), path)
+    assert b["n_missing"] == 0 and b["n_orphaned"] > 0 and b["stale"]
+
+
 def test_empty_corpus_degrades_typed(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir).filter(F.lit(False))
     path = str(tmp_path / "ivf")
