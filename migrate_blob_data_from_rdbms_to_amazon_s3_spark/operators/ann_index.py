@@ -195,6 +195,67 @@ def neardup_persisted(spark: SparkSession, emb: DataFrame, path: str) -> DataFra
     return S._neardup_from_index(emb, sigs, exact)
 
 
+def neardup_incremental(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    registry_emb: DataFrame,
+    path: str,
+) -> DataFrame:
+    """Batch×registry near-dup screen against the STANDING label index —
+    the ingest gate: which incoming vectors near-duplicate something
+    already in the registry. The batch pays its own signature kernel AT
+    THE INDEX'S config (forced from meta — never the batch's own
+    corpus-derived dial, which would disagree with the standing planes'
+    width); the registry side is the pre-capped stored band table. The
+    join is batch-probes × registry-bands ONLY — never
+    registry×registry, the same discipline as dedup_incremental_lsh.
+    Output: (label, vec_new, vec_reg, score) at score >= NEARDUP_COSINE.
+    ``registry_emb`` re-attaches the registry vectors for exact scoring
+    (the index stores signatures, not embeddings — at 100 TB that is the
+    standing corpus table the index was built from)."""
+    meta = read_meta(spark, path)
+    assert meta["has_label"], "incremental neardup needs a label index"
+    if int(meta["n_vectors"]) == 0:
+        # an EMPTY registry records nd_bits 0 (no derived config exists);
+        # nothing can near-duplicate it — typed empty result
+        return spark.createDataFrame(
+            [], "label int, vec_new long, vec_reg long, score double"
+        )
+    cfg = _forced_cfg(spark, int(meta["nd_bits"]), int(meta["nd_tables"]))
+    batch_sigs = S._nd_sigs(new_emb, ["vec_id", "label"], cfg=cfg)
+    probes = S._nd_probes(batch_sigs, "vec_new", extra=("label",))
+    exact = load_capped_bands(spark, path, label=True)
+    cand = (
+        probes.join(exact, ["tab", "bv", "label"])
+        .filter(F.col("vec_new") != F.col("vec_b"))
+        .select("label", "vec_new", F.col("vec_b").alias("vec_reg"))
+        .distinct()
+    )
+    ea = new_emb.select(
+        F.col("vec_id").alias("vec_new"),
+        F.col("embedding").alias("ea"),
+        F.expr(S._norm_spark("embedding")).alias("norm_a"),
+    )
+    eb = registry_emb.select(
+        F.col("vec_id").alias("vec_reg"),
+        F.col("embedding").alias("eb"),
+        F.expr(S._norm_spark("embedding")).alias("norm_b"),
+    )
+    return (
+        cand.join(ea, "vec_new")
+        .join(eb, "vec_reg")
+        .select(
+            "label",
+            "vec_new",
+            "vec_reg",
+            F.expr(
+                f"round({S._dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)"
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= S.NEARDUP_COSINE)
+    )
+
+
 def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
     """Is the standing LSH index stale against the live corpus? Same
     contract as operators/ivf_index.freshness_audit: ``n_missing`` > 0 →

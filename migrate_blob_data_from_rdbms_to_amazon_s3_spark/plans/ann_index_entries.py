@@ -42,6 +42,7 @@ from ..operators.ann_index import (
     build_ann_index,
     knn_join_persisted,
     load_signatures,
+    neardup_incremental,
     neardup_persisted,
     widen_ann_index,
 )
@@ -133,6 +134,94 @@ def q_ann_index_widen_audit(spark, sf_dir):
     )
 
 
+def q_ann_index_neardup_incremental(spark, sf_dir):
+    """The ingest gate (operators/ann_index.neardup_incremental): build
+    the standing label index on the FIRST 4/5 of the corpus, then screen
+    the remaining 1/5 as an incoming batch — batch signatures at the
+    index's config, batch-probes × stored-capped-bands join, exact
+    cosine on the survivors. Batch×registry only, never
+    registry×registry: the shape whose cost scales with the BATCH at
+    100 TB. The DuckDB twin independently derives the registry config,
+    both signature sets, the registry-side cap, and the probe keys."""
+    emb = _emb(spark, sf_dir)
+    cut = 4 * emb.count() // 5
+    registry = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    path = tempfile.mkdtemp(prefix="ann_idx_inc_")
+    build_ann_index(registry, path, label_col="label")
+    return neardup_incremental(spark, batch, registry, path)
+
+
+def _sigs_duck_over(sfx: str, corpus: str) -> str:
+    """DuckDB sign-LSH signature CTEs over an arbitrary relation, at a
+    cfg already in scope (the registry-derived one) — the incremental
+    twin computes TWO signature sets (registry + batch) at ONE config."""
+    return f"""dots{sfx} AS (
+            SELECT vec_id, label, nd_bits, nd_tables,
+                   {", ".join(f"{S._nd_dots_duck_gated(t)} AS d{t}" for t in range(S.ND_BANDS))}
+            FROM {corpus}, cfg
+        ),
+        sigs{sfx} AS MATERIALIZED (
+            SELECT vec_id, label, nd_bits, nd_tables,
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {S._nd_bucket_from_dots_duck(f'd{t}')} END AS t{t}" for t in range(S.ND_BANDS))},
+                   {", ".join(f"CASE WHEN d{t} IS NULL THEN NULL ELSE {S._nd_boundary_from_dots_duck(f'd{t}')} END AS p{t}" for t in range(S.ND_BANDS))}
+            FROM dots{sfx}
+        )"""
+
+
+def _neardup_incremental_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, label, {t} AS tab, t{t} AS bv FROM sigs_r WHERE t{t} IS NOT NULL"
+        for t in range(S.ND_BANDS)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT vec_id, label, nd_bits, {t} AS tab, t{t} AS bv, p{t} AS pb FROM sigs_b WHERE t{t} IS NOT NULL"
+        for t in range(S.ND_BANDS)
+    )
+    return f"""
+        WITH cut AS (SELECT (4 * COUNT(*)) // 5 AS c FROM embeddings),
+        registry AS (SELECT * FROM embeddings WHERE vec_id < (SELECT c FROM cut)),
+        batch AS (SELECT * FROM embeddings WHERE vec_id >= (SELECT c FROM cut)),
+        cfg AS (
+            SELECT nd_bits, {S._nd_tables_expr("nd_bits")} AS nd_tables
+            FROM (
+                SELECT {S._nd_bits_case("nd_n")} AS nd_bits
+                FROM (SELECT COUNT(*) AS nd_n FROM registry)
+            )
+        ),
+        {_sigs_duck_over("_r", "registry")},
+        {_sigs_duck_over("_b", "batch")},
+        reg_capped AS (
+            SELECT vec_id, label, tab, bv FROM (
+                SELECT vec_id, label, tab, bv,
+                       COUNT(*) OVER (PARTITION BY tab, bv, label) AS bdf
+                FROM ({band_rows})
+            ) WHERE bdf <= {S.ND_MAX_BUCKET}
+        ),
+        bat_bands AS ({probe_rows}),
+        probes AS (
+            SELECT vec_id, label, tab, u.pbv AS bv
+            FROM bat_bands, LATERAL (
+                SELECT UNNEST({S._ND_PROBE_KEYS_DUCK}) AS pbv
+            ) u
+        ),
+        cand AS (
+            SELECT DISTINCT p.label AS label, p.vec_id AS vec_new,
+                            r.vec_id AS vec_reg
+            FROM probes p JOIN reg_capped r
+              ON p.tab = r.tab AND p.bv = r.bv AND p.label = r.label
+             AND p.vec_id != r.vec_id
+        )
+        SELECT label, vec_new, vec_reg, score FROM (
+            SELECT c.label, c.vec_new, c.vec_reg,
+                   {S._cos_duck('ea.embedding', 'eb.embedding')} AS score
+            FROM cand c
+            JOIN batch ea ON ea.vec_id = c.vec_new
+            JOIN registry eb ON eb.vec_id = c.vec_reg
+        ) WHERE score >= {S.NEARDUP_COSINE}
+    """
+
+
 def _forced_sigs_duck(sfx: str, bits: int, tables: int, n_tabs: int) -> str:
     """DuckDB CTE chain computing the sign-LSH signatures at a FORCED
     literal (bits, tables) config — the widen audit's from-scratch
@@ -183,6 +272,7 @@ def _widen_audit_oracle() -> str:
 QUERIES = {
     "ann_index_knn_persisted": q_ann_index_knn_persisted,
     "ann_index_neardup_persisted": q_ann_index_neardup_persisted,
+    "ann_index_neardup_incremental": q_ann_index_neardup_incremental,
     "ann_index_widen_audit": q_ann_index_widen_audit,
 }
 
@@ -191,5 +281,6 @@ ORACLES = {
     # the in-plan oracles verbatim
     "ann_index_knn_persisted": S._knn_join_oracle(),
     "ann_index_neardup_persisted": S.ORACLES["neardup_embedding"],
+    "ann_index_neardup_incremental": _neardup_incremental_oracle(),
     "ann_index_widen_audit": _widen_audit_oracle(),
 }

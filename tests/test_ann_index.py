@@ -63,6 +63,38 @@ def test_persisted_knn_equals_in_plan(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_neardup_incremental_is_batch_x_registry(spark, sf_dir, tmp_path):
+    """The ingest gate touches batch×registry pairs ONLY: every emitted
+    pair has vec_new from the batch and vec_reg from the registry, the
+    scores clear the threshold, and an empty batch / empty registry
+    degrade typed."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        neardup_incremental,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    cut = 4 * n // 5
+    registry = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    path = str(tmp_path / "idx")
+    build_ann_index(registry, path, label_col="label")
+    out = neardup_incremental(spark, batch, registry, path).collect()
+    for r in out:
+        assert r["vec_new"] >= cut and r["vec_reg"] < cut
+        assert r["score"] >= S.NEARDUP_COSINE
+    # empty batch -> empty result, full schema
+    empty = neardup_incremental(spark, batch.filter(F.lit(False)), registry, path)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["label", "vec_new", "vec_reg", "score"]
+    # empty registry (nd_bits 0 in meta) -> typed empty, no assertion trip
+    p0 = str(tmp_path / "idx0")
+    build_ann_index(emb.filter(F.lit(False)), p0, label_col="label")
+    out0 = neardup_incremental(spark, batch, emb.filter(F.lit(False)), p0)
+    assert out0.count() == 0
+    assert [f.name for f in out0.schema] == ["label", "vec_new", "vec_reg", "score"]
+
+
 def test_freshness_audit(spark, sf_dir, tmp_path):
     from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
         freshness_audit,
