@@ -23,7 +23,7 @@ SOAK_QUERIES = [
     "lsh_candidate_stats", "lsh_tuning_curve", "ann_ivf_topk",
     "ann_ivf_multiprobe", "coreset_kcenter", "kmeans_clusters",
     "embedding_batch_drift", "ann_index_knn_persisted",
-    "ann_index_ivf_persisted",
+    "ann_index_ivf_persisted", "ann_index_neardup_incremental",
     # text / dedup family
     "dedup_minhash_lsh", "dedup_threshold_sweep", "dedup_ngram_jaccard",
     "dedup_containment", "tfidf_cosine_pairs", "bigram_logprob_score",
