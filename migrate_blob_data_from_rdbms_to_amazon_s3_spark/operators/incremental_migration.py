@@ -41,11 +41,14 @@ runs, so readers never depend on in-place file mutation. (Like the
 mutation lease, plain-file atomicity is a local/POSIX rendition — on an
 object store the ledger becomes a table-format commit.)
 
-``read_current`` is the consumer view: union of all pointer runs with
+``read_current`` is the consumer view: union of the pointer runs with
 keep-latest-per-key semantics — ``row_number() over (partition by pk
 order by cursor desc, run_id desc) = 1`` — so a key UPDATEd in a later
 increment shadows its older pointer row without any rewrite of earlier
-runs. The same transform is registered as the value-oracled
+runs. Pass ``state_path`` for READ COMMITTED (only ledger-committed
+runs are scanned); without it the view is documented READ UNCOMMITTED
+(every run dir on disk, including crashed passes' increments). The same
+transform is registered as the value-oracled
 ``incremental_pointer_latest`` query (plans/parity twin discipline).
 """
 
@@ -102,11 +105,31 @@ def _ledger_entries(state_path: str) -> list[dict]:
 
 def current_watermark(state_path: str):
     """(watermark, next_run_id) from the committed ledger. None watermark
-    means no pass has committed: the next pass is the full backfill."""
+    means no pass has committed a cursor yet: the next pass is the full
+    backfill. Entries CAN carry ``watermark: None`` (a compaction
+    committed before any migrate pass), so the max skips them — a bare
+    ``max()`` would raise TypeError on None vs value and wedge every
+    subsequent pass."""
     entries = _ledger_entries(state_path)
     if not entries:
         return None, 0
-    return max(e["watermark"] for e in entries), max(e["run_id"] for e in entries) + 1
+    watermark = max(
+        (e["watermark"] for e in entries if e["watermark"] is not None),
+        default=None,
+    )
+    return watermark, max(e["run_id"] for e in entries) + 1
+
+
+def _committed_run_dirs(state_path: str, pointers_root: str) -> list[str]:
+    """Leaf ``run=<id>`` dirs whose id appears in the committed ledger and
+    which still exist on disk (a committed run's dir may legitimately be
+    gone after a later compaction swept it)."""
+    ids = sorted({e["run_id"] for e in _ledger_entries(state_path)})
+    return [
+        os.path.join(pointers_root, f"run={i}")
+        for i in ids
+        if os.path.isdir(os.path.join(pointers_root, f"run={i}"))
+    ]
 
 
 def _commit_run(state_path: str, entry: dict) -> None:
@@ -139,13 +162,36 @@ def keep_latest(pointers: DataFrame, pk: str = "order_id",
 
 
 def read_current(spark: SparkSession, target_path: str, pk: str = "order_id",
-                 cursor_col: str = "cursor") -> DataFrame:
-    """Union of every committed pointer run, keep-latest per key. The
-    ``run=<id>`` dirs read back as a Hive partition column ``run`` —
-    dropped here because the rows carry their lineage (run_id, cursor)
-    as data columns (the dirs exist for idempotent per-run overwrite and
-    run-grain pruning, not as the source of truth)."""
-    pointers = spark.read.parquet(f"{target_path}/pointers")
+                 cursor_col: str = "cursor",
+                 state_path: str | None = None) -> DataFrame:
+    """Keep-latest consumer view over the pointer runs.
+
+    With ``state_path`` (the run ledger): READ COMMITTED — only ``run=``
+    dirs whose run id appears in a committed ledger entry are scanned, so
+    a crashed pass's half-written increment is invisible until its retry
+    commits. The committed dirs are read as explicit leaf paths: a dirty
+    dir's (possibly partial) parquet footers are never even opened.
+
+    Without ``state_path``: READ UNCOMMITTED, documented — every
+    ``run=`` dir on disk is scanned, including increments from crashed
+    passes that a retry may rewrite. Acceptable only when the caller
+    knows no pass has ever crashed mid-write (e.g. single-process tests).
+
+    The ``run=<id>`` dir / Hive partition column ``run`` is dropped:
+    rows carry their lineage (run_id, cursor) as data columns — the dirs
+    exist for idempotent per-run overwrite and run-grain pruning, not as
+    the source of truth."""
+    pointers_root = f"{target_path}/pointers"
+    if state_path is None:
+        pointers = spark.read.parquet(pointers_root)
+    else:
+        committed = _committed_run_dirs(state_path, pointers_root)
+        if not committed:
+            raise FileNotFoundError(
+                f"no committed pointer runs under {pointers_root} "
+                f"(ledger: {state_path})"
+            )
+        pointers = spark.read.parquet(*committed)
     if "run" in pointers.columns:
         pointers = pointers.drop("run")
     latest = keep_latest(pointers, pk, cursor_col)
@@ -161,35 +207,73 @@ def read_current(spark: SparkSession, target_path: str, pk: str = "order_id",
 def compact_pointer_runs(
     spark: SparkSession, target_path: str, state_path: str,
     pk: str = "order_id", cursor_col: str = "cursor",
+    lock_timeout_s: float = 600.0,
 ) -> dict:
     """Materialize the keep-latest view into ONE pointer run and drop the
     shadowed history — the periodic compaction that keeps merge-on-read
     cheap (read_current's window cost grows with run count, not data).
 
-    Rows keep their ORIGINAL (cursor, run_id) lineage, so a crash after
-    the compacted run lands but before the old dirs are removed leaves
-    only byte-identical duplicates — keep_latest resolves them to the
-    same view, and the next compaction sweeps the leftovers. Serialized
-    against migrators by the same ledger lease; the ledger entry records
-    the compaction without moving the watermark."""
+    Crash-ordering contract (each clause closes a real loss path):
+
+    - **The output run id never reuses an existing dir.** The ledger's
+      next id can collide with a dir left by a crashed uncommitted pass;
+      writing there and then sweeping "old" dirs would delete the fresh
+      compaction output while its ledger entry commits as successful.
+      The id is bumped past every ``run=`` dir on disk instead.
+    - **Only COMMITTED runs are compacted** (read_current with the
+      ledger): a crashed pass's half-written increment is neither
+      consolidated nor silently promoted — its owner's retry re-reads
+      the same rows from the source (the watermark never moved).
+    - **The ledger entry commits BEFORE any dir is removed.** A crash
+      between the compacted write and the deletes leaves byte-identical
+      duplicates (rows keep their ORIGINAL (cursor, run_id) lineage, so
+      keep_latest resolves both copies to the same view) which the next
+      sweep removes. The reverse order could delete the only copy of the
+      consolidated history while the ledger still pointed readers at it.
+    - **After the commit, every other run dir is removed** — committed
+      dirs are shadowed history; an uncommitted dir belongs to a dead
+      pass (the lease serializes writers, so nobody live owns it) whose
+      increment is recomputable from the unchanged watermark.
+
+    Serialized against migrators by the same ledger lease
+    (``lock_timeout_s``, see migrate_increment on why passes serialize);
+    the ledger entry records the compaction without moving the
+    watermark."""
     import shutil
 
     os.makedirs(state_path, exist_ok=True)
-    with _writer_lock(f"{state_path}/ledger"):
+    with _writer_lock(f"{state_path}/ledger", timeout_s=lock_timeout_s):
         watermark, run_id = current_watermark(state_path)
         pointers_root = f"{target_path}/pointers"
         if not os.path.isdir(pointers_root):
             return {"run_id": run_id, "n_rows": 0, "compaction": True,
                     "committed": False}
-        old_runs = [d for d in os.listdir(pointers_root) if d.startswith("run=")]
-        current = read_current(spark, target_path, pk, cursor_col)
+        all_runs = [d for d in os.listdir(pointers_root) if d.startswith("run=")]
+        if not _committed_run_dirs(state_path, pointers_root):
+            # nothing committed to compact — dirty dirs (if any) belong
+            # to crashed passes whose retries will rewrite them
+            return {"run_id": run_id, "n_rows": 0, "compaction": True,
+                    "committed": False}
+        existing_ids = []
+        for d in all_runs:
+            try:
+                existing_ids.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                pass
+        if existing_ids:  # never reuse a dir of unknown provenance
+            run_id = max(run_id, max(existing_ids) + 1)
+        current = read_current(spark, target_path, pk, cursor_col,
+                               state_path=state_path)
         n_rows = current.count()
-        current.write.mode("overwrite").parquet(f"{pointers_root}/run={run_id}")
-        for d in old_runs:  # compacted copy is in place: drop the history
-            shutil.rmtree(os.path.join(pointers_root, d), ignore_errors=True)
+        out_dir = f"run={run_id}"
+        current.write.mode("overwrite").parquet(f"{pointers_root}/{out_dir}")
         entry = {"run_id": run_id, "watermark": watermark, "n_rows": n_rows,
                  "compaction": True, "committed": True}
         _commit_run(state_path, entry)
+        for d in all_runs:  # commit is durable: now drop the history
+            if d != out_dir:
+                shutil.rmtree(os.path.join(pointers_root, d),
+                              ignore_errors=True)
         return entry
 
 
@@ -204,12 +288,25 @@ def migrate_increment(
     pk: str = "order_id",
     blob_col: str = "order_blob",
     op_col: str | None = None,
+    lock_timeout_s: float = 600.0,
 ) -> dict:
     """One incremental pass (module docstring). ``source`` is the lazily
     built full-table frame (e.g. ``JdbcSource.load(spark)``); the
     watermark filter applied here reaches the RDBMS as a pushed
     predicate. Returns the pass summary (committed ledger entry, or a
     no-op marker when the increment is empty).
+
+    **Passes serialize fully, by design.** The ledger lease is held for
+    the WHOLE pass — JDBC scan, blob externalization, pointer write,
+    commit — not just the watermark read and the commit. Releasing it
+    mid-pass would let two passes compute the same next run id and race
+    their overwrites of the same staging/pointer dirs; keyed-idempotence
+    protects against a RETRY of a dead pass, not against a concurrent
+    live one. This matches the reference's single-writer migration job
+    (one Lambda, lambda_fns/order_rdbms_blob.js:447-523). A second
+    migrator or compactor therefore waits up to ``lock_timeout_s``
+    (default 600 s — sized for a long scan, unlike mutation.rewrite's
+    60 s point-write default) and then raises WriterLockTimeout.
 
     ``op_col`` enables source-side DELETE capture for append-only CDC
     feeds whose rows carry an op marker ('D' = tombstone, anything else
@@ -220,7 +317,7 @@ def migrate_increment(
     incrementally; ``read_current`` hides keys whose LATEST row is a
     tombstone while the history stays queryable until compaction."""
     os.makedirs(state_path, exist_ok=True)
-    with _writer_lock(f"{state_path}/ledger"):
+    with _writer_lock(f"{state_path}/ledger", timeout_s=lock_timeout_s):
         watermark, run_id = current_watermark(state_path)
         increment = source
         if watermark is not None:

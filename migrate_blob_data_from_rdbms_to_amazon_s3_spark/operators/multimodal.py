@@ -298,9 +298,18 @@ def parse_media_header(payload: bytes):
             o += 1
             if marker in _JPEG_STANDALONE:
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS with no SOFn seen yet: what follows SOS is
+                # the entropy-coded stream, not marker segments — walking
+                # it as segments can synthesize garbage dimensions from
+                # compressed bytes. Stop with the typed-unknown result.
+                break
             if o + 2 > len(p):
                 break
             seg_len = int.from_bytes(p[o : o + 2], "big")
+            if seg_len < 2:
+                break  # T.81 B.1.1.4: the length field includes its own
+                # 2 bytes — a smaller value is malformed, stop typed
             if marker in _JPEG_SOF and o + 7 <= len(p):
                 return (
                     "jpeg",

@@ -16,6 +16,7 @@ Contracts under test:
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -236,6 +237,182 @@ def test_compaction_preserves_view_and_drops_history(spark, derby_cdc, tmp_path)
                           state_path=state, cursor_col="seq")
     assert e["n_rows"] == 1
     assert {r["order_id"] for r in read_current(spark, target).collect()} >= {"id-013"}
+
+
+def test_compaction_survives_dirty_run_dir_collision(spark, derby_cdc, tmp_path):
+    """A crashed pass leaves an UNCOMMITTED ``run=N`` dir where N is
+    exactly the ledger's next run id. Compaction must not write its
+    output there and then sweep it as 'old history' (that deleted the
+    freshly compacted data while the ledger entry committed success):
+    the output id is bumped past every dir on disk, only COMMITTED runs
+    are consolidated, and the crashed pass's retry still converges."""
+    import os as _os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    write([(11, "id-011", "desc 11", b"a" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    committed_before = {
+        tuple(r)
+        for r in read_current(spark, target, state_path=state).collect()
+    }
+
+    # crashed pass: run 2's data landed, its ledger entry did not
+    write([(12, "id-012", "desc 12", b"b" * 8)])
+    e3 = migrate_increment(spark, source, store_url=store_url,
+                           target_path=target, state_path=state,
+                           cursor_col="seq")
+    _os.unlink(_os.path.join(state, f"run-{e3['run_id']:08d}.json"))
+    assert _os.path.isdir(f"{target}/pointers/run={e3['run_id']}")
+    assert current_watermark(state) == (11, e3["run_id"])  # collision armed
+
+    entry = compact_pointer_runs(spark, target, state)
+    assert entry["committed"] and entry["n_rows"] == 11
+    # the output id skipped the dirty dir's id — and the output survived
+    assert entry["run_id"] == e3["run_id"] + 1
+    runs = sorted(d for d in _os.listdir(f"{target}/pointers")
+                  if d.startswith("run="))
+    assert runs == [f"run={entry['run_id']}"]
+    # the dirty increment was NOT promoted into the committed view
+    after = {tuple(r)
+             for r in read_current(spark, target, state_path=state).collect()}
+    assert after == committed_before
+    # the crashed pass retries from the unchanged watermark and converges
+    e3b = migrate_increment(spark, source, store_url=store_url,
+                            target_path=target, state_path=state,
+                            cursor_col="seq")
+    assert e3b["n_rows"] == 1 and e3b["committed"]
+    keys = {r["order_id"]
+            for r in read_current(spark, target, state_path=state).collect()}
+    assert "id-012" in keys and len(keys) == 12
+
+
+def test_compaction_commits_before_deleting_history(spark, derby_cdc,
+                                                    tmp_path, monkeypatch):
+    """Crash BETWEEN the compaction commit and the history sweep: the
+    ledger already has the entry, the old dirs remain as byte-identical
+    duplicates, the view is unchanged, and the next compaction sweeps
+    the leftovers. (The reverse ordering — delete first — would leave
+    the only copy of the consolidated history uncommitted.)"""
+    import os as _os
+    import shutil as _shutil
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    write([(11, "id-005", "desc 5 v2", b"u" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    before = {tuple(r)
+              for r in read_current(spark, target, state_path=state).collect()}
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during history sweep")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_pointer_runs(spark, target, state)
+    monkeypatch.undo()
+
+    # the commit preceded the sweep: entry durable, duplicates benign
+    entries = [json.load(open(_os.path.join(state, n)))
+               for n in sorted(_os.listdir(state)) if n.startswith("run-")]
+    assert any(e.get("compaction") and e["committed"] for e in entries)
+    assert len([d for d in _os.listdir(f"{target}/pointers")
+                if d.startswith("run=")]) == 3  # compacted + 2 leftovers
+    mid = {tuple(r)
+           for r in read_current(spark, target, state_path=state).collect()}
+    assert mid == before
+    # the next sweep removes the leftovers and preserves the view
+    entry2 = compact_pointer_runs(spark, target, state)
+    assert entry2["committed"] and entry2["n_rows"] == len(before)
+    runs = [d for d in _os.listdir(f"{target}/pointers") if d.startswith("run=")]
+    assert runs == [f"run={entry2['run_id']}"]
+    assert {tuple(r) for r in
+            read_current(spark, target, state_path=state).collect()} == before
+
+
+def test_current_watermark_skips_none_entries(tmp_path):
+    """A compaction entry can commit ``watermark: None`` (nothing
+    migrated yet). Later real watermarks must not TypeError against it —
+    that wedged every subsequent pass permanently."""
+    import json as _json
+    import os as _os
+
+    state = str(tmp_path / "state")
+    _os.makedirs(state)
+
+    def put(run_id, watermark, **extra):
+        with open(_os.path.join(state, f"run-{run_id:08d}.json"), "w") as fh:
+            _json.dump({"run_id": run_id, "watermark": watermark,
+                        "committed": True, **extra}, fh)
+
+    put(0, None, compaction=True)
+    assert current_watermark(state) == (None, 1)  # only-None: still None
+    put(1, 42)
+    put(2, None, compaction=True)
+    assert current_watermark(state) == (42, 3)  # max skips the Nones
+
+
+def test_read_current_committed_vs_uncommitted(spark, derby_cdc, tmp_path):
+    """With ``state_path`` the view is READ COMMITTED: a run dir with no
+    ledger entry (crashed pass) is invisible. Without it the documented
+    read-uncommitted view scans every dir on disk."""
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+
+    # fabricate a dirty run dir: pointer-shaped rows, no ledger entry
+    spark.createDataFrame(
+        [("id-dirty", "uncommitted", 999, 7, False)],
+        "order_id string, description string, cursor long, "
+        "run_id int, is_deleted boolean",
+    ).write.parquet(f"{target}/pointers/run=7")
+
+    committed = {r["order_id"] for r in
+                 read_current(spark, target, state_path=state).collect()}
+    assert "id-dirty" not in committed and len(committed) == 10
+    uncommitted = {r["order_id"] for r in read_current(spark, target).collect()}
+    assert "id-dirty" in uncommitted
+
+
+def test_compaction_noop_when_nothing_committed(spark, tmp_path):
+    """Pointer dirs from crashed passes only (empty ledger): compaction
+    must not consolidate or delete anything — the increments belong to
+    retries that will rewrite them."""
+    import os as _os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+    )
+
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("id-x", "crashed", 1, 0, False)],
+        "order_id string, description string, cursor long, "
+        "run_id int, is_deleted boolean",
+    ).write.parquet(f"{target}/pointers/run=0")
+
+    entry = compact_pointer_runs(spark, target, state)
+    assert entry["committed"] is False and entry["n_rows"] == 0
+    assert _os.path.isdir(f"{target}/pointers/run=0")  # untouched
 
 
 def test_watermark_filter_prunes_source_scan(spark, derby_cdc, tmp_path):

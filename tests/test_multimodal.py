@@ -240,6 +240,52 @@ def test_parse_media_header_jpeg_marker_walk():
     assert parse_media_header(jpg) == ("jpeg", 640, 480, 3, None, 8)
 
 
+def test_parse_media_header_jpeg_malformed_degrades_typed():
+    """Adversarial / truncated JPEG byte streams degrade to the typed
+    ('jpeg', None, ...) result — never garbage dimensions synthesized
+    from entropy-coded bytes, never a crash:
+
+    - a segment length < 2 is malformed (T.81 B.1.1.4: the length field
+      includes its own two bytes) — the walk stops;
+    - SOS before any SOFn means what follows is the compressed stream,
+      not marker segments — the walk must not keep parsing it (a byte
+      pair that LOOKS like a SOFn header inside the stream used to
+      yield fabricated width/height);
+    - EOI is standalone — treating it as length-carrying read two
+      entropy bytes as a bogus segment length."""
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    degraded = ("jpeg", None, None, None, None, None)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # seg_len == 0: offset would not advance past the length field
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x00rest") == degraded
+    # seg_len == 1: monotone but malformed — stop, don't misalign
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x01\xff\xc0") == degraded
+    # SOS with a fake SOF0-lookalike inside the entropy stream: the
+    # 0xFF 0xC0 pair below is compressed data, not a frame header
+    sos_then_fake_sof = (
+        b"\xff\xd8"
+        + seg(0xDA, bytes(10))  # SOS: entropy-coded data follows
+        + b"\xff\xc0" + struct.pack(">H", 17)
+        + struct.pack(">BHHB", 8, 9999, 9999, 3) + bytes(9)
+    )
+    assert parse_media_header(sos_then_fake_sof) == degraded
+    # EOI immediately after a DQT: standalone, carries no length
+    assert parse_media_header(
+        b"\xff\xd8" + seg(0xDB, bytes(65)) + b"\xff\xd9\xc0\x11garbage"
+    ) == degraded
+    # sanity: the fixes don't break a well-formed baseline JPEG
+    good = b"\xff\xd8" + seg(0xC0, struct.pack(">BHHB", 8, 32, 64, 1) + bytes(3))
+    assert parse_media_header(good) == ("jpeg", 64, 32, 1, None, 8)
+
+
 def test_parse_media_header_gif87a():
     import struct
 
