@@ -684,7 +684,37 @@ def q_quality_classifier_filter(spark, sf_dir):
     )
 
 
+def q_training_shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle into training shards, audited: every
+    document gets a pure-function-of-key coin (first 8 md5 hex chars of
+    'shard-'||doc_id — no RNG, so assignment and order survive re-reads,
+    engine changes, and cluster resizes, unlike rand()/randomSplit whose
+    per-partition seeding reshuffles when the input splits change) and a
+    shard = coin % TRAIN_SHARDS. Report: per-shard doc count, token
+    mass, and the coin-sum fingerprint any engine can recompute from the
+    keys alone to verify shard integrity (operators/training_export
+    writes the shards; this is its manifest as a pure plan). One
+    combiner-friendly shuffle to the shard grain — the uniform coin
+    balances shards AND reducers by construction, no salting needed."""
+    from ..operators.training_export import TRAIN_SHARDS, with_shard
+
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        with_shard(docs.select("doc_id", n_toks.alias("n_toks")), TRAIN_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("coin").alias("coin_fingerprint"),
+            F.min("coin").alias("min_coin"),
+            F.max("coin").alias("max_coin"),
+        )
+    )
+
+
 QUERIES = {
+    "training_shard_manifest": q_training_shard_manifest,
     "quality_classifier_filter": q_quality_classifier_filter,
     "bigram_logprob_score": q_bigram_logprob,
     "temperature_mix": q_temperature_mix,
@@ -706,6 +736,23 @@ _RATE_CASE_SQL = (
 )
 
 ORACLES = {
+    "training_shard_manifest": r"""
+        WITH d AS (
+            SELECT CAST('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS coin,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                        AS n_toks
+            FROM documents
+        )
+        SELECT CAST(coin % 16 AS INTEGER) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(coin) AS BIGINT) AS coin_fingerprint,
+               MIN(coin) AS min_coin,
+               MAX(coin) AS max_coin
+        FROM d
+        GROUP BY 1
+    """,
     "quality_classifier_filter": rf"""
         WITH toks AS (
             SELECT doc_id,
