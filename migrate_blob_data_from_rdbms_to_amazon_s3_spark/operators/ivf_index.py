@@ -213,6 +213,73 @@ def ivf_topk_persisted(
     )
 
 
+def ivf_knn_batch_persisted(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 1,
+    k_top: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch probe against the standing index: each query vector's
+    ``k_top`` exact-cosine neighbors among the indexed vectors (self
+    excluded by id) — the ingest-time consumer shape ("score this batch
+    of new vectors against the standing corpus") that the LSH index
+    serves via ann_index.neardup_incremental. One operator call probes
+    the whole batch; per-row ivf_topk_persisted loops would pay a
+    pruned scan per query.
+
+    Plan shape: the batch ranks all k centroids map-side (the same
+    inlined-literal struct sort as the single probe — rank 1 is each
+    vector's own cell), ONE small job collects the union of probed cell
+    ids so the cell scan's filter stays LITERAL on the partition column
+    (Hive pruning — the batch touches only its cells' files), then one
+    equi-join on cluster + a per-query top-k window over candidate rows
+    only (|batch| x nprobe x fill, never corpus-sized). No broadcast
+    hint: the batch is unbounded by contract (it grows with ingest), so
+    AQE picks the join side at runtime — the graph_ops broadcast-
+    boundedness rule. Cluster-key parallelism = k, which is
+    corpus-derived (plans/similarity._derived_k), so the join fans out
+    with the corpus rather than bottlenecking on a fixed cell count."""
+    from pyspark.sql import Window
+
+    cent_rows = load_centroids(spark, path)
+    probed = queries.select(
+        F.col(id_col).cast("long").alias("q_vec_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(S._probe_clusters_expr(cent_rows, nprobe)).alias("q_probes"),
+    )
+    cell_ids = sorted(
+        int(r["c"])
+        for r in probed.select(F.explode("q_probes").alias("c")).distinct().collect()
+        if r["c"] is not None
+    )
+    cells = load_cells(spark, path)
+    pruned = (
+        cells.filter(F.col("cluster").isin(cell_ids))
+        if cell_ids
+        else cells.filter(F.lit(False))
+    )
+    exploded = probed.select(
+        "q_vec_id", "qv", F.explode("q_probes").alias("cluster")
+    )
+    cand = pruned.join(exploded, "cluster").filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        cand.select(
+            "q_vec_id",
+            "vec_id",
+            "cluster",
+            F.expr(S._cos_spark("embedding", "qv")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_top)
+        .drop("rn")
+    )
+
+
 def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
     """Is the standing index stale against the live corpus? Two anti-join
     counts decide the next operation:

@@ -73,6 +73,64 @@ def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert 0 < pruned.count() < all_cells.count()
 
 
+def test_batch_probe_equals_per_query_probes(spark, sf_dir, tmp_path):
+    """The one-call batch probe returns, per query, exactly the rows a
+    per-query ivf_topk_persisted loop returns — the batch join changes
+    the plan (one pruned scan + cluster join), never the results."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ivf_index import (
+        ivf_knn_batch_persisted,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    batch_ids = [0, 97, 194]
+    batch = emb.filter(F.col("vec_id").isin(batch_ids))
+    got = ivf_knn_batch_persisted(
+        spark, path, batch, nprobe=S.IVF_NPROBE, k_top=3
+    )
+    by_query = {
+        q: sorted(
+            (r["vec_id"], r["cluster"], r["score"])
+            for r in got.filter(F.col("q_vec_id") == q).collect()
+        )
+        for q in batch_ids
+    }
+    for q in batch_ids:
+        solo = ivf_topk_persisted(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") == q),
+            nprobe=S.IVF_NPROBE,
+            k_top=3,
+            exclude_vec_id=q,
+        )
+        assert by_query[q] == sorted(
+            (r["vec_id"], r["cluster"], r["score"]) for r in solo.collect()
+        )
+
+
+def test_batch_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The batch's cell scan carries the literal union-of-probes
+    partition filter — the whole batch touches only its cells' files."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ivf_index import (
+        ivf_knn_batch_persisted,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    batch = emb.filter(F.col("vec_id") % 97 == 0)
+    plan = (
+        ivf_knn_batch_persisted(spark, path, batch, nprobe=S.IVF_NPROBE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_append_matches_from_scratch_assignment(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir)
     n = emb.count()
