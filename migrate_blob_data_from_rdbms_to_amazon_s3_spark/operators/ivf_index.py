@@ -220,10 +220,15 @@ def ivf_knn_batch_persisted(
     nprobe: int = 1,
     k_top: int = 3,
     id_col: str = "vec_id",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch probe against the standing index: each query vector's
     ``k_top`` exact-cosine neighbors among the indexed vectors (self
-    excluded by id) — the ingest-time consumer shape ("score this batch
+    excluded by id; ``exclude_ids`` — one ``vec_id`` column — anti-joins
+    further candidates out BEFORE the top-k, e.g. the whole incoming
+    batch so a replayed ingest that already half-appended it can't leak
+    batch members into the neighbor sets: the streaming gate's
+    replay-stability contract) — the ingest-time consumer shape ("score this batch
     of new vectors against the standing corpus") that the LSH index
     serves via ann_index.neardup_incremental. One operator call probes
     the whole batch; per-row ivf_topk_persisted loops would pay a
@@ -266,6 +271,10 @@ def ivf_knn_batch_persisted(
     cand = pruned.join(exploded, "cluster").filter(
         F.col("vec_id") != F.col("q_vec_id")
     )
+    if exclude_ids is not None:
+        cand = cand.join(
+            exclude_ids.select(F.col("vec_id").cast("long")), "vec_id", "left_anti"
+        )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("score"), "vec_id")
     return (
         cand.select(
