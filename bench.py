@@ -117,6 +117,8 @@ HEADLINE = [
     "lsh_candidate_stats",
     "bm25_topk",
     "order_backlog_peaks",
+    "training_shard_manifest",
+    "ann_index_ivf_knn_batch",
 ]
 
 STREAMING = [

@@ -130,10 +130,49 @@ def export_training_shards(
         .parquet(path)
     )
     written = df.sparkSession.read.parquet(path)
-    aggs = [
+    return _written_manifest(written)
+
+
+def _written_manifest(written: DataFrame) -> DataFrame:
+    return written.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("coin").alias("coin_fingerprint"),
         F.min("coin").alias("min_coin"),
         F.max("coin").alias("max_coin"),
-    ]
-    return written.groupBy("shard").agg(*aggs)
+    )
+
+
+def append_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = SHARD_SALT,
+    max_records_per_file: int = 0,
+) -> DataFrame:
+    """Incremental shard delivery: new documents land in their STABLE
+    shard — the coin is a pure function of the key, so an append never
+    reassigns or rewrites an existing row, and the per-shard
+    coin-fingerprints compose additively (old + batch = new, which the
+    caller can verify against two manifests without reading data rows).
+
+    ``n_shards`` and ``salt`` must match the original export (the shard
+    function IS the layout contract); the caller owns dedup discipline,
+    like append_ivf_index — re-appending a key duplicates it. Ordering
+    contract under append: within-FILE coin order still holds (each
+    ingest generation's files are internally sorted), but the shard's
+    cross-generation total order is per-generation — a dataloader that
+    shuffles file lists (the standard practice) is unaffected.
+
+    Same plan as the export: one shard-keyed exchange over JUST the
+    batch, task-local sort, partitioned append."""
+    sharded = with_shard(df, n_shards, id_col, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "coin", id_col)
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return _written_manifest(df.sparkSession.read.parquet(path))

@@ -119,6 +119,54 @@ def test_shards_balanced_by_uniform_coin(spark, tmp_path):
     assert max(counts) < mean + 4 * 11 and min(counts) > mean - 4 * 11
 
 
+def test_append_lands_in_stable_shards_without_touching_old_files(spark, tmp_path):
+    """Appending a batch adds rows only to the batch's own shards, never
+    rewrites an existing file, and the fingerprints compose additively."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.training_export import (
+        append_training_shards,
+    )
+
+    out = f"{tmp_path}/shards"
+    base = _docs(spark, 300)
+    batch = _docs(spark, 400).filter(F.col("doc_id") >= 300)
+    m0 = {r["shard"]: r for r in export_training_shards(base, out, 8).collect()}
+
+    def files(path):
+        out_files = {}
+        for k in range(8):
+            d = f"{path}/shard={k}"
+            out_files[k] = sorted(
+                (fn, os.path.getmtime(os.path.join(d, fn)))
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
+            )
+        return out_files
+
+    f0 = files(out)
+    m1 = {r["shard"]: r for r in append_training_shards(batch, out, 8).collect()}
+    f1 = files(out)
+
+    # old files untouched (same names, same mtimes) — append only adds
+    for k in range(8):
+        assert set(f0[k]) <= set(f1[k])
+
+    # fingerprints compose: new = old + batch (computed independently)
+    mb = {r["shard"]: r for r in shard_manifest(batch, 8).collect()}
+    for k in range(8):
+        assert m1[k]["n_docs"] == m0[k]["n_docs"] + mb.get(k, {"n_docs": 0})["n_docs"]
+        assert m1[k]["coin_fingerprint"] == (
+            m0[k]["coin_fingerprint"]
+            + (mb[k]["coin_fingerprint"] if k in mb else 0)
+        )
+
+    # union round-trip, and batch rows sit in exactly the stable shard
+    written = spark.read.parquet(out)
+    assert written.count() == 400
+    assert written.filter(
+        (F.col("coin") % 8).cast("int") != F.col("shard").cast("int")
+    ).count() == 0
+
+
 def test_export_plan_has_single_exchange(spark):
     sharded = with_shard(_docs(spark), 8)
     plan = (
