@@ -24,6 +24,7 @@ SOAK_QUERIES = [
     "ann_ivf_multiprobe", "coreset_kcenter", "kmeans_clusters",
     "embedding_batch_drift", "ann_index_knn_persisted",
     "ann_index_ivf_persisted", "ann_index_neardup_incremental",
+    "ann_index_ivf_knn_batch", "training_shard_manifest",
     # text / dedup family
     "dedup_minhash_lsh", "dedup_threshold_sweep", "dedup_ngram_jaccard",
     "dedup_containment", "tfidf_cosine_pairs", "bigram_logprob_score",
