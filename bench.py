@@ -53,6 +53,7 @@ HEADLINE = [
     "events_tumbling",
     "text_quality_score",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_substring_windows",
     "simhash",

@@ -225,6 +225,109 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_posting_df: int = MAX_POSTING_DF):
     )
 
 
+# Prefix-filter threshold as an exact rational (7/10) so the prefix length
+# n - ceil(t*n) + 1 computes in INTEGER arithmetic on both sides of the
+# filter proof — a double `ceil(0.7*n)` can land one ulp high on products
+# that are exact in the reals (0.7*30 = 21.000000000000004 → ceil 22), which
+# would shorten a prefix below the lossless bound and silently drop pairs.
+PREFIX_T_NUM, PREFIX_T_DEN = 7, 10
+PREFIX_JACCARD_T = PREFIX_T_NUM / PREFIX_T_DEN
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Exact high-threshold Jaccard near-dup pairs (>= 0.7) via the
+    prefix-filtering set-similarity join (All-Pairs / PPJoin family:
+    Chaudhuri-Ganti-Kaushik ICDE 2006, Bayardo-Ma-Srikant WWW 2007,
+    Xiao et al. WWW 2008) — the LOSSLESS scale path for dedup-grade
+    thresholds, complementing q_dedup_ngram_jaccard (whose df-cap trades
+    a sliver of stop-phrase recall for a pair bound at its looser 0.2
+    threshold).
+
+    Plan: order each doc's shingle set by ascending global document
+    frequency (rarest first, ties on the hash — any total order shared by
+    a doc pair preserves exactness; df-ascending is the one that keeps
+    prefix postings small), keep only the first
+    ``n - ceil(t*n) + 1`` shingles as the doc's PREFIX, and emit candidate
+    pairs only from prefix postings. The prefix lemma guarantees every
+    pair with Jaccard >= t shares at least one prefix token (the smallest
+    common token under the shared order is inside both prefixes), so the
+    candidate set is a superset of the answer; a per-candidate
+    ``array_intersect`` verification then computes the exact score. The
+    length filter (10*min >= 7*max, integer-exact) prunes candidates that
+    cannot reach t before verification.
+
+    Scale: at t=0.7 each doc indexes only ~30% of its shingles, and the
+    indexed ones are its RAREST — prefix postings stay near-singleton on
+    natural corpora without any recall-losing cap (stop-phrases sort
+    last and never enter a prefix unless a doc is almost all
+    boilerplate, in which case exact dedup owns it). Candidate
+    verification joins move only id pairs plus the two shingle arrays;
+    nothing is quadratic in the corpus."""
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .withColumn("sh60", F.expr("transform(sh, s -> xxhash64(s))"))
+    )
+    base = _barrier(raw, ["doc_id", "lang"], ["sh60"]).withColumn(
+        "n_sh", F.size("sh60")
+    )
+    ex = base.select("doc_id", "lang", "n_sh", F.explode("sh60").alias("s"))
+    dftab = ex.groupBy("lang", "s").agg(F.count("*").alias("dfc"))
+    # integer-exact prefix length: n - ceil(7n/10) + 1 = n - (7n+9) div 10 + 1
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({PREFIX_T_NUM} * n_sh + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}")
+        + F.lit(1)
+    )
+    w = Window.partitionBy("doc_id").orderBy("dfc", "s")
+    pref = (
+        ex.join(dftab, ["lang", "s"])
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= prefix_len)
+        .select("lang", "s", "doc_id", "n_sh")
+    )
+    # candidate pairs inline from each prefix posting (array_sort on the
+    # (doc_id, n_sh) struct ⇒ doc_a < doc_b), with the integer length
+    # filter applied before any pair row materializes
+    posting = (
+        pref.groupBy("lang", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "filter(transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x.doc_id AS doc_a, x.n_sh AS na, "
+            "y.doc_id AS doc_b, y.n_sh AS nb)), "
+            f"p -> {PREFIX_T_DEN} * p.na >= {PREFIX_T_NUM} * p.nb "
+            f"AND {PREFIX_T_DEN} * p.nb >= {PREFIX_T_NUM} * p.na)))"
+        )
+    ).alias("p")
+    cand = posting.select(pair).select("p.doc_a", "p.doc_b").distinct()
+    # exact verification: re-attach the two shingle arrays by id (linear
+    # equi-joins; candidate count is tiny relative to the corpus)
+    da = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh60").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    db = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh60").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(F.try_divide(c, F.col("na") + F.col("nb") - c), 4)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )
+
+
 def q_dedup_source_matrix(spark, sf_dir):
     """Cross-source duplication matrix: the near-dup pairs found by the
     3-gram Jaccard index, contracted to the (source, source) grain — the
@@ -868,6 +971,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_containment": q_dedup_containment,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -1003,6 +1107,26 @@ ORACLES = {
         SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
         FROM common
         WHERE ROUND(c / (na + nb - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+    # the prefix filter is LOSSLESS, so the oracle is the plain exact
+    # pair computation at the same threshold — no engine-side heuristic
+    # (cap, prefix, length filter) needs mirroring
+    "dedup_jaccard_prefix": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM ex a JOIN ex b
+              ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
+        FROM common
+        WHERE ROUND(c / (na + nb - c), 4) >= {PREFIX_JACCARD_T}
     """,
     "dedup_source_matrix": f"""
         WITH {_DOCS_SH_DUCK},

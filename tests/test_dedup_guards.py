@@ -255,3 +255,54 @@ def test_leakage_safe_split_invariants(spark, sf_dir):
     assert sizes.get("train", 0) > sizes.get("val", 0)
     assert sizes.get("train", 0) > sizes.get("test", 0)
     assigned.unpersist()
+
+
+# --- prefix-filtered exact Jaccard join (All-Pairs / PPJoin family) ----------
+
+
+def test_prefix_join_exact_vs_bruteforce(spark, sf_dir):
+    """The prefix filter is LOSSLESS: on the real fixture the prefix-join
+    pair set must equal the exact uncapped inverted-index computation at
+    the same threshold — identical (doc_a, doc_b) keys AND identical
+    rounded scores. This is the lemma the plan's candidate pruning rests
+    on, checked end-to-end."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_jaccard_prefix(spark, sf_dir).collect()
+    }
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in (
+            dedup._ngram_common(spark, sf_dir, max_posting_df=1 << 40)
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= dedup.PREFIX_JACCARD_T)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # fixture has dedup-grade near-dups; non-vacuous
+
+
+def test_prefix_join_boundary_docs(spark, tmp_path):
+    """Boundary shapes: a doc with exactly one shingle (prefix length
+    formula bottoms out at 1), an identical twin (jaccard 1.0), a
+    non-qualifying sibling, and stop-phrase-only overlap (0.5 < 0.7)
+    that the prefix index must still score correctly as absent."""
+    prefix = "terms of service apply to all"
+    rows = [
+        (1, "alpha beta gamma"),          # 1 shingle
+        (2, "alpha beta gamma"),          # identical twin of 1
+        (3, "alpha beta delta"),          # shares no full 3-gram with 1/2
+        (10, f"{prefix} tail10 end10"),   # stop-phrase family: pairwise 0.5
+        (11, f"{prefix} tail11 end11"),
+    ]
+    path = _write_docs(tmp_path, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_jaccard_prefix(spark, path).collect()
+    }
+    assert got == {(1, 2): 1.0}
