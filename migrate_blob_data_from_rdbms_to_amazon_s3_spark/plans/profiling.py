@@ -87,6 +87,120 @@ def q_histogram_equiwidth(spark, sf_dir):
     )
 
 
+# --- Z-order layout pruning audit ------------------------------------------------------
+ZORDER_CELL_BITS = 8   # scale each column to an 8-bit grid
+ZORDER_GRID_BITS = 3   # interleave the top 3 bits per dim → 8×8 = 64 z-buckets
+ZORDER_PRED_LO = 224   # box predicate: scaled coordinate in the top 1/8
+
+
+def q_zorder_pruning_audit(spark, sf_dir):
+    """What a Z-order (Morton-curve) file layout buys at scan time,
+    measured: bucket lineitem two ways — by the interleaved top bits of
+    (l_quantity, l_extendedprice) (the layout ``operators/layout.zorder_write``
+    produces, quantized to a deterministic fixed grid so the audit is
+    value-oracle-able) and by the top bits of l_quantity alone (a plain
+    1-D sort layout) — then replay parquet min/max pruning for a box
+    predicate on EACH dimension: a bucket is scanned iff its max scaled
+    coordinate reaches the predicate's lower bound. Output per
+    (layout, pred_dim): buckets scanned, rows scanned, true matches —
+    the numbers showing the 1-D layout prunes only its sort column while
+    Z-order prunes both. Morton order per Orenstein & Merrett (1984);
+    same min/max data-skipping model as parquet row-group stats /
+    Delta-style file stats.
+
+    Scale: one 1-row bounds aggregate broadcast to the scan, one keyed
+    shuffle to the ≤128-bucket grain, then arithmetic on ≤256 rows.
+    Everything after the first aggregation is constant-size."""
+    m = 1 << ZORDER_CELL_BITS
+    top = ZORDER_CELL_BITS - ZORDER_GRID_BITS
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    bounds = li.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+
+    def scaled(col: str, lo: str, hi: str):
+        raw = F.floor((F.col(col) - F.col(lo)) / (F.col(hi) - F.col(lo)) * m)
+        return (
+            F.when(F.col(hi) == F.col(lo), F.lit(0))
+            .otherwise(F.least(F.lit(m - 1), F.greatest(F.lit(0), raw)))
+            .cast("bigint")
+        )
+
+    zb_expr = " + ".join(
+        [f"shiftleft(shiftright(sx, {top + i}) & 1, {2 * i})" for i in range(ZORDER_GRID_BITS)]
+        + [f"shiftleft(shiftright(sy, {top + i}) & 1, {2 * i + 1})" for i in range(ZORDER_GRID_BITS)]
+    )
+    cells = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            scaled("x", "xlo", "xhi").alias("sx"),
+            scaled("y", "ylo", "yhi").alias("sy"),
+        )
+        .select(
+            "sx",
+            "sy",
+            F.expr(zb_expr).alias("zb"),
+            F.shiftright("sx", ZORDER_CELL_BITS - 2 * ZORDER_GRID_BITS).alias("xb"),
+        )
+    )
+
+    one_if = lambda c: F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+
+    def per_bucket(col: str, layout: str):
+        return (
+            cells.groupBy(F.col(col).alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.max("sx").alias("mx"),
+                F.max("sy").alias("my"),
+                one_if(F.col("sx") >= ZORDER_PRED_LO).alias("match_x"),
+                one_if(F.col("sy") >= ZORDER_PRED_LO).alias("match_y"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    pb = per_bucket("zb", "zorder").unionByName(per_bucket("xb", "xsort"))
+    melted = pb.select(
+        "layout",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x").alias("pred_dim"),
+                    (F.col("mx") >= ZORDER_PRED_LO).alias("scanned"),
+                    F.col("match_x").alias("matching"),
+                ),
+                F.struct(
+                    F.lit("y").alias("pred_dim"),
+                    (F.col("my") >= ZORDER_PRED_LO).alias("scanned"),
+                    F.col("match_y").alias("matching"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        melted.groupBy("layout", F.col("p.pred_dim").alias("pred_dim"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            one_if(F.col("p.scanned")).alias("n_buckets_scanned"),
+            F.sum(F.when(F.col("p.scanned"), F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum("p.matching").alias("rows_matching"),
+        )
+        .withColumn(
+            "scan_frac", F.round(F.try_divide(F.col("rows_scanned"), F.col("rows_total")), 4)
+        )
+    )
+
+
 # --- join-key skew audit ---------------------------------------------------------------
 def q_key_skew_audit(spark, sf_dir):
     """Skew profile of a join key (lineitem.l_suppkey): distinct keys,
@@ -696,6 +810,7 @@ QUERIES = {
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_time_weighted_avg": q_events_time_weighted_avg,
     "key_skew_audit": q_key_skew_audit,
+    "zorder_pruning_audit": q_zorder_pruning_audit,
     "ab_test_welch": q_ab_test_welch,
     "rolling_active_users": q_rolling_active_users,
     "incremental_agg_merge": q_incremental_agg_merge,
@@ -703,7 +818,71 @@ QUERIES = {
     "weighted_sample_topk": q_weighted_sample_topk,
 }
 
+_ZB_DUCK = " + ".join(
+    [
+        f"(((sx >> {(ZORDER_CELL_BITS - ZORDER_GRID_BITS) + i}) & 1) << {2 * i})"
+        for i in range(ZORDER_GRID_BITS)
+    ]
+    + [
+        f"(((sy >> {(ZORDER_CELL_BITS - ZORDER_GRID_BITS) + i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_GRID_BITS)
+    ]
+)
+
 ORACLES = {
+    "zorder_pruning_audit": f"""
+        WITH bounds AS (
+            SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+                   MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi
+            FROM lineitem
+        ),
+        cells0 AS (
+            SELECT
+                CASE WHEN xhi = xlo THEN 0 ELSE
+                    LEAST({(1 << ZORDER_CELL_BITS) - 1}, GREATEST(0, CAST(FLOOR(
+                        (l_quantity - xlo) / (xhi - xlo) * {1 << ZORDER_CELL_BITS}
+                    ) AS BIGINT))) END AS sx,
+                CASE WHEN yhi = ylo THEN 0 ELSE
+                    LEAST({(1 << ZORDER_CELL_BITS) - 1}, GREATEST(0, CAST(FLOOR(
+                        (l_extendedprice - ylo) / (yhi - ylo) * {1 << ZORDER_CELL_BITS}
+                    ) AS BIGINT))) END AS sy
+            FROM lineitem CROSS JOIN bounds
+        ),
+        cells AS (
+            SELECT sx, sy, {_ZB_DUCK} AS zb,
+                   (sx >> {ZORDER_CELL_BITS - 2 * ZORDER_GRID_BITS}) AS xb
+            FROM cells0
+        ),
+        pb AS (
+            SELECT 'zorder' AS layout, zb AS bucket, COUNT(*) AS n_rows,
+                   MAX(sx) AS mx, MAX(sy) AS my,
+                   SUM(CASE WHEN sx >= {ZORDER_PRED_LO} THEN 1 ELSE 0 END) AS match_x,
+                   SUM(CASE WHEN sy >= {ZORDER_PRED_LO} THEN 1 ELSE 0 END) AS match_y
+            FROM cells GROUP BY 2
+            UNION ALL
+            SELECT 'xsort', xb, COUNT(*),
+                   MAX(sx), MAX(sy),
+                   SUM(CASE WHEN sx >= {ZORDER_PRED_LO} THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN sy >= {ZORDER_PRED_LO} THEN 1 ELSE 0 END)
+            FROM cells GROUP BY 2
+        ),
+        melted AS (
+            SELECT layout, 'x' AS pred_dim, n_rows,
+                   (mx >= {ZORDER_PRED_LO}) AS scanned, match_x AS matching
+            FROM pb
+            UNION ALL
+            SELECT layout, 'y', n_rows, (my >= {ZORDER_PRED_LO}), match_y FROM pb
+        )
+        SELECT layout, pred_dim,
+               COUNT(*) AS n_buckets,
+               SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS n_buckets_scanned,
+               SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS rows_scanned,
+               SUM(n_rows) AS rows_total,
+               SUM(matching) AS rows_matching,
+               ROUND(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END)
+                     / SUM(n_rows), 4) AS scan_frac
+        FROM melted GROUP BY 1, 2
+    """,
     "histogram_equiwidth": f"""
         WITH bounds AS (
             SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders

@@ -194,3 +194,25 @@ def test_kcore_peel_converges_within_rounds(spark, sf_dir):
     # (a non-converged peel would leave under-degree nodes behind)
     assert core.filter(F.col("core_degree") < KCORE_K).count() == 0
     assert core.count() > 0
+
+
+def test_zorder_pruning_dominates_1d_sort_on_second_dim(spark, sf_dir):
+    """The point of the audit: for a predicate on the NON-sort dimension,
+    the 1-D layout scans everything while the z-order layout prunes; on
+    the sort dimension both layouts prune. Scanned rows always cover the
+    true matches."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.profiling import (
+        q_zorder_pruning_audit,
+    )
+
+    rows = {
+        (r.layout, r.pred_dim): r for r in q_zorder_pruning_audit(spark, sf_dir).collect()
+    }
+    assert set(rows) == {("zorder", "x"), ("zorder", "y"), ("xsort", "x"), ("xsort", "y")}
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_matching  # pruning is never lossy
+        assert r.n_buckets_scanned <= r.n_buckets
+    assert rows[("xsort", "y")].scan_frac == 1.0  # 1-D sort can't skip on y
+    assert rows[("zorder", "y")].scan_frac < 0.5  # z-order can
+    assert rows[("xsort", "x")].scan_frac < 0.5   # both prune their sort dim
+    assert rows[("zorder", "x")].scan_frac < 0.5
