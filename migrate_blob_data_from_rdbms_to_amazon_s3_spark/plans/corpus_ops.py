@@ -132,6 +132,74 @@ def q_quality_percentile_filter(spark, sf_dir):
     )
 
 
+CURR_BUCKETS = 4  # difficulty quartiles for the curriculum schedule
+CURR_SUBS = 1 << 8  # coin shards per bucket: rank windows hold n/1024, never n/4
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order (Bengio et al., ICML 2009): every doc
+    gets a deterministic global position that anneals easy → hard.
+    Difficulty = the corpus's own unigram-LM fluency score (low mean
+    -ln p = fluent = easy), cut into CURR_BUCKETS quartiles by the
+    count-distribution quantile method; WITHIN a quartile the order is a
+    deterministic md5 coin, so no source/topic run survives into the
+    training stream (the same coin discipline as dataset_split).
+
+    Scale: the same distributed-rank shape as q_distributed_global_rank,
+    but the rank window partitions on (bucket, coin-shard) — the shard is
+    the coin's top 8 bits, so (bucket, shard, coin) ordering equals
+    (bucket, coin) ordering and the 1024 balanced windows compose into
+    one exact global rank via a 1024-row prefix-sum broadcast. No
+    corpus-sized window partition anywhere; the naive global ROW_NUMBER
+    is the oracle only."""
+    from ..functions.quantiles import distribution_quantiles
+
+    doc_scores = _unigram_doc_scores(spark, sf_dir, "score").localCheckpoint(
+        eager=True
+    )
+    ps = tuple(i / CURR_BUCKETS for i in range(1, CURR_BUCKETS))
+    cuts = distribution_quantiles(
+        doc_scores, None, "score", ps, scale=1000, grain_space=True
+    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
+    bucketed = (
+        doc_scores.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            # number of quartile cuts strictly below this doc's grain —
+            # 0 = easiest quartile; equal grains share a bucket
+            F.expr(
+                "aggregate(cuts, 0, (acc, c) -> "
+                "acc + IF(CAST(round(score * 1000) AS DOUBLE) > c, 1, 0))"
+            ).alias("bucket"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ).alias("coin"),
+        )
+        .withColumn("coin_shard", F.expr(f"coin div {1 << 52}"))
+    )
+    counts = bucketed.groupBy("bucket", "coin_shard").agg(F.count("*").alias("n"))
+    prev = counts.select(
+        F.col("bucket").alias("pb"), F.col("coin_shard").alias("psub"), F.col("n").alias("pn")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prev),
+            (F.col("pb") < F.col("bucket"))
+            | ((F.col("pb") == F.col("bucket")) & (F.col("psub") < F.col("coin_shard"))),
+            "left",
+        )
+        .groupBy("bucket", "coin_shard")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("bucket", "coin_shard").orderBy("coin", "doc_id")
+    return bucketed.join(F.broadcast(offsets), ["bucket", "coin_shard"]).select(
+        "doc_id",
+        "bucket",
+        (F.col("offset") + F.row_number().over(w)).alias("curriculum_rank"),
+    )
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Embedding-space outlier report: the OUTLIER_TOPK vectors farthest
     (L2) from the corpus centroid — the audit that surfaces corrupt /
@@ -722,6 +790,7 @@ QUERIES = {
     "source_kl_divergence": q_source_kl_divergence,
     "unigram_logprob_score": q_unigram_logprob,
     "quality_percentile_filter": q_quality_percentile_filter,
+    "curriculum_order": q_curriculum_order,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_outliers": q_embedding_outliers,
     "stratified_sample": q_stratified_sample,
@@ -972,6 +1041,46 @@ ORACLES = {
                     ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM doc_scores s CROSS JOIN cut JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """,
+    "curriculum_order": rf"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        doc_scores AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln(c / t)), 3) AS score
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        ),
+        cuts AS (
+            SELECT q0, q1, q2 FROM ({distribution_quantiles_duck(
+                "SELECT score FROM doc_scores", None, "score",
+                tuple(i / CURR_BUCKETS for i in range(1, CURR_BUCKETS)),
+                scale=1000, grain_space=True,
+            )})
+        ),
+        b AS (
+            SELECT doc_id,
+                   (CASE WHEN round(score * 1000) > q0 THEN 1 ELSE 0 END
+                  + CASE WHEN round(score * 1000) > q1 THEN 1 ELSE 0 END
+                  + CASE WHEN round(score * 1000) > q2 THEN 1 ELSE 0 END)
+                       AS bucket,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS coin
+            FROM doc_scores CROSS JOIN cuts
+        )
+        SELECT doc_id, bucket,
+               ROW_NUMBER() OVER (ORDER BY bucket, coin, doc_id)
+                   AS curriculum_rank
+        FROM b
     """,
     "unigram_logprob_score": r"""
         WITH toks AS (

@@ -150,3 +150,30 @@ def test_distribution_percentiles_equal_buffering_exact(spark, sf_dir):
         for r in q_grouped_percentiles_distribution(spark, sf_dir).collect()
     }
     assert dist == exact
+
+
+def test_curriculum_order_is_annealed_permutation(spark, sf_dir):
+    """curriculum_rank must be a permutation of 1..n, buckets must be
+    contiguous rank blocks in ascending difficulty, and the distributed
+    (bucket, coin-shard) rank composition must equal the naive global
+    order — i.e. ranks within a bucket follow the coin order."""
+    from pyspark.sql import functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.corpus_ops import (
+        q_curriculum_order,
+    )
+
+    rows = q_curriculum_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.curriculum_rank for r in rows) == list(range(1, n + 1))
+    # every rank in bucket b is below every rank in bucket b+1
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.curriculum_rank)
+    buckets = sorted(by_bucket)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert max(by_bucket[lo]) < min(by_bucket[hi])
+    # quartile cuts: no bucket dominates (fixture scores are spread)
+    assert len(buckets) == 4
+    assert max(len(v) for v in by_bucket.values()) < 0.6 * n
