@@ -132,6 +132,52 @@ def q_quality_percentile_filter(spark, sf_dir):
     )
 
 
+VOCAB_V = 1000  # vocabulary size for the OOV coverage audit
+
+
+def q_vocab_oov_audit(spark, sf_dir):
+    """Tokenizer-coverage audit: fix the vocabulary at the corpus's top
+    VOCAB_V tokens by frequency (ties broken on the token, so the
+    boundary is deterministic) and report per source: token mass, OOV
+    token mass, OOV rate, and distinct OOV types — the first number a
+    tokenizer/vocab decision reads per data source before training
+    (type-token coverage per Zipf's law; Heaps' law governs the tail).
+
+    Scale: the vocab candidate table is the token-grain aggregation
+    (map-side combine; Zipf-bounded rows), the top-V cut is a
+    TakeOrdered (V rows, never a global sort of the corpus), and the
+    V-row vocab broadcasts back to the token stream — one corpus-sized
+    shuffle total (the vocab agg), everything else bounded."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab_top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    flagged = (
+        toks.join(F.broadcast(vocab_top), "tok", "left")
+        .join(docs, "doc_id")
+        .select(
+            "source",
+            "tok",
+            F.coalesce("in_vocab", F.lit(0)).alias("iv"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.lit(1) - F.col("iv")).alias("n_oov_tokens"),
+        F.round(F.try_divide(F.sum(F.lit(1) - F.col("iv")), F.count("*")), 4).alias(
+            "oov_rate"
+        ),
+        F.count_distinct(F.when(F.col("iv") == 0, F.col("tok"))).alias(
+            "n_oov_types"
+        ),
+    )
+
+
 CURR_BUCKETS = 4  # difficulty quartiles for the curriculum schedule
 CURR_SUBS = 1 << 8  # coin shards per bucket: rank windows hold n/1024, never n/4
 
@@ -791,6 +837,7 @@ QUERIES = {
     "unigram_logprob_score": q_unigram_logprob,
     "quality_percentile_filter": q_quality_percentile_filter,
     "curriculum_order": q_curriculum_order,
+    "vocab_oov_audit": q_vocab_oov_audit,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_outliers": q_embedding_outliers,
     "stratified_sample": q_stratified_sample,
@@ -1041,6 +1088,35 @@ ORACLES = {
                     ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM doc_scores s CROSS JOIN cut JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """,
+    "vocab_oov_audit": rf"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t != '') AS ts
+                FROM documents
+            ), LATERAL (SELECT UNNEST(ts) AS tok) u
+        ),
+        vocab_top AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ) ORDER BY c DESC, tok LIMIT {VOCAB_V}
+        ),
+        flagged AS (
+            SELECT d.source, t.tok,
+                   CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+            FROM toks t
+            JOIN documents d USING (doc_id)
+            LEFT JOIN vocab_top v ON t.tok = v.tok
+        )
+        SELECT source,
+               COUNT(*) AS n_tokens,
+               SUM(1 - iv) AS n_oov_tokens,
+               ROUND(SUM(1 - iv) / COUNT(*), 4) AS oov_rate,
+               COUNT(DISTINCT CASE WHEN iv = 0 THEN tok END) AS n_oov_types
+        FROM flagged GROUP BY source
     """,
     "curriculum_order": rf"""
         WITH toks AS (
