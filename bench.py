@@ -120,6 +120,9 @@ HEADLINE = [
     "order_backlog_peaks",
     "training_shard_manifest",
     "ann_index_ivf_knn_batch",
+    "curriculum_order",
+    "vocab_oov_audit",
+    "zorder_pruning_audit",
 ]
 
 STREAMING = [
