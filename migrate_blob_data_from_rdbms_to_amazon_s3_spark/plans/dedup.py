@@ -328,6 +328,87 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_prefix(spark, sf_dir):
+    """Incremental LOSSLESS near-dup ingest: the new batch (doc_id % 3
+    == 0, the dedup_incremental slice convention) probes the registry's
+    prefix index at Jaccard >= 0.7 — the exact-recall sibling of
+    q_dedup_incremental_lsh (which estimates via MinHash bands) and the
+    per-drop form of q_dedup_jaccard_prefix (which self-joins the whole
+    corpus). Pairs exist only batch×registry, never registry×registry:
+    ingesting B docs into an N-doc corpus probes B prefixes against the
+    standing index instead of re-running the full self-join.
+
+    The prefix lemma needs one total order SHARED by both sides of a
+    pair — here ascending REGISTRY document frequency (ties on the
+    hash), with batch-only tokens at df 0: any token order works for
+    exactness, and registry-df-ascending keeps the probe join's hot side
+    small (a batch-only token matches nothing; a stop-phrase sorts last
+    and leaves every prefix). Candidates carry the integer length filter
+    before verification; verification re-attaches the two shingle
+    arrays by id. Output: (batch_doc, registry_doc, jaccard), exact."""
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+        .withColumn("sh60", F.expr("transform(sh, s -> xxhash64(s))"))
+    )
+    base = _barrier(raw, ["doc_id", "lang"], ["sh60"]).withColumn(
+        "n_sh", F.size("sh60")
+    )
+    ex = base.select("doc_id", "lang", "n_sh", F.explode("sh60").alias("s"))
+    dftab = (
+        ex.filter(F.col("doc_id") % 3 != 0)
+        .groupBy("lang", "s")
+        .agg(F.count("*").alias("dfc"))
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({PREFIX_T_NUM} * n_sh + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}")
+        + F.lit(1)
+    )
+    w = Window.partitionBy("doc_id").orderBy("dfc0", "s")
+    pref = (
+        ex.join(dftab, ["lang", "s"], "left")
+        .withColumn("dfc0", F.coalesce("dfc", F.lit(0)))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= prefix_len)
+        .select("lang", "s", "doc_id", "n_sh")
+    )
+    bp = pref.filter(F.col("doc_id") % 3 == 0).select(
+        "lang", "s", F.col("doc_id").alias("batch_doc"), F.col("n_sh").alias("na")
+    )
+    rp = pref.filter(F.col("doc_id") % 3 != 0).select(
+        "lang", "s", F.col("doc_id").alias("registry_doc"), F.col("n_sh").alias("nb")
+    )
+    cand = (
+        bp.join(rp, ["lang", "s"])
+        .filter(
+            (PREFIX_T_DEN * F.col("na") >= PREFIX_T_NUM * F.col("nb"))
+            & (PREFIX_T_DEN * F.col("nb") >= PREFIX_T_NUM * F.col("na"))
+        )
+        .select("batch_doc", "registry_doc")
+        .distinct()
+    )
+    da = base.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("sh60").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    db = base.select(
+        F.col("doc_id").alias("registry_doc"),
+        F.col("sh60").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(F.try_divide(c, F.col("na") + F.col("nb") - c), 4)
+    return (
+        cand.join(da, "batch_doc")
+        .join(db, "registry_doc")
+        .select("batch_doc", "registry_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )
+
+
 def q_dedup_source_matrix(spark, sf_dir):
     """Cross-source duplication matrix: the near-dup pairs found by the
     3-gram Jaccard index, contracted to the (source, source) grain — the
@@ -972,6 +1053,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_incremental_prefix": q_dedup_incremental_prefix,
     "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_containment": q_dedup_containment,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -1125,6 +1207,26 @@ ORACLES = {
             GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b, ROUND(c / (na + nb - c), 4) AS jaccard
+        FROM common
+        WHERE ROUND(c / (na + nb - c), 4) >= {PREFIX_JACCARD_T}
+    """,
+    # lossless like dedup_jaccard_prefix's: plain exact cross-set pairs
+    "dedup_incremental_prefix": f"""
+        WITH {_DOCS_SH_DUCK},
+        ex AS (
+            SELECT t.doc_id, t.lang, len(t.sh) AS n_sh, u.s
+            FROM sh_t t, LATERAL (SELECT UNNEST(sh) AS s) u
+        ),
+        common AS (
+            SELECT a.doc_id AS batch_doc, b.doc_id AS registry_doc,
+                   a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+            FROM ex a JOIN ex b
+              ON a.lang = b.lang AND a.s = b.s
+             AND a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT batch_doc, registry_doc,
+               ROUND(c / (na + nb - c), 4) AS jaccard
         FROM common
         WHERE ROUND(c / (na + nb - c), 4) >= {PREFIX_JACCARD_T}
     """,

@@ -306,3 +306,33 @@ def test_prefix_join_boundary_docs(spark, tmp_path):
         for r in dedup.q_dedup_jaccard_prefix(spark, path).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_incremental_prefix_exact_vs_bruteforce(spark, sf_dir):
+    """The batch-probe variant must find exactly the cross-set pairs the
+    full uncapped computation finds at the same threshold — no
+    registry-x-registry pairs, no misses (cross-set prefix lemma under
+    the shared registry-df order)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.batch_doc, r.registry_doc): r.jaccard
+        for r in dedup.q_dedup_incremental_prefix(spark, sf_dir).collect()
+    }
+    assert all(a % 3 == 0 and b % 3 != 0 for a, b in got)
+    jac = F.round(
+        F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    full = (
+        dedup._ngram_common(spark, sf_dir, max_posting_df=1 << 40)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= dedup.PREFIX_JACCARD_T)
+    ).collect()
+    want = {}
+    for r in full:
+        sides = {r.doc_a % 3 == 0, r.doc_b % 3 == 0}
+        if sides == {True, False}:  # exactly one side in the batch
+            b, reg = (r.doc_a, r.doc_b) if r.doc_a % 3 == 0 else (r.doc_b, r.doc_a)
+            want[(b, reg)] = r.jaccard
+    assert got == want
+    assert len(got) > 0
