@@ -705,6 +705,67 @@ def q_dedup_substring_windows(spark, sf_dir):
     )
 
 
+# --- winnowing fingerprints ---------------------------------------------------
+# k-gram length and winnowing window: any exact substring match of at
+# least WINNOW_K + WINNOW_W - 1 = 23 chars is GUARANTEED to share a
+# selected fingerprint (the winnowing theorem), at an expected
+# fingerprint density of 2/(WINNOW_W + 1).
+WINNOW_K, WINNOW_W = 16, 8
+
+
+def q_dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprint audit (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, the fraction of
+    SELECTED fingerprints shared with >= 2 documents. Unlike
+    q_dedup_substring_windows' fixed-stride sampling (which can MISS a
+    copied span that straddles its stride), winnowing selects the
+    minimum k-gram hash in every window of WINNOW_W consecutive
+    positions, guaranteeing any exact match of >= K+W-1 chars shares a
+    fingerprint while storing only ~2/(W+1) of positions.
+
+    The selection depends on hash VALUES (the min), so the hash must
+    agree across engines: md5-derived 60-bit (the MinHash-sig
+    discipline), NOT engine-internal xxhash64 — that is the measured
+    JIT-heavy path, the honest price of value-level selection parity.
+    Plan shape is q_dedup_substring_windows': fingerprints explode as
+    8-byte ints, one hash-grain frequency agg, flag join back on the
+    materialized exchange, doc-grain rollup — NO pair stage, linear in
+    corpus chars."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    )
+    kg_expr = (
+        f"transform(sequence(1, length(text) - {WINNOW_K} + 1), "
+        f"p -> {_h60_spark(f'substring(text, p, {WINNOW_K})')})"
+    )
+    fp_expr = (
+        f"array_distinct(transform(sequence(1, size(kgs) - {WINNOW_W} + 1), "
+        f"i -> array_min(slice(kgs, i, {WINNOW_W}))))"
+    )
+    raw = (
+        docs.withColumn("kgs", F.expr(kg_expr))
+        .withColumn("fps", F.expr(fp_expr))
+        .select("doc_id", "fps")
+    )
+    fps = (
+        _barrier(raw, ["doc_id"], ["fps"])
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .repartition("fp")
+        .localCheckpoint(eager=False)
+    )
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("nd"))
+    flagged = fps.join(dfreq, "fp").select(
+        "doc_id", (F.col("nd") >= 2).cast("int").alias("dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum("dup").alias("n_dup_fingerprints"),
+        F.round(F.sum("dup") / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
 # --- MinHash signatures ------------------------------------------------------------
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature table (first 4 of 16 permutations exposed;
@@ -1047,6 +1108,7 @@ def q_leakage_safe_split(spark, sf_dir):
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring_windows": q_dedup_substring_windows,
+    "dedup_winnowing": q_dedup_winnowing,
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_incremental": q_dedup_incremental,
     "dedup_components": q_dedup_components,
@@ -1142,6 +1204,39 @@ ORACLES = {
                ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
                  AS dup_frac
         FROM wins JOIN dfreq USING (wh)
+        GROUP BY doc_id
+    """,
+    "dedup_winnowing": f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        kg AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, length(text) - {WINNOW_K - 1}),
+                       p -> {_h60_duck(f"substr(text, p, {WINNOW_K})")}) AS kgs
+            FROM base
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(kgs) - {WINNOW_W - 1}),
+                       i -> list_aggregate(kgs[i:i + {WINNOW_W - 1}], 'min')))
+                       AS fps
+            FROM kg
+        ),
+        ex AS (
+            SELECT doc_id, u.fp
+            FROM fps, LATERAL (SELECT UNNEST(fps) AS fp) u
+        ),
+        dfreq AS (SELECT fp, COUNT(*) AS nd FROM ex GROUP BY fp)
+        SELECT doc_id,
+               COUNT(*) AS n_fingerprints,
+               SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_fingerprints,
+               ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+                   AS dup_frac
+        FROM ex JOIN dfreq USING (fp)
         GROUP BY doc_id
     """,
     "dedup_exact": """

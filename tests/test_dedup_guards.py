@@ -336,3 +336,29 @@ def test_incremental_prefix_exact_vs_bruteforce(spark, sf_dir):
             want[(b, reg)] = r.jaccard
     assert got == want
     assert len(got) > 0
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The winnowing theorem, end-to-end: any exact shared substring of
+    >= K+W-1 chars MUST produce a shared fingerprint in both docs; docs
+    with no long shared span stay clean; selected density is near the
+    expected 2/(W+1)."""
+    copied = "the quick brown fox jumps over the lazy dog tonight"  # 52 chars
+    rows = [
+        (1, f"unique preamble one {copied} unique tail alpha"),
+        (2, f"completely different opening text {copied} other ending beta"),
+        (3, "this document shares nothing with the others at all here"),
+    ]
+    path = _write_docs(tmp_path, rows)
+    got = {r.doc_id: r for r in dedup.q_dedup_winnowing(spark, path).collect()}
+    assert got[1].n_dup_fingerprints >= 1
+    assert got[2].n_dup_fingerprints >= 1
+    assert got[3].n_dup_fingerprints == 0 and got[3].dup_frac == 0.0
+    # density: fingerprints per k-gram position ~ 2/(W+1), loose band
+    for doc_id, text in rows:
+        n_pos = len(text) - dedup.WINNOW_K + 1
+        density = got[doc_id].n_fingerprints / n_pos
+        assert 0.05 < density < 0.8
