@@ -123,6 +123,7 @@ HEADLINE = [
     "curriculum_order",
     "vocab_oov_audit",
     "zorder_pruning_audit",
+    "text_index_neardup_persisted",
 ]
 
 STREAMING = [

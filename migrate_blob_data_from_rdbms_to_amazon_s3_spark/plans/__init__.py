@@ -23,6 +23,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         grouped_map,
         text,
         dedup,
+        text_index_entries,
         contamination,
         similarity,
         ann_index_entries,
@@ -39,7 +40,8 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
-        grouped_map, text, dedup, contamination, similarity, ann_index_entries,
+        grouped_map, text, dedup, text_index_entries, contamination, similarity,
+        ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
         profiling_stats, graph_ops, insights,
     )
