@@ -172,19 +172,36 @@ def neardup_text_persisted(spark: SparkSession, path: str) -> DataFrame:
 
 
 def ingest_text_persisted(
-    spark: SparkSession, batch_docs: DataFrame, path: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    path: str,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest probe: the batch's signatures compute in-plan (batch-sized
     work), its band rows equi-join the standing pre-capped bands —
     batch x registry only. Value-identical to q_dedup_incremental_lsh
     when the index holds the registry slice (shares its oracle).
-    Output: (batch_doc, registry_doc, est_jaccard)."""
+    Output: (batch_doc, registry_doc, est_jaccard).
+
+    ``exclude_ids`` (a 1-column doc_id frame) removes those docs from
+    the registry side by anti-join — the streaming gate's
+    replay-stability primitive: re-probing after a crashed append sees
+    the pre-batch MEMBERSHIP. The stored fill counts are not
+    recomputed under exclusion, so a bucket a crashed append pushed
+    over the cap stays suppressed until the next append recounts —
+    a conservative (recall-reducing, never wrong-pair) degrade."""
     read_meta(spark, path)
     bsigs = _sigs_from_docs(batch_docs).localCheckpoint(eager=False)
     bexp = _band_rows(bsigs).select(
         F.col("doc_id").alias("batch_doc"), "band_idx", "band_val"
     )
-    reg = load_capped_bands(spark, path).select(
+    reg_bands = load_capped_bands(spark, path)
+    reg_sigs = load_signatures(spark, path)
+    if exclude_ids is not None:
+        ids = exclude_ids.select("doc_id")
+        reg_bands = reg_bands.join(ids, "doc_id", "left_anti")
+        reg_sigs = reg_sigs.join(ids, "doc_id", "left_anti")
+    reg = reg_bands.select(
         F.col("doc_id").alias("registry_doc"), "band_idx", "band_val"
     )
     cand = (
@@ -195,7 +212,7 @@ def ingest_text_persisted(
     return _est_jaccard(
         cand,
         _renamed_sigs(bsigs, "batch_doc", "la"),
-        _renamed_sigs(load_signatures(spark, path), "registry_doc", "lb"),
+        _renamed_sigs(reg_sigs, "registry_doc", "lb"),
         "batch_doc",
         "registry_doc",
     )

@@ -1,5 +1,7 @@
-"""Streaming ingest gate over the standing IVF index: as vectors ARRIVE,
-probe-then-append per micro-batch.
+"""Streaming ingest gates over the standing indexes: as records ARRIVE,
+probe-then-append per micro-batch — ``ivf_ingest_gate`` for embeddings
+over the IVF index, ``text_ingest_gate`` for documents over the
+MinHash-LSH text index (operators/text_index).
 
 The batch operators already split the lifecycle — build once
 (operators/ivf_index.build_ivf_index), probe a batch in one pass
@@ -101,6 +103,67 @@ def ivf_ingest_gate(
     return (
         stream.writeStream.foreachBatch(gate)
         .queryName("ivf_ingest_gate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{results_path}__checkpoint")
+        .start()
+    )
+
+
+def text_ingest_gate(stream: DataFrame, index_path: str, results_path: str):
+    """The text-side gate: an availableNow foreachBatch drain of
+    ``stream`` (doc_id, text) through the standing MinHash-LSH index
+    (operators/text_index). Per micro-batch, in order:
+
+    1. pin the batch (``localCheckpoint``);
+    2. probe the standing index for near-dup evidence against the
+       corpus ingested BEFORE this batch, excluding the whole batch's
+       ids from the registry side (replay-stability: a crashed
+       attempt's partial append can't make batch members each other's
+       registry neighbors — membership is restored by the anti-join;
+       the fill-count boundary is documented on ingest_text_persisted);
+    3. write (batch_doc, registry_doc, est_jaccard) to
+       ``results_path/batch_id=<id>`` with dynamic partition overwrite
+       (idempotent replay);
+    4. append only the docs the index does not already hold
+       (signature-id anti-join — a replayed append converges).
+
+    Each micro-batch pays batch-sized signing, one equi-join against
+    the stored pre-capped bands, and one append that re-signs only the
+    batch — never a registry re-scan."""
+    from ..operators.text_index import (
+        append_text_index,
+        ingest_text_persisted,
+        load_signatures,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        if not batch.take(1):
+            return
+        probes = ingest_text_persisted(
+            spark, batch, index_path, exclude_ids=batch.select("doc_id")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                probes.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(results_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        missing = batch.join(
+            load_signatures(spark, index_path).select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if missing.take(1):
+            append_text_index(spark, missing, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .queryName("text_ingest_gate")
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{results_path}__checkpoint")
         .start()
