@@ -277,3 +277,37 @@ def test_malformed_json_quarantined(spark, tmp_path):
     clean, quarantine = read_jsonl_clean(spark, str(path), ORDERS_DDL)
     assert sorted(r.o_orderkey for r in clean.collect()) == [1, 2]
     assert quarantine.count() == 1
+
+
+# --- ORC (Spark-native columnar; no wrapper needed — these tests pin the
+# capability: round-trip fidelity incl. binary blobs, and that filters
+# reach the ORC scan as pushed predicates like they do for parquet) -----------
+
+
+def test_orc_round_trip_matches_parquet(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        f.simpleString() for f in src.schema.fields
+    ]
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_orc_binary_blob_fidelity(spark, tmp_path):
+    rows = [(1, bytes([0, 1, 2, 255, 254])), (2, b""), (3, b"\x00" * 64)]
+    src = spark.createDataFrame(rows, "id BIGINT, payload BINARY")
+    path = str(tmp_path / "blobs_orc")
+    src.write.orc(path)
+    got = {r.id: bytes(r.payload) for r in spark.read.orc(path).collect()}
+    assert got == {i: b for i, b in rows}
+
+
+def test_orc_filter_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc_pd")
+    src.write.orc(path)
+    df = spark.read.orc(path).filter("o_orderkey = 7").select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters:")[1][:120]
