@@ -124,6 +124,8 @@ HEADLINE = [
     "vocab_oov_audit",
     "zorder_pruning_audit",
     "text_index_neardup_persisted",
+    "hybrid_rrf_fusion",
+    "bm25_dense_rerank",
 ]
 
 STREAMING = [

@@ -22,6 +22,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         sql_surface,
         grouped_map,
         text,
+        retrieval,
         dedup,
         text_index_entries,
         contamination,
@@ -40,7 +41,8 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
-        grouped_map, text, dedup, text_index_entries, contamination, similarity,
+        grouped_map, text, retrieval, dedup, text_index_entries, contamination,
+        similarity,
         ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
         profiling_stats, graph_ops, insights,
