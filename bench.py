@@ -126,6 +126,7 @@ HEADLINE = [
     "text_index_neardup_persisted",
     "hybrid_rrf_fusion",
     "bm25_dense_rerank",
+    "embedding_random_projection",
 ]
 
 STREAMING = [

@@ -27,6 +27,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         text_index_entries,
         contamination,
         similarity,
+        projection,
         ann_index_entries,
         ivf_index_entries,
         multimodal,
@@ -42,7 +43,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
         grouped_map, text, retrieval, dedup, text_index_entries, contamination,
-        similarity,
+        similarity, projection,
         ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
         profiling_stats, graph_ops, insights,
