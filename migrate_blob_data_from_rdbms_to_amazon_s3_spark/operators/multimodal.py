@@ -435,3 +435,177 @@ def build_media_fixture_payload(doc_id: int, body: bytes) -> bytes:
     return (
         b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0) + body
     )  # 13-byte logical screen descriptor
+
+
+# --- video / bitmap container headers (round 10) ----------------------------
+# ISO BMFF box grammar per ISO/IEC 14496-12 §4.2 (compact size, largesize
+# when size == 1, box-extends-to-EOF when size == 0); mvhd layout per
+# §8.2.2 (v0: 32-bit times, v1: 64-bit). BMP per the Windows
+# BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes) layout.
+_MP4_BRANDS = ("isom", "mp42", "avc1")
+
+
+def parse_video_header(payload: bytes):
+    """(format, width, height, bpp, major_brand, timescale, duration,
+    duration_ms) from REAL video/bitmap container headers in pure byte
+    arithmetic — no codec library:
+
+    - MP4 / ISO BMFF: top-level box walk (each box: BE uint32 size +
+      fourcc; size 1 → 64-bit largesize follows; size 0 → box extends to
+      EOF) collecting the ftyp major brand, then the moov child walk to
+      mvhd — timescale/duration at version-dependent offsets (v0: BE
+      uint32s after 4+4+4 version/creation/modification; v1: 64-bit
+      times). duration_ms = duration·1000 // timescale (floor).
+    - BMP: 'BM' magic; width/height are LE int32 at offsets 18/22 inside
+      BITMAPINFOHEADER, bits-per-pixel LE uint16 at 28.
+
+    Malformed input degrades to typed unknowns, never garbage: a box
+    whose declared size is smaller than its own header, or a truncated
+    length field, stops the walk (same stance as the JPEG marker walk's
+    SOS/EOI rule). Frame/sample DECODE stays the documented codec seam
+    (decode_image/decode_audio)."""
+    p = bytes(payload)
+    if len(p) >= 8 and p[4:8] == b"ftyp":
+        brand = timescale = duration = None
+        o = 0
+        while o + 8 <= len(p):
+            size = int.from_bytes(p[o : o + 4], "big")
+            btype = p[o + 4 : o + 8]
+            hdr = 8
+            if size == 1:
+                if o + 16 > len(p):
+                    break
+                size = int.from_bytes(p[o + 8 : o + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = len(p) - o  # last box: extends to EOF (§4.2)
+            if size < hdr:
+                break  # malformed: size can't cover its own header
+            if btype == b"ftyp" and o + hdr + 4 <= len(p):
+                brand = p[o + hdr : o + hdr + 4].decode("latin-1")
+            elif btype == b"moov":
+                co, end = o + hdr, min(o + size, len(p))
+                while co + 8 <= end:
+                    csize = int.from_bytes(p[co : co + 4], "big")
+                    ctype = p[co + 4 : co + 8]
+                    chdr = 8
+                    if csize == 1:
+                        if co + 16 > end:
+                            break
+                        csize = int.from_bytes(p[co + 8 : co + 16], "big")
+                        chdr = 16
+                    elif csize == 0:
+                        csize = end - co
+                    if csize < chdr:
+                        break
+                    if ctype == b"mvhd":
+                        b0 = co + chdr
+                        if b0 < end:
+                            ver = p[b0]
+                            if ver == 0 and b0 + 20 <= end:
+                                timescale = int.from_bytes(p[b0 + 12 : b0 + 16], "big")
+                                duration = int.from_bytes(p[b0 + 16 : b0 + 20], "big")
+                            elif ver == 1 and b0 + 32 <= end:
+                                timescale = int.from_bytes(p[b0 + 20 : b0 + 24], "big")
+                                duration = int.from_bytes(p[b0 + 24 : b0 + 32], "big")
+                        break
+                    co += csize
+            o += size
+        ms = duration * 1000 // timescale if timescale and duration is not None else None
+        return ("mp4", None, None, None, brand, timescale, duration, ms)
+    if p[:2] == b"BM" and len(p) >= 30:
+        return (
+            "bmp",
+            int.from_bytes(p[18:22], "little", signed=True),
+            int.from_bytes(p[22:26], "little", signed=True),
+            int.from_bytes(p[28:30], "little"),
+            None,
+            None,
+            None,
+            None,
+        )
+    return ("unknown", None, None, None, None, None, None, None)
+
+
+def extract_video_header(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas video/bitmap header extraction — one narrow Arrow
+    stage, no shuffle (the video sibling of extract_media_header)."""
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("format", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bpp", T.IntegerType()),
+            T.StructField("major_brand", T.StringType()),
+            T.StructField("timescale", T.LongType()),
+            T.StructField("duration", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    cols = [
+        id_col, "format", "n_bytes", "width", "height", "bpp",
+        "major_brand", "timescale", "duration", "duration_ms",
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                fmt, w, h, bpp, brand, ts, dur, ms = parse_video_header(blob)
+                rows.append(
+                    (doc_id, fmt, len(bytes(blob)), w, h, bpp, brand, ts, dur, ms)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+
+
+def build_video_fixture_payload(doc_id: int, body: bytes) -> bytes:
+    """Deterministic REAL-format video/bitmap payload by doc_id % 2:
+    0 → MP4 (ftyp + variable-size free box + moov{skip, mvhd v0|v1} +
+    mdat carrying the doc bytes), 1 → BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + the doc bytes). The free/skip boxes have
+    data-dependent sizes (n % 32 / doc_id % 16) so the box walk is
+    genuinely offset-dependent, and the mvhd version alternates by
+    (doc_id // 2) % 2 so both time layouts are exercised. Every field is
+    a simple function of (doc_id, len(body)) so the SQL oracle states
+    them independently of this builder."""
+    import struct
+
+    n = len(body)
+    if doc_id % 2 == 0:
+        brand = _MP4_BRANDS[doc_id % 3].encode()
+        ftyp = struct.pack(">I", 20) + b"ftyp" + brand + struct.pack(">I", 0) + b"isom"
+        free = struct.pack(">I", 8 + n % 32) + b"free" + bytes(n % 32)
+        timescale = 600 + (doc_id % 4) * 300
+        duration = (n * 11) % 100000
+        if (doc_id // 2) % 2 == 0:  # mvhd v0: 108-byte box
+            mvhd = (
+                struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8) + bytes(36) + bytes(24) + struct.pack(">I", 2)
+            )
+        else:  # mvhd v1: 120-byte box (64-bit times)
+            mvhd = (
+                struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+                + struct.pack(">QQIQ", 0, 0, timescale, duration)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8) + bytes(36) + bytes(24) + struct.pack(">I", 2)
+            )
+        skip = struct.pack(">I", 8 + doc_id % 16) + b"skip" + bytes(doc_id % 16)
+        moov = struct.pack(">I", 8 + len(skip) + len(mvhd)) + b"moov" + skip + mvhd
+        mdat = struct.pack(">I", 8 + n) + b"mdat" + body
+        return ftyp + free + moov + mdat
+    w = n % 2048 + 1
+    h = (n * 3) % 1024 + 1
+    bpp = (8, 24, 32)[doc_id % 3]
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + n, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, n, 2835, 2835, 0, 0)
+        + body
+    )

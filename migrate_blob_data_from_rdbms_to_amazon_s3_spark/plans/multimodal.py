@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import (
     audio_window_stats,
     build_media_fixture_payload,
+    build_video_fixture_payload,
     extract_media_header,
     extract_media_meta,
+    extract_video_header,
     sample_frames,
 )
 
@@ -84,8 +86,41 @@ def q_multimodal_header_meta(spark, sf_dir):
     return extract_media_header(wrapped)
 
 
+def q_multimodal_video_meta(spark, sf_dir):
+    """REAL video/bitmap container parsing (round 10; the video sibling
+    of q_multimodal_header_meta): each document's bytes ride as the mdat
+    of a genuine ISO BMFF MP4 (ftyp + data-dependent free box + moov
+    with a skip box and a v0/v1-alternating mvhd) or as a BMP pixel
+    body, by doc_id % 2 — then `extract_video_header` walks the boxes
+    back out in pure byte arithmetic (BE sizes/largesize/size-0,
+    version-dependent mvhd offsets; LE BITMAPINFOHEADER fields). The
+    oracle states every field — including total byte length, which sums
+    the data-dependent box sizes — as a function of (doc_id,
+    octet_length), so a walk that misreads any size field or version
+    offset hash-fails. Frame decode stays the documented codec seam."""
+    import pandas as pd
+
+    docs = _payloads(spark, sf_dir)
+
+    def builder(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_video_fixture_payload(int(i), bytes(b))
+                        for i, b in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    wrapped = docs.mapInPandas(builder, "doc_id bigint, payload binary")
+    return extract_video_header(wrapped)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_header_meta": q_multimodal_header_meta,
@@ -167,6 +202,37 @@ ORACLES = {
     # body + exact header size (PNG sig 8 + IHDR chunk 25 = 33; WAV
     # canonical header 44; JPEG SOI 2 + APP0 18 + SOF0 10+3*ncomp;
     # GIF 13-byte logical screen descriptor).
+    "multimodal_video_meta": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 2 AS kind,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE kind WHEN 0 THEN 'mp4' ELSE 'bmp' END AS format,
+               CAST(CASE kind
+                    WHEN 0 THEN 20 + (8 + n % 32) + 8 + (8 + doc_id % 16)
+                         + (CASE (doc_id // 2) % 2 WHEN 0 THEN 108 ELSE 120 END)
+                         + 8 + n
+                    ELSE 54 + n END AS INT) AS n_bytes,
+               CAST(CASE kind WHEN 1 THEN n % 2048 + 1 END AS INT) AS width,
+               CAST(CASE kind WHEN 1 THEN (n * 3) % 1024 + 1 END AS INT) AS height,
+               CAST(CASE kind WHEN 1 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END
+                    END AS INT) AS bpp,
+               CASE kind WHEN 0 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                         ELSE 'avc1' END
+                    END AS major_brand,
+               CAST(CASE kind WHEN 0 THEN 600 + (doc_id % 4) * 300 END AS BIGINT)
+                    AS timescale,
+               CAST(CASE kind WHEN 0 THEN (n * 11) % 100000 END AS BIGINT)
+                    AS duration,
+               CAST(CASE kind WHEN 0 THEN
+                    ((n * 11) % 100000) * 1000 // (600 + (doc_id % 4) * 300)
+                    END AS BIGINT) AS duration_ms
+        FROM d
+    """,
     "multimodal_header_meta": """
         WITH d AS (
             SELECT doc_id, doc_id % 4 AS kind,

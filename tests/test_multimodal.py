@@ -296,3 +296,110 @@ def test_parse_media_header_gif87a():
     # GCT flag set, color resolution 7, palette depth 8 (packed 0xF7)
     gif = b"GIF87a" + struct.pack("<HHBBB", 320, 200, 0xF7, 0, 0)
     assert parse_media_header(gif) == ("gif", 320, 200, 1, None, 8)
+
+
+def test_parse_video_header_golden_mp4_largesize_and_eof_box():
+    """Hand-built ISO BMFF per ISO/IEC 14496-12 §4.2/§8.2.2: ftyp, an
+    mdat using the 64-bit largesize encoding (size == 1), then a moov
+    with size == 0 (extends to EOF) holding a v0 mvhd — the three size
+    encodings in one file."""
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import parse_video_header
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    payload = b"\x00" * 5
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 3600, 3600, 90000, 450000)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8) + bytes(36) + bytes(24) + struct.pack(">I", 2)
+    )
+    moov = struct.pack(">I", 0) + b"moov" + mvhd  # size 0: to EOF
+    fmt, w, h, bpp, brand, ts, dur, ms = parse_video_header(ftyp + mdat + moov)
+    assert (fmt, brand) == ("mp4", "isom")
+    assert (ts, dur) == (90000, 450000)
+    assert ms == 5000  # 450000 / 90000 s
+
+
+def test_parse_video_header_mvhd_v1_64bit_times():
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import parse_video_header
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"mp42" + struct.pack(">I", 0)
+    mvhd = (
+        struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 1000, 2**33)  # duration > 32 bits
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8) + bytes(36) + bytes(24) + struct.pack(">I", 2)
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    fmt, _, _, _, brand, ts, dur, ms = parse_video_header(ftyp + moov)
+    assert (fmt, brand, ts, dur) == ("mp4", "mp42", 1000, 2**33)
+    assert ms == 2**33  # timescale 1000 -> ms == ticks
+
+
+def test_parse_video_header_golden_bmp():
+    """1x1 24-bpp BMP, BITMAPFILEHEADER + BITMAPINFOHEADER from the
+    public layout (54-byte header + 4 bytes padded pixel row)."""
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import parse_video_header
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+        + b"\x00\x00\xff\x00"
+    )
+    assert parse_video_header(bmp) == ("bmp", 1, 1, 24, None, None, None, None)
+
+
+def test_parse_video_header_malformed_degrades_typed():
+    import struct
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import parse_video_header
+
+    # declared box size smaller than its own header: walk stops typed
+    bad = struct.pack(">I", 16) + b"ftyp" + b"avc1" + struct.pack(">I", 0)
+    bad += struct.pack(">I", 4) + b"moov"
+    assert parse_video_header(bad) == ("mp4", None, None, None, "avc1", None, None, None)
+    # truncated largesize field
+    trunc = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    trunc += struct.pack(">I", 1) + b"moov" + b"\x00\x00"
+    assert parse_video_header(trunc)[0] == "mp4"
+    # neither magic
+    assert parse_video_header(b"plainbytes")[0] == "unknown"
+    # mvhd child whose declared size undercuts its header: child walk stops
+    mvhd_bad = struct.pack(">I", 2) + b"mvhd"
+    moov = struct.pack(">I", 8 + len(mvhd_bad)) + b"moov" + mvhd_bad
+    out = parse_video_header(struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0) + moov)
+    assert out == ("mp4", None, None, None, "isom", None, None, None)
+
+
+def test_video_fixture_roundtrip_properties():
+    """Builder -> parser round-trip across both kinds, both mvhd
+    versions, and bodies that shift the data-dependent free/skip box
+    sizes through their whole modular range."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.multimodal import (
+        build_video_fixture_payload,
+        parse_video_header,
+    )
+
+    for doc_id in range(12):
+        for n in (0, 1, 31, 32, 57):
+            body = bytes(range(256))[:n]
+            fmt, w, h, bpp, brand, ts, dur, ms = parse_video_header(
+                build_video_fixture_payload(doc_id, body)
+            )
+            if doc_id % 2 == 0:
+                assert fmt == "mp4"
+                assert brand == ("isom", "mp42", "avc1")[doc_id % 3]
+                assert ts == 600 + (doc_id % 4) * 300
+                assert dur == (n * 11) % 100000
+                assert ms == dur * 1000 // ts
+            else:
+                assert fmt == "bmp"
+                assert (w, h) == (n % 2048 + 1, (n * 3) % 1024 + 1)
+                assert bpp == (8, 24, 32)[doc_id % 3]
