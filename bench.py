@@ -127,6 +127,8 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "bm25_dense_rerank",
     "embedding_random_projection",
+    "token_zipf_fit",
+    "decontaminate_embedding",
 ]
 
 STREAMING = [

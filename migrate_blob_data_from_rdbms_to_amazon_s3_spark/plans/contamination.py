@@ -139,7 +139,63 @@ def q_ngram_topk(spark, sf_dir):
     )
 
 
+DECON_EVAL_MOD = 17  # vec_id % MOD == 0 marks the held-out eval set
+DECON_COSINE = 0.3   # looser than NEARDUP_COSINE: contamination screens favor recall
+
+
+def q_decontaminate_embedding(spark, sf_dir):
+    """SEMANTIC eval-set decontamination: training vectors whose cosine
+    to ANY held-out eval vector (vec_id % DECON_EVAL_MOD == 0 — a
+    deterministic stand-in for the benchmark registry) reaches the
+    contamination threshold (looser than the near-dup cut: a screen
+    prefers false flags over missed leakage), each with its best-matching eval item. This is
+    the embedding-level complement of decontaminate_ngram/_substring:
+    paraphrased or reformatted benchmark leakage that shares no n-gram
+    still collides in embedding space (the SemDeDup observation, Abbas
+    et al. 2023, applied to train x eval instead of train x train).
+
+    Candidates come from the SAME corpus-derived multi-probe sign-LSH
+    index every similarity consumer uses (`_knn_scored_pairs`) — never
+    a train x eval cross join; the eval filter lands on the id-only
+    candidate set before re-attachment, and the top-1 window runs over
+    per-vector candidate groups. At 100 TB the production form probes
+    the (small) eval side against the persisted train index
+    (operators/ann_index) — result-identical to this in-plan twin by
+    the pinned persisted==in-plan equality of tests/test_ann_index.py."""
+    from .similarity import Window, _emb, _knn_scored_pairs
+
+    scored = _knn_scored_pairs(_emb(spark, sf_dir))
+    hits = scored.filter(
+        (F.col("vec_a") % DECON_EVAL_MOD != 0)
+        & (F.col("vec_b") % DECON_EVAL_MOD == 0)
+        & (F.col("score") >= DECON_COSINE)
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("eval_id"),
+            "score",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _decon_embedding_oracle() -> str:
+    from .similarity import _knn_cte
+
+    return f"""
+        WITH {_knn_cte("", f"WHERE vec_a % {DECON_EVAL_MOD} != 0 AND vec_b % {DECON_EVAL_MOD} = 0 AND score >= {DECON_COSINE}")}
+        SELECT vec_a AS vec_id, vec_b AS eval_id, score
+        FROM knn WHERE nn_rank = 1
+        ORDER BY vec_id
+    """
+
+
 QUERIES = {
+    "decontaminate_embedding": q_decontaminate_embedding,
     "decontaminate_ngram": q_decontaminate_ngram,
     "decontaminate_substring": q_decontaminate_substring,
     "ngram_topk": q_ngram_topk,
@@ -154,6 +210,7 @@ _SH_T = f"""
 """
 
 ORACLES = {
+    "decontaminate_embedding": _decon_embedding_oracle(),
     "decontaminate_ngram": f"""
         WITH {_SH_T},
         hashed AS (

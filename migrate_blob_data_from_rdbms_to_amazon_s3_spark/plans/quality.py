@@ -296,7 +296,48 @@ def q_incremental_pointer_latest(spark, sf_dir):
     return keep_latest(run0.unionByName(run1), pk="order_id")
 
 
+K_ANON_THRESHOLD = 5
+# balance generalized to 1000-unit bands on exact integer cents (the
+# round(x*100) grain idiom); floor on DOUBLE, not integer div, so
+# negative balances band correctly in both engines (floor, not trunc)
+_BAND = "CAST(floor(CAST(round(c_acctbal * 100) AS DOUBLE) / 100000) AS BIGINT)"
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    (nation, market segment, 1000-unit balance band): the k-distribution
+    histogram — for each equivalence-class size k, how many classes and
+    rows sit at that k, flagged at_risk when k < K_ANON_THRESHOLD. This
+    is the re-identification screen a pipeline runs before releasing
+    training data joined with user attributes (complements text_pii_scrub,
+    which handles free-text identifiers). Two aggregations: QI-grain
+    (the only data-sized shuffle) then the tiny k-domain contraction —
+    no windows, no pair joins; 100 TB-safe by construction."""
+    c = _t(spark, sf_dir, "customer")
+    sizes = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(_BAND).alias("balance_band"),
+        )
+        .groupBy("nation", "segment", "balance_band")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        sizes.groupBy("k")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "k",
+            "n_groups",
+            (F.col("k") * F.col("n_groups")).alias("n_rows"),
+            (F.col("k") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = {
+    "k_anonymity_audit": q_k_anonymity_audit,
     "incremental_pointer_latest": q_incremental_pointer_latest,
     "referential_integrity_audit": q_referential_integrity_audit,
     "profile_orders": q_profile_orders,
@@ -309,6 +350,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "k_anonymity_audit": f"""
+        WITH sizes AS (
+            SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   {_BAND.replace("c_acctbal", "c_acctbal::DOUBLE")} AS balance_band,
+                   COUNT(*) AS k
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT k, COUNT(*) AS n_groups, k * COUNT(*) AS n_rows,
+               k < {K_ANON_THRESHOLD} AS at_risk
+        FROM sizes GROUP BY k ORDER BY k
+    """,
     "incremental_pointer_latest": """
         WITH runs AS (
             SELECT o_orderkey AS order_id, o_orderpriority AS description,

@@ -8,6 +8,7 @@ shuffle. The DuckDB oracles mirror the exact token/regex semantics.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.quantiles import distribution_quantiles_duck
@@ -501,8 +502,74 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+ZIPF_TOPV = 100
+
+
+def q_token_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus token-frequency curve: least-squares
+    slope/intercept/r² of ln(freq) on ln(rank) over the ZIPF_TOPV
+    most-frequent tokens — the standard sanity check that a scraped
+    corpus has natural-language token statistics (slope ≈ -1) rather
+    than boilerplate/spam (flat head) or template explosion (cliff).
+
+    Determinism: ln terms quantize to integer micros (half-up floor) and
+    every regression sum (Σx, Σy, Σx², Σxy, Σy²) is an exact BIGINT over
+    the rank-bounded 100-row frame; slope/intercept/r² are then single
+    identically-shaped double expressions in both engines. Headroom:
+    ln(freq) < 37 even at 1e16 tokens ⇒ y-micros < 3.7e7, n·Σy² < 1.4e17
+    — inside BIGINT. Scale shape: one token-grain aggregation feeding
+    TakeOrdered(TOPV); the row_number window runs on the bounded head
+    only. n <= 1 or a degenerate head yields NULL fit fields (try_divide)
+    in both engines."""
+    d = _docs_with_toks(spark, sf_dir)
+    tf = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), "tok")
+        .limit(ZIPF_TOPV)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "tok"))
+        )
+    )
+    t = top.select(
+        F.expr(
+            "CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000D + 0.5D) AS BIGINT)"
+        ).alias("xm"),
+        F.expr(
+            "CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000D + 0.5D) AS BIGINT)"
+        ).alias("ym"),
+    )
+    s = t.agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.expr("xm * xm")).alias("sxx"),
+        F.sum(F.expr("xm * ym")).alias("sxy"),
+        F.sum(F.expr("ym * ym")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.expr(
+            "try_divide(CAST(n * sxy - sx * sy AS DOUBLE), CAST(n * sxx - sx * sx AS DOUBLE))"
+        ).alias("zipf_slope"),
+        F.expr(
+            "try_divide(CAST(sy AS DOUBLE) - "
+            "try_divide(CAST(n * sxy - sx * sy AS DOUBLE), CAST(n * sxx - sx * sx AS DOUBLE)) "
+            "* CAST(sx AS DOUBLE), CAST(n AS DOUBLE) * 1000000D)"
+        ).alias("zipf_intercept"),
+        F.expr(
+            "try_divide(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE), "
+            "CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "token_zipf_fit": q_token_zipf_fit,
     "doc_top_tokens": q_doc_top_tokens,
     "ngram_novelty": q_ngram_novelty,
     "text_length_percentiles": q_length_percentiles,
@@ -518,6 +585,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_zipf_fit": rf"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t != '') AS toks
+            FROM documents
+        ),
+        tf AS (
+            SELECT u.tok, COUNT(*) AS freq
+            FROM d, LATERAL (SELECT UNNEST(toks) AS tok) u
+            GROUP BY u.tok
+        ),
+        top AS (
+            SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+            FROM (SELECT * FROM tf ORDER BY freq DESC, tok LIMIT {ZIPF_TOPV})
+        ),
+        t AS (
+            SELECT CAST(floor(ln(rank::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm,
+                   CAST(floor(ln(freq::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ym
+            FROM top
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   SUM(xm) AS sx, SUM(ym) AS sy,
+                   SUM(xm * xm) AS sxx, SUM(xm * ym) AS sxy,
+                   SUM(ym * ym) AS syy
+            FROM t
+        )
+        SELECT n AS n_tokens,
+               CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE) END AS zipf_slope,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE) -
+                          (CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                                ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                                     CAST(n * sxx - sx * sx AS DOUBLE) END)
+                          * CAST(sx AS DOUBLE)) /
+                         (CAST(n AS DOUBLE) * 1000000) END AS zipf_intercept,
+               CASE WHEN (CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN NULL
+                    ELSE (CAST(n * sxy - sx * sy AS DOUBLE) *
+                          CAST(n * sxy - sx * sy AS DOUBLE)) /
+                         (CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+        FROM s
+    """,
     "bm25_topk": rf"""
         WITH d AS (
             SELECT doc_id,
