@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .similarity import EMB_DIM, _emb
@@ -183,9 +184,110 @@ def q_distortion_audit(spark, sf_dir):
     )
 
 
+PR_SAMPLE = 20  # fixed query panel (ann_recall_audit's discipline)
+PR_K = 5
+PR_SALT = 16    # phase-1 shards so no query's candidates single-sort
+
+
+def q_projection_recall(spark, sf_dir):
+    """Retrieval quality of the PROJECTED space: recall@PR_K of
+    brute-force cosine top-k computed on the 16-dim JL projection
+    against top-k on the original 64-dim embeddings, over a fixed
+    PR_SAMPLE-query panel — the number that decides whether the 4×
+    cheaper projected index is good enough to serve candidates
+    (JL's distance guarantee measured as ranking agreement, not just
+    pairwise distortion).
+
+    ONE broadcast of the quantized panel serves both arms: each
+    (corpus row × query) computes the original-space dot (64 exact
+    integer terms) and the projected dot (16 terms) in the same
+    map-side pass; each arm then runs the salted two-phase top-k.
+
+    Honest reading of the number: on the near-isotropic synthetic
+    fixtures recall@5 is LOW (~0.1 at sf0.01) — neighbors there are
+    separated by cosine gaps far smaller than the ±0.25 distortion a
+    16-dim JL projection admits, so ranking agreement collapses even
+    though projection_distortion_audit shows distances preserved. That
+    is the audit doing its job: it rejects serving candidates from 16
+    dims on THIS corpus; real embedding corpora have clustered
+    neighborhoods (gaps >> distortion) and the dial is RP_DOUT
+    (rank within (qid, id % PR_SALT) shards, then rank the <=
+    SALT·k survivors) so nothing single-sorts. Scores are exact
+    integer dots divided by exact-integer-sum norms — bit-identical
+    doubles in both engines; degenerate zero-norm rows drop via the
+    IS NOT NULL guard BEFORE ranking (NULL-ordering defaults differ
+    across engines)."""
+    p = _projected(spark, sf_dir)
+    withn = p.select(
+        "vec_id",
+        "xq",
+        "ym",
+        F.expr("aggregate(xq, 0L, (acc, v) -> acc + v * v)").alias("x2"),
+        F.expr("aggregate(ym, 0L, (acc, v) -> acc + v * v)").alias("y2"),
+    )
+    qs = withn.filter(F.col("vec_id") < PR_SAMPLE).select(
+        F.col("vec_id").alias("qid"),
+        F.col("xq").alias("qxq"),
+        F.col("ym").alias("qym"),
+        F.col("x2").alias("qx2"),
+        F.col("y2").alias("qy2"),
+    )
+    scored = (
+        withn.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "try_divide(CAST(aggregate(zip_with(xq, qxq, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE), "
+                "sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(qx2 AS DOUBLE)))"
+            ).alias("orig_score"),
+            F.expr(
+                "try_divide(CAST(aggregate(zip_with(ym, qym, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE), "
+                "sqrt(CAST(y2 AS DOUBLE)) * sqrt(CAST(qy2 AS DOUBLE)))"
+            ).alias("proj_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(score_col):
+        order = [F.desc(score_col), F.asc("vec_id")]
+        w1 = Window.partitionBy("qid", F.col("vec_id") % PR_SALT).orderBy(*order)
+        w2 = Window.partitionBy("qid").orderBy(*order)
+        return (
+            scored.filter(F.col(score_col).isNotNull())
+            .withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= PR_K)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= PR_K)
+            .select("qid", F.col("vec_id").alias("nid"))
+        )
+
+    exact, proj = topk("orig_score"), topk("proj_score")
+    ex = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    pr = proj.groupBy("qid").agg(F.count("*").alias("n_proj"))
+    ov = exact.join(proj, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        ex.join(pr, "qid", "left")
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "n_exact",
+            F.coalesce("n_proj", F.lit(0)).alias("n_proj"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_random_projection": q_random_projection,
     "projection_distortion_audit": q_distortion_audit,
+    "projection_ann_recall": q_projection_recall,
 }
 
 ORACLES = {
@@ -198,6 +300,62 @@ ORACLES = {
                          (4 * sqrt(list_sum(list_transform(xq, v -> v * v))::DOUBLE))
                END AS norm_ratio
         FROM yt
+    """,
+    "projection_ann_recall": f"""
+        WITH {_PROJ_CTE_DUCK},
+        wn AS (
+            SELECT vec_id, xq, ym,
+                   list_sum(list_transform(xq, v -> v * v)) AS x2,
+                   list_sum(list_transform(ym, v -> v * v)) AS y2
+            FROM yt
+        ),
+        qs AS (
+            SELECT vec_id AS qid, xq AS qxq, ym AS qym, x2 AS qx2, y2 AS qy2
+            FROM wn WHERE vec_id < {PR_SAMPLE}
+        ),
+        scored AS (
+            SELECT q.qid, w.vec_id,
+                   CASE WHEN w.x2 = 0 OR q.qx2 = 0 THEN NULL
+                        ELSE CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> w.xq[i] * q.qxq[i])) AS DOUBLE) /
+                             (sqrt(w.x2::DOUBLE) * sqrt(q.qx2::DOUBLE))
+                   END AS orig_score,
+                   CASE WHEN w.y2 = 0 OR q.qy2 = 0 THEN NULL
+                        ELSE CAST(list_sum(list_transform(generate_series(1, {RP_DOUT}),
+                                  i -> w.ym[i] * q.qym[i])) AS DOUBLE) /
+                             (sqrt(w.y2::DOUBLE) * sqrt(q.qy2::DOUBLE))
+                   END AS proj_score
+            FROM wn w, qs q WHERE w.vec_id != q.qid
+        ),
+        exact AS (
+            SELECT qid, vec_id AS nid FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY orig_score DESC, vec_id) AS rn
+                FROM scored WHERE orig_score IS NOT NULL
+            ) WHERE rn <= {PR_K}
+        ),
+        proj AS (
+            SELECT qid, vec_id AS nid FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY proj_score DESC, vec_id) AS rn
+                FROM scored WHERE proj_score IS NOT NULL
+            ) WHERE rn <= {PR_K}
+        ),
+        ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+        pr AS (SELECT qid, COUNT(*) AS n_proj FROM proj GROUP BY qid),
+        ov AS (
+            SELECT e.qid, COUNT(*) AS n_overlap
+            FROM exact e JOIN proj p ON e.qid = p.qid AND e.nid = p.nid
+            GROUP BY e.qid
+        )
+        SELECT ex.qid AS vec_id, ex.n_exact,
+               COALESCE(pr.n_proj, 0) AS n_proj,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               ROUND(COALESCE(ov.n_overlap, 0) / ex.n_exact, 4) AS recall_at_k
+        FROM ex LEFT JOIN pr ON ex.qid = pr.qid
+                LEFT JOIN ov ON ex.qid = ov.qid
     """,
     "projection_distortion_audit": f"""
         WITH {_PROJ_CTE_DUCK},
