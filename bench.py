@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_random_projection",
     "token_zipf_fit",
     "decontaminate_embedding",
+    "kn_bigram_score",
 ]
 
 STREAMING = [

@@ -714,6 +714,83 @@ def q_bigram_logprob(spark, sf_dir):
     )
 
 
+KN_DISCOUNT = 0.75  # the Chen & Goodman fixed absolute discount
+
+# -ln P_KN(w2|w1) in integer micros; identical expression text in both
+# engines (only CAST spellings differ via the duck twin below)
+_KN_LPM_SPARK = (
+    f"CAST(floor(-ln(greatest(CAST(c2 AS DOUBLE) - {KN_DISCOUNT}D, 0D) / CAST(c1 AS DOUBLE)"
+    f" + ({KN_DISCOUNT}D * CAST(n1w1 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+    f" * (CAST(n1pre AS DOUBLE) / CAST(n_types AS DOUBLE)))"
+    f" * 1000000D + 0.5D) AS BIGINT)"
+)
+
+
+def q_kn_bigram_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram fluency score (Kneser & Ney 1995;
+    interpolated form and fixed discount D=0.75 per Chen & Goodman,
+    "An empirical study of smoothing techniques", 1998):
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+
+    — the continuation-probability backoff that MLE (`bigram_logprob_
+    score`) lacks: a bigram whose second word appears after MANY
+    different predecessors backs off high, a word glued to one
+    collocation backs off low. The sharper fluency signal for quality
+    filtering when the scoring corpus diverges from the training one.
+
+    All model quantities are exact integer counts at the bigram-TYPE
+    grain (Zipf-bounded): c12, prefix totals c1, continuation fan-outs
+    N1+(w1·)/N1+(·w2) from two re-aggregations of the model table, and
+    the global type count T broadcast as one row. Per-bigram -ln P
+    quantizes to integer micros (identical IEEE expression both
+    engines), so per-doc means are order-free exact sums. Plan: one
+    token-sized bigram aggregation, three model-grain contractions, one
+    equi-join back to the exploded docs — no windows, no pair joins."""
+    from .dedup import _barrier
+
+    raw = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')"))
+        .withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+        .select("doc_id", "bigrams")
+    )
+    bg = _barrier(raw, ["doc_id"], ["bigrams"]).select(
+        "doc_id", F.explode("bigrams").alias("bigram")
+    )
+    model = (
+        bg.groupBy("bigram").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
+    )
+    split = model.select(
+        "bigram",
+        "c2",
+        F.expr("split(bigram, ' ')[0]").alias("w1"),
+        F.expr("split(bigram, ' ')[1]").alias("w2"),
+    )
+    prefix = split.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1w1")
+    )
+    suffix = split.groupBy("w2").agg(F.count("*").alias("n1pre"))
+    types = model.agg(F.count("*").alias("n_types"))
+    scored = (
+        split.join(prefix, "w1")
+        .join(suffix, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("bigram", F.expr(_KN_LPM_SPARK).alias("lpm"))
+    )
+    return (
+        bg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "try_divide(CAST(SUM(lpm) AS DOUBLE), CAST(COUNT(*) AS DOUBLE) * 1000000D)"
+            ).alias("kn_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- classifier-based quality filter ------------------------------------------
 QC_BUCKETS = 512
 QC_BIAS = 0.1
@@ -831,6 +908,7 @@ QUERIES = {
     "training_shard_manifest": q_training_shard_manifest,
     "quality_classifier_filter": q_quality_classifier_filter,
     "bigram_logprob_score": q_bigram_logprob,
+    "kn_bigram_score": q_kn_bigram_score,
     "temperature_mix": q_temperature_mix,
     "dsir_importance": q_dsir_importance,
     "source_kl_divergence": q_source_kl_divergence,
@@ -903,6 +981,49 @@ ORACLES = {
                (ROUND(CAST(SUM(t8) AS DOUBLE) / 100000000 + {QC_BIAS}, 6) >= 0)
                  AS keep
         FROM terms GROUP BY doc_id, n_tokens
+    """,
+    "kn_bigram_score": rf"""
+        WITH ts_t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t != '') AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, u.bigram
+            FROM ts_t, LATERAL (
+                SELECT UNNEST(list_transform(generate_series(1, len(ts) - 1),
+                                             i -> ts[i] || ' ' || ts[i+1])) AS bigram
+            ) u
+        ),
+        model AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+        sp AS (
+            SELECT bigram, c2,
+                   string_split(bigram, ' ')[1] AS w1,
+                   string_split(bigram, ' ')[2] AS w2
+            FROM model
+        ),
+        prefix AS (
+            SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1w1 FROM sp GROUP BY 1
+        ),
+        suffix AS (SELECT w2, COUNT(*) AS n1pre FROM sp GROUP BY 1),
+        types AS (SELECT COUNT(*) AS n_types FROM model),
+        scored AS (
+            SELECT s.bigram,
+                   CAST(floor(-ln(greatest(CAST(s.c2 AS DOUBLE) - {KN_DISCOUNT}, 0)
+                        / CAST(p.c1 AS DOUBLE)
+                        + ({KN_DISCOUNT} * CAST(p.n1w1 AS DOUBLE) / CAST(p.c1 AS DOUBLE))
+                        * (CAST(x.n1pre AS DOUBLE) / CAST(t.n_types AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS lpm
+            FROM sp s JOIN prefix p USING (w1) JOIN suffix x USING (w2), types t
+        )
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE CAST(SUM(lpm) AS DOUBLE) /
+                         (CAST(COUNT(*) AS DOUBLE) * 1000000)
+               END AS kn_neg_logprob
+        FROM bg JOIN scored USING (bigram)
+        GROUP BY bg.doc_id ORDER BY bg.doc_id
     """,
     "bigram_logprob_score": r"""
         WITH ts_t AS (
