@@ -204,6 +204,75 @@ def read_current(spark: SparkSession, target_path: str, pk: str = "order_id",
     return latest
 
 
+class CompactionHorizonError(RuntimeError):
+    """Requested an as-of view older than the last compaction sweep."""
+
+
+def read_as_of(spark: SparkSession, target_path: str, run_id: int,
+               pk: str = "order_id", cursor_col: str = "cursor",
+               state_path: str | None = None) -> DataFrame:
+    """TIME-TRAVEL consumer view: the keep-latest state exactly as
+    ``read_current`` returned it right after committed run ``run_id``
+    landed — union of committed pointer runs with id <= run_id,
+    keep-latest per key, tombstone-hidden. The audit/debug read every
+    table format with a commit log offers (Delta `VERSION AS OF`,
+    Iceberg snapshot reads); here the ledger IS the commit log, so a
+    version is a committed run id.
+
+    Honest horizon semantics instead of silent wrong answers:
+
+    - ``run_id`` must be a COMMITTED id (ValueError otherwise — asking
+      for an uncommitted or future version is a caller bug, not an
+      empty view).
+    - Compaction sweeps shadowed history dirs, so a version older than
+      the last compaction is UNRECONSTRUCTIBLE; that read raises
+      ``CompactionHorizonError`` (the Delta/Iceberg vacuum-retention
+      caveat, surfaced as a typed error rather than a view that is
+      quietly missing rows). The compacted run itself is a valid
+      travel point: its rows keep their ORIGINAL (cursor, run_id)
+      lineage, so views from the horizon forward are byte-stable
+      across compactions.
+    """
+    if state_path is None:
+        raise ValueError("read_as_of requires the run ledger (state_path)")
+    entries = _ledger_entries(state_path)
+    ids = sorted(e["run_id"] for e in entries)
+    if run_id not in ids:
+        raise ValueError(
+            f"run {run_id} is not a committed version (committed: {ids})"
+        )
+    pointers_root = f"{target_path}/pointers"
+    compactions = [e["run_id"] for e in entries if e.get("compaction")]
+    horizon = max(compactions, default=None)
+    if horizon is not None and run_id < horizon:
+        raise CompactionHorizonError(
+            f"version {run_id} predates compaction run {horizon}, which "
+            f"swept the history needed to reconstruct it; earliest "
+            f"reconstructible version is {horizon}"
+        )
+    # a compaction run consolidates everything before itself, so the read
+    # set is [horizon .. run_id]; without one it is every id <= run_id
+    lo = horizon if horizon is not None else -1
+    wanted = [i for i in ids if lo <= i <= run_id]
+    dirs, missing = [], []
+    for i in wanted:
+        d = os.path.join(pointers_root, f"run={i}")
+        (dirs if os.path.isdir(d) else missing).append(d if os.path.isdir(d) else i)
+    if missing:
+        raise CompactionHorizonError(
+            f"version {run_id} needs run dirs {missing} that are gone from "
+            f"disk (outside any committed compaction's sweep — storage loss, "
+            f"not history retention)"
+        )
+    pointers = spark.read.parquet(*dirs)
+    if "run" in pointers.columns:
+        pointers = pointers.drop("run")
+    latest = keep_latest(pointers, pk, cursor_col)
+    if "is_deleted" in latest.columns:
+        latest = latest.filter(~F.coalesce(F.col("is_deleted"), F.lit(False)))
+    return latest
+
+
 def compact_pointer_runs(
     spark: SparkSession, target_path: str, state_path: str,
     pk: str = "order_id", cursor_col: str = "cursor",

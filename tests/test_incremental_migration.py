@@ -430,3 +430,56 @@ def test_watermark_filter_prunes_source_scan(spark, derby_cdc, tmp_path):
     assert e["n_rows"] == 1
     staged = spark.read.parquet(f"{target}/staging/run=1")
     assert [r["seq"] for r in staged.collect()] == [99]
+
+
+def test_read_as_of_time_travel(spark, derby_cdc, tmp_path):
+    """Version reads over the ledger: as-of run 0 reproduces the
+    post-backfill view after later passes shadow it; bad versions raise
+    typed errors; compaction moves the travel horizon forward and the
+    compacted run stays a valid (lineage-preserving) travel point."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        CompactionHorizonError,
+        compact_pointer_runs,
+        read_as_of,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    v0 = {r["order_id"]: (r["description"], r["cursor"])
+          for r in read_current(spark, target, state_path=state).collect()}
+
+    write([(16, "id-005", "desc 5 UPDATED", b"\x05" * 99)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+
+    # current view moved; as-of run 0 still returns the backfill state
+    cur = {r["order_id"]: (r["description"], r["cursor"])
+           for r in read_current(spark, target, state_path=state).collect()}
+    asof0 = {r["order_id"]: (r["description"], r["cursor"])
+             for r in read_as_of(spark, target, 0, state_path=state).collect()}
+    assert cur["id-005"] == ("desc 5 UPDATED", 16)
+    assert asof0 == v0 and asof0["id-005"] == ("desc 5", 5)
+    # as-of the latest run == read_current
+    asof1 = {r["order_id"]: (r["description"], r["cursor"])
+             for r in read_as_of(spark, target, 1, state_path=state).collect()}
+    assert asof1 == cur
+
+    # not-a-version and ledger-less reads are caller bugs, not empty views
+    with pytest.raises(ValueError):
+        read_as_of(spark, target, 7, state_path=state)
+    with pytest.raises(ValueError):
+        read_as_of(spark, target, 0)
+
+    # compaction sweeps history: run 0/1 become unreconstructible, the
+    # compacted run is the new horizon and equals the live view
+    ce = compact_pointer_runs(spark, target, state)
+    with pytest.raises(CompactionHorizonError):
+        read_as_of(spark, target, 0, state_path=state)
+    asofc = {r["order_id"]: (r["description"], r["cursor"])
+             for r in read_as_of(spark, target, ce["run_id"],
+                                 state_path=state).collect()}
+    assert asofc == cur
