@@ -156,15 +156,23 @@ def q_decontaminate_embedding(spark, sf_dir):
 
     Candidates come from the SAME corpus-derived multi-probe sign-LSH
     index every similarity consumer uses (`_knn_scored_pairs`) — never
-    a train x eval cross join; the eval filter lands on the id-only
-    candidate set before re-attachment, and the top-1 window runs over
-    per-vector candidate groups. At 100 TB the production form probes
-    the (small) eval side against the persisted train index
-    (operators/ann_index) — result-identical to this in-plan twin by
-    the pinned persisted==in-plan equality of tests/test_ann_index.py."""
+    a train x eval cross join — and ONLY the eval slice probes it
+    (``probe_filter``): a candidate pair exists iff an eval vector's
+    multi-probe keys hit it, so probe work is |eval|·tables·probes, a
+    1/DECON_EVAL_MOD fraction of the corpus-wide probe (the round-10
+    sf1 soak measured the probe-everything form at 11x/decade for
+    candidates the train x eval filter then discarded; eval-only
+    probing is the plan you want at 100 TB, where eval sets are MBs).
+    The threshold filter lands on the id-only candidate set before
+    re-attachment, and the top-1 window runs over per-vector candidate
+    groups. The persisted-index production form (operators/ann_index)
+    composes the same way via the sigs/exact injection seam."""
     from .similarity import Window, _emb, _knn_scored_pairs
 
-    scored = _knn_scored_pairs(_emb(spark, sf_dir))
+    scored = _knn_scored_pairs(
+        _emb(spark, sf_dir),
+        probe_filter=F.col("vec_id") % DECON_EVAL_MOD == 0,
+    )
     hits = scored.filter(
         (F.col("vec_a") % DECON_EVAL_MOD != 0)
         & (F.col("vec_b") % DECON_EVAL_MOD == 0)
@@ -187,7 +195,7 @@ def _decon_embedding_oracle() -> str:
     from .similarity import _knn_cte
 
     return f"""
-        WITH {_knn_cte("", f"WHERE vec_a % {DECON_EVAL_MOD} != 0 AND vec_b % {DECON_EVAL_MOD} = 0 AND score >= {DECON_COSINE}")}
+        WITH {_knn_cte(f"WHERE vec_id % {DECON_EVAL_MOD} = 0", f"WHERE vec_a % {DECON_EVAL_MOD} != 0 AND vec_b % {DECON_EVAL_MOD} = 0 AND score >= {DECON_COSINE}")}
         SELECT vec_a AS vec_id, vec_b AS eval_id, score
         FROM knn WHERE nn_rank = 1
         ORDER BY vec_id

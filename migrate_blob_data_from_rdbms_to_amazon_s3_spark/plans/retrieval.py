@@ -52,28 +52,46 @@ def _bm25_scored(spark, sf_dir):
     """(doc_id, micros) per (doc != 0, query-term) hit: BM25 partials in
     integer micros against doc 0's top-tf query terms. Token/df/dl
     semantics mirror ``text.q_bm25_topk`` verbatim; only the query-term
-    derivation differs (doc 0's tf instead of corpus df)."""
+    derivation differs (doc 0's tf instead of corpus df).
+
+    Pass discipline (first cut cost 6× bm25_topk at sf0.1 — it rebuilt
+    the corpus-wide token aggregation for each of its four consumers):
+    the query terms come from a scan of DOCUMENT 0 ALONE (PK filter
+    pushed to the source — deriving an 8-term query never justifies a
+    corpus aggregation), then ONE corpus token pass builds the
+    query-term-restricted tf table (broadcast semi-join BEFORE the
+    groupBy, so the aggregation state is query-hits only), checkpointed
+    at that restricted grain — df and per-doc scoring both read it.
+    Plus the one-row stats scan: two corpus passes total."""
     d = _docs_with_toks(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    d0 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .withColumn("toks", F.split(F.trim("text"), r"\s+"))
     )
-    tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
     qterms = (
-        tf.filter(F.col("doc_id") == 0)
+        d0.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
         .orderBy(F.desc("tf"), "tok")
         .limit(RRF_QTERMS)
         .select("tok")
     )
-    dft = (
-        tf.join(F.broadcast(qterms), "tok")
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
+    toks = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
     )
+    tf_q = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dft = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
     stats = d.agg(
         F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("sum_dl")
     )
     return (
-        tf.filter(F.col("doc_id") != 0)
+        tf_q.filter(F.col("doc_id") != 0)
         .join(F.broadcast(dft), "tok")
         .crossJoin(F.broadcast(stats))
         .select(

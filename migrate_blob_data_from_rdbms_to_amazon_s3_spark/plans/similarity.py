@@ -757,14 +757,20 @@ def _knn_topk(emb, probe_max: int | None = None, sigs=None, exact=None):
     )
 
 
-def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None):
+def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
+                      probe_filter=None):
     """Directed (vec_a, vec_b, score) over the LSH candidate set — the
     shared half of q_knn_join and q_hard_negative_mining. ``sigs`` /
     ``exact`` inject a PREBUILT index (operators/ann_index's persisted
     signatures and capped band table) so a standing index replaces the
     in-plan signature build with a Parquet scan; defaults rebuild both
     in-plan (identical rows, so the two forms are result-identical —
-    pinned by tests/test_ann_index.py)."""
+    pinned by tests/test_ann_index.py). ``probe_filter`` (a boolean
+    Column) restricts the PROBE side to an arbitrary query panel — the
+    general form of ``probe_max``'s prefix panel (round 10: the
+    embedding decontamination probes only the eval slice; probing the
+    full corpus to then keep train x eval rows cost 11x/decade at the
+    sf1 soak for candidates the filter immediately discarded)."""
     if sigs is None:
         sigs = _nd_sigs(emb, ["vec_id"])
     if exact is None:
@@ -780,7 +786,11 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None):
             .filter(F.col("bdf") <= ND_MAX_BUCKET)
             .drop("bdf")
         )
-    probe_src = sigs if probe_max is None else sigs.filter(F.col("vec_id") < probe_max)
+    probe_src = sigs
+    if probe_max is not None:
+        probe_src = probe_src.filter(F.col("vec_id") < probe_max)
+    if probe_filter is not None:
+        probe_src = probe_src.filter(probe_filter)
     probes = _nd_probes(probe_src, "vec_a")
     # Candidates canonicalize to unordered pairs (least/greatest): each
     # pair's cosine is computed ONCE, then the scored rows mirror —
