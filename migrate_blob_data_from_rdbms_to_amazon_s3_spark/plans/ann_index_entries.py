@@ -41,11 +41,14 @@ from ..operators.ann_index import (
     _forced_cfg,
     build_ann_index,
     knn_join_persisted,
+    load_capped_bands,
     load_signatures,
     neardup_incremental,
     neardup_persisted,
+    read_meta,
     widen_ann_index,
 )
+from . import contamination as _contam
 from . import similarity as S
 from .similarity import _emb
 
@@ -269,8 +272,33 @@ def _widen_audit_oracle() -> str:
     """
 
 
+def q_ann_index_decon_persisted(spark, sf_dir):
+    """decontaminate_embedding over the standing index — the production
+    form the in-plan query's docstring names: the (small) eval slice
+    probes PERSISTED signatures and pre-capped bands (Parquet scans; no
+    dot kernel, no bucket window at probe time), so screening a new
+    eval release against a 100 TB train index costs |eval| probes plus
+    the candidate joins. Result-identical to the in-plan form (the
+    persisted sigs/bands rows equal the in-plan ones — pinned by
+    tests/test_ann_index.py), so it shares its DuckDB oracle."""
+    from .contamination import DECON_EVAL_MOD, decon_from_scored
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_idx_decon_")
+    build_ann_index(emb, path)
+    read_meta(spark, path)
+    scored = S._knn_scored_pairs(
+        emb,
+        sigs=load_signatures(spark, path),
+        exact=load_capped_bands(spark, path, label=False),
+        probe_filter=F.col("vec_id") % DECON_EVAL_MOD == 0,
+    )
+    return decon_from_scored(scored)
+
+
 QUERIES = {
     "ann_index_knn_persisted": q_ann_index_knn_persisted,
+    "ann_index_decon_persisted": q_ann_index_decon_persisted,
     "ann_index_neardup_persisted": q_ann_index_neardup_persisted,
     "ann_index_neardup_incremental": q_ann_index_neardup_incremental,
     "ann_index_widen_audit": q_ann_index_widen_audit,
@@ -280,6 +308,7 @@ ORACLES = {
     # the persisted probes must equal the in-plan queries — they share
     # the in-plan oracles verbatim
     "ann_index_knn_persisted": S._knn_join_oracle(),
+    "ann_index_decon_persisted": _contam.ORACLES["decontaminate_embedding"],
     "ann_index_neardup_persisted": S.ORACLES["neardup_embedding"],
     "ann_index_neardup_incremental": _neardup_incremental_oracle(),
     "ann_index_widen_audit": _widen_audit_oracle(),

@@ -167,12 +167,22 @@ def q_decontaminate_embedding(spark, sf_dir):
     re-attachment, and the top-1 window runs over per-vector candidate
     groups. The persisted-index production form (operators/ann_index)
     composes the same way via the sigs/exact injection seam."""
-    from .similarity import Window, _emb, _knn_scored_pairs
+    from .similarity import _emb, _knn_scored_pairs
 
     scored = _knn_scored_pairs(
         _emb(spark, sf_dir),
         probe_filter=F.col("vec_id") % DECON_EVAL_MOD == 0,
     )
+    return decon_from_scored(scored)
+
+
+def decon_from_scored(scored):
+    """(vec_id, eval_id, score) flagged-train rows from a directed
+    scored-pair frame — the probe-independent half of the embedding
+    decontamination, shared by the in-plan query and the persisted-index
+    twin (plans/ann_index_entries.q_ann_index_decon_persisted)."""
+    from .similarity import Window
+
     hits = scored.filter(
         (F.col("vec_a") % DECON_EVAL_MOD != 0)
         & (F.col("vec_b") % DECON_EVAL_MOD == 0)

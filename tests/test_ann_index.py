@@ -221,3 +221,29 @@ def test_bucketed_registration(spark, sf_dir, tmp_path):
         assert "Num Buckets 8" in txt and "tab" in txt
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_bands_test")
+
+
+def test_persisted_decon_equals_in_plan(spark, sf_dir, tmp_path):
+    """The eval-slice-probed decontamination over the standing index
+    returns exactly the in-plan query's rows (same probe_filter seam,
+    persisted sigs/bands)."""
+    from pyspark.sql import functions as F
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        load_capped_bands,
+        load_signatures,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.contamination import (
+        DECON_EVAL_MOD,
+        decon_from_scored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "idx_decon")
+    build_ann_index(emb, path)
+    pf = F.col("vec_id") % DECON_EVAL_MOD == 0
+    got = _rows(decon_from_scored(S._knn_scored_pairs(
+        emb, sigs=load_signatures(spark, path),
+        exact=load_capped_bands(spark, path), probe_filter=pf)))
+    want = _rows(decon_from_scored(S._knn_scored_pairs(emb, probe_filter=pf)))
+    assert got == want and len(got) > 0
