@@ -1534,6 +1534,66 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_kmeans_inertia(spark, sf_dir):
+    """Cluster-quality audit over the trained k-means codebook:
+    per-cluster size, mean squared distance to the FINAL centroid
+    (inertia / n — Lloyd's own objective, the number the elbow method
+    reads), and the cluster radius (max squared distance). The
+    operational screen for a degenerate quantizer — an empty-ish
+    cluster or a radius far above the fleet means the IVF/semdedup
+    consumers inherit skewed cells.
+
+    Same Lloyd rounds as q_kmeans (`_kmeans_fit`); distances reuse the
+    bit-identical left-fold of the assignment kernel against the
+    4-decimal-rounded final centroids, quantize to integer micros
+    (half-up) per vector, and reduce with exact integer sums — so the
+    per-cluster means are partition-order-free and the mean/max fields
+    are identically-shaped double expressions in both engines. One
+    broadcast join (k x dim centroid table) + one cluster-grain
+    aggregation on top of the training scan."""
+    cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir))
+    cents = spark.createDataFrame(
+        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    )
+    d2m = (
+        f"CAST(floor({_sq_dist_spark('embedding', 'cv')} * 1000000D + 0.5D) AS BIGINT)"
+    )
+    per = assigned.join(F.broadcast(cents), "cluster").select(
+        "cluster", F.expr(d2m).alias("d2m")
+    )
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(
+                "try_divide(CAST(SUM(d2m) AS DOUBLE), CAST(COUNT(*) AS DOUBLE) * 1000000D)"
+            ).alias("mean_sq_dist"),
+            (F.max("d2m").cast("double") / F.lit(1000000)).alias("max_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_inertia_oracle() -> str:
+    iters = KMEANS_ITERS
+    return f"""{_kmeans_ctes()}
+        , per AS (
+            SELECT a.cluster,
+                   CAST(floor({_sq_dist_duck("a.embedding", "c.cv")} * 1000000 + 0.5)
+                        AS BIGINT) AS d2m
+            FROM assigned_{iters - 1} a
+            JOIN cents_{iters} c ON a.cluster = c.cluster
+        )
+        SELECT cluster, COUNT(*) AS n_vecs,
+               CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE CAST(SUM(d2m) AS DOUBLE) /
+                         (CAST(COUNT(*) AS DOUBLE) * 1000000)
+               END AS mean_sq_dist,
+               CAST(MAX(d2m) AS DOUBLE) / 1000000 AS max_sq_dist
+        FROM per GROUP BY cluster ORDER BY cluster
+    """
+
+
 # SemDeDup pruning threshold: within a cluster, a vector dominated by an
 # earlier-kept vector at cosine >= EPS is marked removed.
 SEMDEDUP_EPS = 0.30
@@ -2029,6 +2089,7 @@ QUERIES = {
     "neardup_embedding": q_neardup_embedding,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "kmeans_clusters": q_kmeans,
+    "kmeans_inertia_audit": q_kmeans_inertia,
     "semdedup": q_semdedup,
     "knn_join": q_knn_join,
     "hard_negative_mining": q_hard_negative_mining,
@@ -2135,6 +2196,7 @@ ORACLES = {
         ) WHERE score >= {LSH_COSINE}
     """,
     "kmeans_clusters": _kmeans_oracle(),
+    "kmeans_inertia_audit": _kmeans_inertia_oracle(),
     "semdedup": _semdedup_oracle(),
     "knn_join": _knn_join_oracle(),
     "hard_negative_mining": _hard_negative_oracle(),
