@@ -38,6 +38,8 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         profiling_stats,
         graph_ops,
         insights,
+        survival,
+        timeseries_ext,
     )
 
     mods = (
@@ -46,7 +48,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         similarity, projection,
         ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
-        profiling_stats, graph_ops, insights,
+        profiling_stats, graph_ops, insights, survival, timeseries_ext,
     )
     queries: dict = {}
     oracles: dict = {}
