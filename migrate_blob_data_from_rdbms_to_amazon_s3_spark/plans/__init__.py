@@ -40,6 +40,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         insights,
         survival,
         timeseries_ext,
+        stat_tests,
     )
 
     mods = (
@@ -48,7 +49,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         similarity, projection,
         ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,
-        profiling_stats, graph_ops, insights, survival, timeseries_ext,
+        profiling_stats, graph_ops, insights, survival, timeseries_ext, stat_tests,
     )
     queries: dict = {}
     oracles: dict = {}

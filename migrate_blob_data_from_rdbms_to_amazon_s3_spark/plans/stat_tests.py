@@ -1,0 +1,321 @@
+"""Two-sample distribution tests and higher-moment profiling — the
+statistical gates a pipeline runs before concluding "these two cohorts
+behave differently" (A/B backends, source drift, pre/post migration).
+
+Reference analog: none (SURVEY §2 has no statistics surface). Completes
+the inference family next to ``ab_test_welch`` (parametric means),
+``chisq_independence`` (categorical), ``price_psi_drift`` /
+``price_qq_drift`` (distribution drift scores): Mann-Whitney U is the
+nonparametric location test, Kolmogorov-Smirnov the nonparametric
+whole-shape test, and the moments audit screens which of the two regimes
+(normal-ish ⇒ Welch, heavy-tailed ⇒ rank tests) a column is even in.
+
+Scale shape — the hard part of rank statistics is the GLOBAL cumulative
+count, which is exactly the distributed-ranking problem:
+
+- Contract both samples to the integer price grain (round(x·100), exact
+  cents) — ONE data-sized shuffle; every later stage lives at the grain
+  table's size.
+- Global prefix sums WITHOUT a single-partition window: the
+  ``distributed_global_rank`` sample-sort shape — grain-space quantile
+  cuts split the grains into RANK_BUCKETS monotone buckets (ties never
+  straddle: integer grains vs strictly-between-integer interpolated
+  cuts), per-bucket subtotals theta-join into offsets over a B-row
+  broadcast, and the within-bucket window is PARTITIONED BY bucket.
+- Both test statistics then fold the cumulative grain table into one
+  row: U from Σ n_a·(2·cumB_before + n_b) kept in INTEGER arithmetic
+  until the final division (hash-exact across engines), D from the max
+  CDF gap (identical per-grain integer divisions both sides).
+
+The naive ``RANK() OVER (ORDER BY price)`` one-partition form is the
+oracle only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.quantiles import distribution_quantiles
+from ..sources.tables import load_table as _t
+
+PRI_A = "1-URGENT"
+PRI_B = "5-LOW"
+RANK_BUCKETS = 16
+KS_C05 = 1.358  # Smirnov critical coefficient at alpha = 0.05
+
+
+def _two_sample_cum(spark, sf_dir):
+    """Grain-level cumulative table for the (PRI_A vs PRI_B) totalprice
+    samples: (grain, n_a, n_b, cum_a, cum_b, tot_a, tot_b) with cum_*
+    INCLUSIVE of the current grain. Distributed prefix sum — see module
+    docstring."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(PRI_A, PRI_B)
+    )
+    sel = o.select(
+        (F.col("o_orderpriority") == PRI_A).cast("long").alias("a"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("g"),
+        "o_totalprice",
+    )
+    grain = sel.groupBy("g").agg(
+        F.sum("a").alias("n_a"), F.sum(F.lit(1) - F.col("a")).alias("n_b")
+    )
+    ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
+    cuts = distribution_quantiles(
+        sel, None, "o_totalprice", ps, grain_space=True
+    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
+    bucketed = grain.crossJoin(F.broadcast(cuts)).select(
+        "g",
+        "n_a",
+        "n_b",
+        # b = number of cuts at-or-below g: ASCENDING-monotone in g
+        # (equal grains share a bucket; interpolated cuts sit strictly
+        # between integers, so no tie is decided by an ulp)
+        F.expr(
+            "aggregate(cuts, 0, (acc, c) -> "
+            "acc + IF(c <= CAST(g AS DOUBLE), 1, 0))"
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.sum("n_a").alias("ca"), F.sum("n_b").alias("cb")
+    )
+    prev = counts.select(
+        F.col("b").alias("pb"), F.col("ca").alias("pa"), F.col("cb").alias("pbb")
+    )
+    offsets = (
+        counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.sum("pa"), F.lit(0)).alias("off_a"),
+            F.coalesce(F.sum("pbb"), F.lit(0)).alias("off_b"),
+        )
+    )
+    w_cum = W.partitionBy("b").orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    totals = grain.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            "g",
+            "n_a",
+            "n_b",
+            (F.col("off_a") + F.sum("n_a").over(w_cum)).alias("cum_a"),
+            (F.col("off_b") + F.sum("n_b").over(w_cum)).alias("cum_b"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+
+
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between urgent and low-priority
+    order totals, with the tie-corrected normal approximation. U is kept
+    in integer arithmetic (2U = Σ n_a·(2·cumB_before + n_b)) until the
+    final division, so the statistic hash-matches the naive-ranking
+    oracle exactly."""
+    cum = _two_sample_cum(spark, sf_dir)
+    folded = cum.agg(
+        F.max("tot_a").alias("na"),
+        F.max("tot_b").alias("nb"),
+        F.sum(
+            F.col("n_a") * (2 * (F.col("cum_b") - F.col("n_b")) + F.col("n_b"))
+        ).alias("u2"),
+        F.sum(
+            (F.col("n_a") + F.col("n_b")) * (F.col("n_a") + F.col("n_b"))
+            * (F.col("n_a") + F.col("n_b"))
+            - (F.col("n_a") + F.col("n_b"))
+        ).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    var = (F.col("na") * F.col("nb") / F.lit(12.0)) * (
+        (n + 1) - F.col("ties") / (n * (n - F.lit(1.0)))
+    )
+    return folded.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.col("u2") / F.lit(2.0)).alias("u_stat"),
+        F.round(
+            (F.col("u2") / F.lit(2.0) - F.col("na") * F.col("nb") / F.lit(2.0))
+            / F.sqrt(var),
+            6,
+        ).alias("z_score"),
+    )
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov: the max gap between the two
+    empirical CDFs of urgent vs low-priority order totals, with the
+    alpha=0.05 Smirnov critical value and the reject flag. CDF gaps are
+    evaluated at every observed grain (sufficient: the sup is attained
+    at a jump point)."""
+    cum = _two_sample_cum(spark, sf_dir)
+    gap = F.abs(
+        F.col("cum_a") / F.col("tot_a") - F.col("cum_b") / F.col("tot_b")
+    )
+    folded = cum.agg(
+        F.max("tot_a").alias("na"),
+        F.max("tot_b").alias("nb"),
+        F.max(gap).alias("d"),
+    )
+    crit = F.lit(KS_C05) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb") / F.lit(1.0))
+    )
+    return folded.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.col("d"), 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (F.col("d") > crit).alias("reject_05"),
+    )
+
+
+def q_distribution_shape_audit(spark, sf_dir):
+    """Per-priority higher-moment profile of order totals: skewness,
+    excess kurtosis, and the Jarque-Bera normality statistic — the
+    screen that decides Welch-vs-rank-test applicability. Moments come
+    from raw power sums written IDENTICALLY in both engines (never the
+    built-ins, whose sample-correction conventions differ); one
+    aggregation with map-side partials, output bounded by the priority
+    domain."""
+    o = _t(spark, sf_dir, "orders")
+    # Exact integer power sums at the cent grain (Spark DECIMAL(38,0) /
+    # DuckDB HUGEINT): distributed double sums drift with partition
+    # order, integer sums cannot. g^4 ≈ 9e30 and its sum fit 38 digits
+    # through sf1-scale fixtures; skew/kurtosis are scale-invariant so
+    # the moment algebra runs in grain space, only mean/stddev rescale.
+    g = F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
+    o = o.select("o_orderpriority", (g * g).alias("g2"), g.alias("g"))
+    sums = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("g").cast("double").alias("s1"),
+        F.sum("g2").cast("double").alias("s2"),
+        F.sum(F.col("g2") * F.col("g")).cast("double").alias("s3"),
+        F.sum(F.col("g2") * F.col("g2")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    exkurt = m4 / (m2 * m2) - 3
+    jb = n / F.lit(6.0) * (skew * skew + exkurt * exkurt / F.lit(4.0))
+    return sums.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        F.round(mean / 100, 4).alias("mean"),
+        F.round(F.sqrt(m2) / 100, 4).alias("stddev_pop"),
+        F.round(skew, 5).alias("skewness"),
+        F.round(exkurt, 5).alias("excess_kurtosis"),
+        F.round(jb, 3).alias("jarque_bera"),
+    )
+
+
+# Naive-ranking oracle CTE: global window cumulative over the same grain.
+_CUM_SQL = f"""
+    s AS (
+        SELECT CASE WHEN o_orderpriority = '{PRI_A}' THEN 1 ELSE 0 END AS a,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS g
+        FROM orders
+        WHERE o_orderpriority IN ('{PRI_A}', '{PRI_B}')
+    ),
+    grain AS (
+        SELECT g, SUM(a) AS n_a, SUM(1 - a) AS n_b FROM s GROUP BY g
+    ),
+    cum AS (
+        SELECT g, n_a, n_b,
+               SUM(n_a) OVER (ORDER BY g) AS cum_a,
+               SUM(n_b) OVER (ORDER BY g) AS cum_b,
+               SUM(n_a) OVER () AS tot_a,
+               SUM(n_b) OVER () AS tot_b
+        FROM grain
+    )
+"""
+
+QUERIES = {
+    "mann_whitney_u": q_mann_whitney_u,
+    "ks_two_sample": q_ks_two_sample,
+    "distribution_shape_audit": q_distribution_shape_audit,
+}
+
+ORACLES = {
+    "mann_whitney_u": f"""
+        WITH {_CUM_SQL},
+        folded AS (
+            SELECT MAX(tot_a) AS na, MAX(tot_b) AS nb,
+                   SUM(n_a * (2 * (cum_b - n_b) + n_b)) AS u2,
+                   SUM((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                       - (n_a + n_b)) AS ties
+            FROM cum
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               u2 / 2.0 AS u_stat,
+               ROUND((u2 / 2.0 - na * nb / 2.0)
+                     / SQRT((na * nb / 12.0)
+                            * ((na + nb + 1)
+                               - ties / ((na + nb) * (na + nb - 1.0)))),
+                     6) AS z_score
+        FROM folded
+    """,
+    "ks_two_sample": f"""
+        WITH {_CUM_SQL},
+        folded AS (
+            SELECT MAX(tot_a) AS na, MAX(tot_b) AS nb,
+                   MAX(ABS(cum_a / CAST(tot_a AS DOUBLE)
+                           - cum_b / CAST(tot_b AS DOUBLE))) AS d
+            FROM cum
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               ROUND(d, 6) AS ks_d,
+               ROUND({KS_C05} * SQRT((na + nb) / (na * nb / 1.0)), 6)
+                 AS ks_crit_05,
+               d > {KS_C05} * SQRT((na + nb) / (na * nb / 1.0)) AS reject_05
+        FROM folded
+    """,
+    "distribution_shape_audit": """
+        WITH q AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS HUGEINT) AS g
+            FROM orders
+        ),
+        sums AS (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(g) AS DOUBLE) AS s1,
+                   CAST(SUM(g * g) AS DOUBLE) AS s2,
+                   CAST(SUM(g * g * g) AS DOUBLE) AS s3,
+                   CAST(SUM((g * g) * (g * g)) AS DOUBLE) AS s4
+            FROM q GROUP BY 1
+        ),
+        m AS (
+            SELECT o_orderpriority, n,
+                   s1 / n AS mean,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                     + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM sums
+        )
+        SELECT o_orderpriority AS priority, CAST(n AS BIGINT) AS n,
+               ROUND(mean / 100, 4) AS mean,
+               ROUND(SQRT(m2) / 100, 4) AS stddev_pop,
+               ROUND(m3 / SQRT(m2 * m2 * m2), 5) AS skewness,
+               ROUND(m4 / (m2 * m2) - 3, 5) AS excess_kurtosis,
+               ROUND(n / 6.0 * ((m3 / SQRT(m2 * m2 * m2))
+                                * (m3 / SQRT(m2 * m2 * m2))
+                                + (m4 / (m2 * m2) - 3)
+                                  * (m4 / (m2 * m2) - 3) / 4.0), 3)
+                 AS jarque_bera
+        FROM m
+    """,
+}
