@@ -8,6 +8,7 @@ diff two snapshots to find what changed, find the heavy hitters.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table as _t
@@ -336,8 +337,63 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
+L_DIVERSITY_THRESHOLD = 3
+
+
+def q_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala 2007), the attribute-disclosure
+    complement of ``q_k_anonymity_audit``: k-anonymity bounds
+    RE-IDENTIFICATION, but a class whose members all share one sensitive
+    value still leaks the attribute. QI = (nation, segment); sensitive =
+    the 1000-unit balance band. Per distinct-sensitive-count l: how many
+    QI classes and rows sit at that l, the mean within-class sensitive
+    entropy (entropy l-diversity needs ≥ ln(l)), and the at_risk flag for
+    l < L_DIVERSITY_THRESHOLD. Three contractions — (QI × band) grain,
+    QI grain, l histogram — each strictly smaller; no windows, no pair
+    joins."""
+    c = _t(spark, sf_dir, "customer")
+    cell = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(_BAND).alias("band"),
+        )
+        .groupBy("nation", "segment", "band")
+        .agg(F.count("*").alias("cnt"))
+    )
+    p = F.col("cnt") / F.col("k_rows")
+    grp = (
+        cell.withColumn(
+            "k_rows", F.sum("cnt").over(_W.partitionBy("nation", "segment"))
+        )
+        .groupBy("nation", "segment")
+        .agg(
+            F.countDistinct("band").alias("l"),
+            F.max("k_rows").alias("k_rows"),
+            (-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )
+    return (
+        grp.groupBy("l")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k_rows").alias("n_rows"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        )
+        .select(
+            "l",
+            "n_groups",
+            "n_rows",
+            "avg_entropy",
+            (F.col("l") < L_DIVERSITY_THRESHOLD).alias("at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
 QUERIES = {
     "k_anonymity_audit": q_k_anonymity_audit,
+    "l_diversity_audit": q_l_diversity_audit,
     "incremental_pointer_latest": q_incremental_pointer_latest,
     "referential_integrity_audit": q_referential_integrity_audit,
     "profile_orders": q_profile_orders,
@@ -350,6 +406,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "l_diversity_audit": f"""
+        WITH cell AS (
+            SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   {_BAND.replace("c_acctbal", "c_acctbal::DOUBLE")} AS band,
+                   COUNT(*) AS cnt
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        cell2 AS (
+            SELECT *, SUM(cnt) OVER (PARTITION BY nation, segment) AS k_rows
+            FROM cell
+        ),
+        grp AS (
+            SELECT nation, segment,
+                   COUNT(DISTINCT band) AS l,
+                   MAX(k_rows) AS k_rows,
+                   -SUM((cnt / CAST(k_rows AS DOUBLE))
+                        * LN(cnt / CAST(k_rows AS DOUBLE))) AS entropy
+            FROM cell2 GROUP BY 1, 2
+        )
+        SELECT CAST(l AS BIGINT) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(k_rows) AS BIGINT) AS n_rows,
+               ROUND(AVG(entropy), 6) AS avg_entropy,
+               l < {L_DIVERSITY_THRESHOLD} AS at_risk
+        FROM grp GROUP BY l ORDER BY l
+    """,
     "k_anonymity_audit": f"""
         WITH sizes AS (
             SELECT c_nationkey AS nation, c_mktsegment AS segment,

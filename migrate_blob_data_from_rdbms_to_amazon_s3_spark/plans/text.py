@@ -567,7 +567,47 @@ def q_token_zipf_fit(spark, sf_dir):
     )
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade per document — the
+    classic readability quality signal (Kincaid 1975) next to the
+    Gopher-style heuristics in q_quality_score. Syllables are the
+    standard cheap proxy: vowel-group runs ([aeiouy]+), counted with the
+    replace-length trick so the count is an EXACT integer in both
+    engines; sentences are [.!?]+ runs clamped to ≥1. Pure narrow
+    projection over the documents scan — no shuffle, no UDF."""
+    sylls = F.length(F.regexp_replace(F.lower("text"), "[aeiouy]+", "#")) - F.length(
+        F.regexp_replace(F.lower("text"), "[aeiouy]+", "")
+    )
+    sents = F.length(F.regexp_replace("text", "[.!?]+", "#")) - F.length(
+        F.regexp_replace("text", "[.!?]+", "")
+    )
+    words = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        words.alias("n_words"),
+        F.greatest(sents, F.lit(1)).alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )
+
+
 QUERIES = {
+    "text_readability": q_text_readability,
     "bm25_topk": q_bm25_topk,
     "token_zipf_fit": q_token_zipf_fit,
     "doc_top_tokens": q_doc_top_tokens,
@@ -826,6 +866,33 @@ ORACLES = {
         JOIN supplier na ON na.s_suppkey = sup_a
         JOIN supplier nb ON nb.s_suppkey = sup_b
         WHERE levenshtein(na.s_name, nb.s_name) <= {FUZZY_MAX_EDIT}
+    """,
+    "text_readability": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS n_words,
+                   GREATEST(
+                       length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                       - length(regexp_replace(text, '[.!?]+', '', 'g')),
+                       1) AS n_sentences,
+                   length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                     AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CAST(n_sentences AS INT) AS n_sentences,
+               CAST(n_syllables AS INT) AS n_syllables,
+               ROUND(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+                 AS flesch_ease,
+               ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                     + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 4)
+                 AS fk_grade
+        FROM d WHERE n_words > 0
     """,
     "text_token_count": rf"""
         SELECT doc_id,
