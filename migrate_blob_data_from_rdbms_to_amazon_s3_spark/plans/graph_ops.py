@@ -253,7 +253,64 @@ def q_kcore_membership(spark, sf_dir):
     )
 
 
+KHOP_SEED_SUPP = 1  # BFS seeds: the parts supplied by this supplier
+KHOP_MAX = 3
+
+
+def q_graph_khop_reach(spark, sf_dir):
+    """Fixed-depth BFS over the co-purchase graph: from the parts
+    supplied by supplier KHOP_SEED_SUPP, how much of the catalog is
+    reachable within 1..KHOP_MAX co-purchase hops — the blast-radius /
+    recommendation-neighborhood question. Output: per min-distance, the
+    part count and catalog share.
+
+    Scale shape: each hop is ONE equi-join frontier×edges followed by a
+    distinct and an anti-join against the already-visited set (the BFS
+    prune — without it the frontier re-expands into visited nodes and
+    hop k costs Θ(paths) instead of Θ(edges touched)). Depth is a plan
+    constant (3 unrolled joins, no driver iteration on data); min-dist
+    is guaranteed by construction since a node enters exactly one
+    frontier. The final histogram is a ≤(KHOP_MAX+1)-row contraction
+    plus a 1-row catalog-count broadcast."""
+    edges = _canonical_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    seed = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") == KHOP_SEED_SUPP)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    visited = seed.withColumn("dist", F.lit(0))
+    frontier = seed
+    for k in range(1, KHOP_MAX + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.withColumn("dist", F.lit(k)))
+        frontier = nxt
+    total = _t(spark, sf_dir, "part").agg(F.count("*").alias("n_catalog"))
+    return (
+        visited.groupBy("dist")
+        .agg(F.count("*").alias("n_parts"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dist",
+            "n_parts",
+            F.round(F.col("n_parts") / F.col("n_catalog"), 6).alias(
+                "catalog_share"
+            ),
+        )
+        .orderBy("dist")
+    )
+
+
 QUERIES = {
+    "graph_khop_reach": q_graph_khop_reach,
     "graph_triangles": q_graph_triangles,
     "association_rules": q_association_rules,
     "event_type_pmi": q_event_type_pmi,
@@ -292,6 +349,34 @@ def _kcore_oracle() -> str:
     )
 
 ORACLES = {
+    "graph_khop_reach": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ),
+        sym AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b AS u, a AS v FROM edges
+        ),
+        r0 AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+               WHERE l_suppkey = {KHOP_SEED_SUPP}),
+        r1 AS (SELECT DISTINCT v AS node FROM sym JOIN r0 ON sym.u = r0.node),
+        r2 AS (SELECT DISTINCT v AS node FROM sym JOIN r1 ON sym.u = r1.node),
+        r3 AS (SELECT DISTINCT v AS node FROM sym JOIN r2 ON sym.u = r2.node),
+        allr AS (
+            SELECT node, 0 AS dist FROM r0
+            UNION ALL SELECT node, 1 FROM r1
+            UNION ALL SELECT node, 2 FROM r2
+            UNION ALL SELECT node, 3 FROM r3
+        ),
+        reach AS (SELECT node, MIN(dist) AS dist FROM allr GROUP BY 1)
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM part), 6)
+                 AS catalog_share
+        FROM reach GROUP BY dist ORDER BY dist
+    """,
     "kcore_membership": _kcore_oracle(),
     "event_type_pmi": """
         WITH basket AS (

@@ -391,9 +391,49 @@ def q_l_diversity_audit(spark, sf_dir):
     )
 
 
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1 for counts
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Laplace-mechanism calibration audit (Dwork 2006): per-nation
+    customer counts with seeded Laplace(1/ε) noise — the ε-DP release
+    shape for a count query (sensitivity 1). The noise draw is a
+    DETERMINISTIC md5 coin per group (inverse-CDF transform of the
+    60-bit uniform), so the mechanism is testable cross-engine and
+    replayable; a production release would swap the salt for entropy.
+    True counts ride along because this is the calibration AUDIT (does
+    the noise distribution match its scale), not the release itself.
+    One keyed contraction; noise math is per-group constant work."""
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_true")
+    )
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('dp-', CAST(nation AS STRING))), 1, 15), "
+            "16, 10) AS BIGINT)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.signum(centered)
+        * F.lit(1.0 / DP_EPSILON)
+        * F.log(F.lit(1.0) - 2 * F.abs(centered))
+    )
+    return counts.select(
+        "nation",
+        "n_true",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
 QUERIES = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "l_diversity_audit": q_l_diversity_audit,
+    "dp_noisy_counts": q_dp_noisy_counts,
     "incremental_pointer_latest": q_incremental_pointer_latest,
     "referential_integrity_audit": q_referential_integrity_audit,
     "profile_orders": q_profile_orders,
@@ -406,6 +446,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dp_noisy_counts": f"""
+        WITH counts AS (
+            SELECT c_nationkey AS nation, COUNT(*) AS n_true
+            FROM customer GROUP BY 1
+        ),
+        coin AS (
+            SELECT nation, n_true,
+                   (CAST('0x' || substr(md5('dp-' || CAST(nation AS VARCHAR)),
+                                        1, 15) AS BIGINT) + 0.5)
+                   / CAST({2**60} AS DOUBLE) - 0.5 AS centered
+            FROM counts
+        )
+        SELECT nation, CAST(n_true AS BIGINT) AS n_true,
+               ROUND(-SIGN(centered) * {1.0 / DP_EPSILON}
+                     * LN(1.0 - 2 * ABS(centered)), 4) AS noise,
+               ROUND(n_true + (-SIGN(centered) * {1.0 / DP_EPSILON}
+                     * LN(1.0 - 2 * ABS(centered))), 4) AS n_noisy,
+               CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+        FROM coin
+    """,
     "l_diversity_audit": f"""
         WITH cell AS (
             SELECT c_nationkey AS nation, c_mktsegment AS segment,
