@@ -2081,7 +2081,114 @@ def q_lsh_candidate_stats(spark, sf_dir):
     )
 
 
+COV_TOPK = 20
+COV_GRAIN = 1_000_000  # offset-floor grain: g = floor(v·1e6 + 0.5)
+
+
+def _cov_sums_kernel():
+    """mapInPandas kernel: per Arrow batch, the EXACT integer partial
+    sums of the d×d covariance accumulator — G.T@G upper triangle (int64
+    matmul), per-dim column sums, and the row count — flattened to
+    (i, j, s) rows: (i, j≥i, Σ g_i·g_j), (i, -1, Σ g_i), (-1, -1, n).
+    Quantization is offset-floor (floor(v·1e6 + 0.5)), written with the
+    same expression in the DuckDB twin, so every emitted integer is
+    bit-identical cross-engine — no float-sum drift anywhere."""
+    import numpy as np
+
+    iu = np.triu_indices(EMB_DIM)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = np.floor(v * COV_GRAIN + 0.5).astype(np.int64)
+            prod = g.T @ g
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu[0], np.arange(EMB_DIM), [-1]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [iu[1], np.full(EMB_DIM, -1), [-1]]
+                    ).astype(np.int32),
+                    "s": np.concatenate(
+                        [prod[iu], g.sum(axis=0), [len(pdf)]]
+                    ).astype(np.int64),
+                }
+            )
+
+    return kernel
+
+
+def q_embedding_covariance_topk(spark, sf_dir):
+    """Top-|COV_TOPK| most-correlated off-diagonal embedding dimension
+    pairs (plus the sample covariance) — the redundancy screen behind
+    whitening / PCA decisions, complementing q_embedding_dim_variance's
+    per-dimension view.
+
+    Scale shape: the d×d accumulator is computed as Arrow-batch partial
+    sums (one int64 matmul per batch — never a d² row fan-out of the
+    corpus, which is what the naive posexplode×posexplode plan costs),
+    then ONE aggregation over (d²/2 + d + 1) keys per batch. Everything
+    downstream lives at the d² grain. Integer quantization makes the
+    statistic hash-exact across engines (see kernel docstring)."""
+    emb = _emb(spark, sf_dir)
+    sums = (
+        emb.select("embedding")
+        .mapInPandas(_cov_sums_kernel(), "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    # 1-row GLOBAL aggregate (the lint's boundedness witness for the hint)
+    n = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).agg(
+        F.max("s").alias("n")
+    )
+    mean = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("s").alias("sd")
+    )
+    diag = sums.filter((F.col("i") >= 0) & (F.col("i") == F.col("j"))).select(
+        F.col("i").alias("d"), F.col("s").alias("sdd")
+    )
+    pairs = sums.filter((F.col("j") >= 0) & (F.col("i") < F.col("j")))
+    mi = mean.select(F.col("d").alias("i"), F.col("sd").alias("si"))
+    mj = mean.select(F.col("d").alias("j"), F.col("sd").alias("sj"))
+    di = diag.select(F.col("d").alias("i"), F.col("sdd").alias("sii"))
+    dj = diag.select(F.col("d").alias("j"), F.col("sdd").alias("sjj"))
+    joined = (
+        pairs.join(mi, "i").join(mj, "j").join(di, "i").join(dj, "j")
+        .crossJoin(F.broadcast(n))
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("s").cast("double") - F.col("si").cast("double") * F.col(
+        "sj"
+    ).cast("double")
+    den_i = nd * F.col("sii").cast("double") - F.col("si").cast("double") * F.col(
+        "si"
+    ).cast("double")
+    den_j = nd * F.col("sjj").cast("double") - F.col("sj").cast("double") * F.col(
+        "sj"
+    ).cast("double")
+    corr = F.round(num / F.sqrt(den_i * den_j), 6)
+    cov = F.round(
+        num / (nd * (nd - F.lit(1.0))) / F.lit(float(COV_GRAIN) ** 2), 10
+    )
+    return (
+        joined.select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            corr.alias("corr"),
+            cov.alias("cov"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(COV_TOPK)
+    )
+
+
 QUERIES = {
+    "embedding_covariance_topk": q_embedding_covariance_topk,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_quantize_int8": q_embedding_quantize,
     "ann_ivf_topk": q_ann_ivf,
@@ -2130,6 +2237,39 @@ def _semdedup_oracle() -> str:
     """
 
 ORACLES = {
+    "embedding_covariance_topk": f"""
+        WITH dims AS (SELECT UNNEST(range({EMB_DIM})) AS d),
+        v AS (
+            SELECT vec_id, d.d AS i,
+                   CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE)
+                              * {COV_GRAIN} + 0.5) AS BIGINT) AS g
+            FROM embeddings, dims d
+        ),
+        pair_sums AS (
+            SELECT a.i AS i, b.i AS j, SUM(a.g * b.g) AS s
+            FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i < b.i
+            GROUP BY 1, 2
+        ),
+        diag AS (SELECT i, SUM(g * g) AS sdd, SUM(g) AS sd FROM v GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings)
+        SELECT p.i AS dim_i, p.j AS dim_j,
+               ROUND((nd * CAST(p.s AS DOUBLE)
+                      - CAST(di.sd AS DOUBLE) * CAST(dj.sd AS DOUBLE))
+                     / SQRT((nd * CAST(di.sdd AS DOUBLE)
+                             - CAST(di.sd AS DOUBLE) * CAST(di.sd AS DOUBLE))
+                            * (nd * CAST(dj.sdd AS DOUBLE)
+                               - CAST(dj.sd AS DOUBLE) * CAST(dj.sd AS DOUBLE))),
+                     6) AS corr,
+               ROUND((nd * CAST(p.s AS DOUBLE)
+                      - CAST(di.sd AS DOUBLE) * CAST(dj.sd AS DOUBLE))
+                     / (nd * (nd - 1.0)) / {float(COV_GRAIN) ** 2}, 10) AS cov
+        FROM pair_sums p
+        JOIN diag di ON p.i = di.i
+        JOIN diag dj ON p.j = dj.i
+        CROSS JOIN nn
+        ORDER BY ABS(corr) DESC, dim_i, dim_j
+        LIMIT {COV_TOPK}
+    """,
     "ann_bruteforce_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id, {_cos_duck('embedding', 'qv')} AS score
