@@ -68,6 +68,27 @@ def q_stream_tumbling(spark, sf_dir):
     return spark.table("q_stream_tumbling")
 
 
+def q_stream_hopping(spark, sf_dir):
+    """Watermarked HOPPING-window counts (10-min windows every 5 min),
+    drained with availableNow in COMPLETE mode — same determinism
+    argument as q_stream_tumbling (complete mode never evicts, the
+    single-batch drain admits no mid-drain watermark), so the drain
+    equals the epoch-aligned hop-explode arithmetic and carries a full
+    value oracle (the batch twin is timeseries_ext.q_events_hopping)."""
+    import shutil
+
+    src = _stage_stream_source(spark, sf_dir)
+    try:
+        with _bounded_state_partitions(spark):
+            result = SE.hopping_counts(
+                SE.read_event_stream(spark, src, files_per_trigger=None)
+            )
+            SE.run_to_memory(result, "q_stream_hopping")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("q_stream_hopping")
+
+
 def q_stream_sessionize(spark, sf_dir):
     """applyInPandasWithState gap sessionization. Emission rule under a
     single-batch availableNow drain (files_per_trigger=None, so no
@@ -283,6 +304,7 @@ def q_stream_ewma(spark, sf_dir):
 
 QUERIES = {
     "stream_tumbling_windows": q_stream_tumbling,
+    "stream_hopping_windows": q_stream_hopping,
     "stream_ewma": q_stream_ewma,
     "stream_enrich_static": q_stream_enrich_static,
     "stream_sessionize_stateful": q_stream_sessionize,
@@ -335,6 +357,24 @@ def _stream_ewma_oracle() -> str:
 
 ORACLES = {
     "stream_ewma": _stream_ewma_oracle(),
+    # complete-mode single-batch drain == the epoch-aligned hop-explode
+    # (see q_stream_hopping; batch twin timeseries_ext.events_hopping)
+    "stream_hopping_windows": """
+        WITH exploded AS (
+            SELECT event_type, value,
+                   CAST((floor(epoch(ts) / 300) - k.k) * 300 AS BIGINT)
+                     AS wstart
+            FROM events
+            CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k) k
+        )
+        SELECT strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S')
+                 AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM exploded
+        GROUP BY 1, 2
+    """,
     # complete-mode single-batch drain == the batch tumbling aggregation
     # (see q_stream_tumbling) — share the batch twin's oracle verbatim
     "stream_tumbling_windows": _batch_tumbling_oracle(),

@@ -64,6 +64,33 @@ def windowed_counts(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def hopping_counts(stream: DataFrame, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Hopping (overlapping) window counts/sums: ``F.window`` with a
+    slide shorter than the size assigns each event to window÷slide
+    epoch-aligned windows (2 here) — the streaming twin of the batch
+    ``events_hopping`` hop-explode. State per group stays one
+    (count, sum) pair; the 2× group fan-out is the price of overlap,
+    NOT a per-event buffer."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def window_champions(stream: DataFrame, window: str = "1 hour",
                      watermark: str = "10 minutes") -> DataFrame:
     """Per-(tumbling window, event_type) champion: the arg-max event by

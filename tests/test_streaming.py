@@ -31,6 +31,53 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
 
 
+def test_hopping_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Hopping drain == the batch hop-explode arithmetic: every event in
+    exactly window/slide = 2 epoch-aligned windows."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "hop_src")
+    load_events(spark, sf_dir).repartition(4).write.parquet(src)
+
+    result = SE.hopping_counts(
+        SE.read_event_stream(spark, src, files_per_trigger=None)
+    )
+    SE.run_to_memory(result, "hop_counts")
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM hop_counts").collect()
+    }
+
+    ev = load_events(spark, sf_dir)
+    batch = (
+        ev.select(
+            "event_type",
+            "value",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            F.floor(F.col("ts").cast("double") / 300).alias("bucket"),
+        )
+        .select(
+            "event_type",
+            "value",
+            F.date_format(
+                ((F.col("bucket") - F.col("k")) * 300).cast("timestamp"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_start"),
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionization == batch sessions minus each
     user's final (still-open) session, which stays in state when the
