@@ -567,6 +567,65 @@ def q_token_zipf_fit(spark, sf_dir):
     )
 
 
+PMI_VOCAB = 50  # co-occurrence restricted to the top-V df vocabulary
+PMI_MIN_COOC = 5
+PMI_TOPK = 20
+
+
+def q_token_pmi_topk(spark, sf_dir):
+    """Top-|PMI_TOPK| token pairs by document-level pointwise mutual
+    information — the word-association screen (collocations, template
+    phrases) over the corpus, the text twin of event_type_pmi.
+
+    Scale shape: co-occurrence is restricted to the top-PMI_VOCAB
+    document-frequency vocabulary FIRST (a TakeOrdered top-V → V-row
+    broadcast, the vocab_oov_audit pattern), so the per-document pair
+    fan-out is bounded by V²/2 by construction — never |doc|² over raw
+    tokens. One corpus-sized aggregation to the (doc, tok) presence
+    grain; everything after lives at ≤V·docs rows. PMI = ln(N·c_ab /
+    (c_a·c_b)) from exact integer counts (deterministic cross-engine)."""
+    presence = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    vocab = (
+        presence.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(PMI_VOCAB)
+    )
+    pv = presence.join(F.broadcast(vocab), "tok")
+    a = pv.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("c_a"))
+    b = pv.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("c_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COOC)
+    )
+    n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_docs").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(PMI_TOPK)
+    )
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease / Flesch-Kincaid grade per document — the
     classic readability quality signal (Kincaid 1975) next to the
@@ -607,6 +666,7 @@ def q_text_readability(spark, sf_dir):
 
 
 QUERIES = {
+    "token_pmi_topk": q_token_pmi_topk,
     "text_readability": q_text_readability,
     "bm25_topk": q_bm25_topk,
     "token_zipf_fit": q_token_zipf_fit,
@@ -866,6 +926,42 @@ ORACLES = {
         JOIN supplier na ON na.s_suppkey = sup_a
         JOIN supplier nb ON nb.s_suppkey = sup_b
         WHERE levenshtein(na.s_name, nb.s_name) <= {FUZZY_MAX_EDIT}
+    """,
+    "token_pmi_topk": rf"""
+        WITH presence AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id,
+                         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        vocab AS (
+            SELECT tok, COUNT(*) AS df FROM presence
+            GROUP BY tok ORDER BY df DESC, tok LIMIT {PMI_VOCAB}
+        ),
+        pv AS (
+            SELECT p.doc_id, p.tok, v.df
+            FROM presence p JOIN vocab v USING (tok)
+        ),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   a.df AS c_a, b.df AS c_b, COUNT(*) AS c_ab
+            FROM pv a JOIN pv b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(*) >= {PMI_MIN_COOC}
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tok_a, tok_b,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(c_a AS BIGINT) AS c_a,
+               CAST(c_b AS BIGINT) AS c_b,
+               ROUND(LN((CAST(c_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                        / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6)
+                 AS pmi
+        FROM pairs, n
+        ORDER BY pmi DESC, tok_a, tok_b
+        LIMIT {PMI_TOPK}
     """,
     "text_readability": r"""
         WITH d AS (

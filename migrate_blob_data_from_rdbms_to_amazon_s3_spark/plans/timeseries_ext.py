@@ -138,6 +138,66 @@ def q_events_hopping(spark, sf_dir):
     )
 
 
+def q_interarrival_expfit(spark, sf_dir):
+    """Per-event-type inter-arrival goodness-of-fit against the
+    exponential (Poisson-process) hypothesis: the one-sample KS distance
+    between the empirical gap CDF and Exp(λ̂), λ̂ = n/Σgaps — the
+    burstiness screen behind rate-anomaly thresholds (a heavy-tailed
+    arrival process invalidates a Poisson alarm calibration).
+
+    Exactness: gaps live as INTEGER microseconds (timestamp subtraction
+    is exact), so λ̂ and every empirical CDF step are ratios of exact
+    integers; the only float transcendental is exp(−λg), identical text
+    in both engines. The KS sup is evaluated at both sides of every jump
+    (F_emp(g) and F_emp(g⁻)), which attains the sup exactly. Windows are
+    PARTITIONED BY event_type over the gap-grain contraction."""
+    ev = _t(spark, sf_dir, "events")
+    w_seq = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w_seq))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.col("ts").cast("double") * 1_000_000
+                - F.col("prev_ts").cast("double") * 1_000_000
+            )
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )
+    grain = gaps.groupBy("event_type", "gap_us").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("gap_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_type = W.partitionBy("event_type")
+    cum = grain.select(
+        "event_type",
+        "gap_us",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(per_type).alias("n"),
+        F.sum(F.col("gap_us") * F.col("cnt")).over(per_type).alias("sum_us"),
+    )
+    lam = F.col("n") / (F.col("sum_us") / F.lit(1_000_000.0))  # per second
+    f_exp = F.lit(1.0) - F.exp(-lam * (F.col("gap_us") / F.lit(1_000_000.0)))
+    d = F.greatest(
+        F.abs(F.col("cum") / F.col("n") - f_exp),
+        F.abs((F.col("cum") - F.col("cnt")) / F.col("n") - f_exp),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.round(F.max(lam) * 3600, 6).alias("lambda_per_hour"),
+        F.round(
+            F.max(F.col("sum_us")) / F.max("n") / F.lit(1_000_000.0), 6
+        ).alias("mean_gap_s"),
+        F.round(F.max(d), 5).alias("ks_d"),
+    )
+
+
 _DAILY_SQL = """
     daily AS (
         SELECT event_type,
@@ -148,12 +208,56 @@ _DAILY_SQL = """
 """
 
 QUERIES = {
+    "interarrival_expfit": q_interarrival_expfit,
     "events_autocorr": q_events_autocorr,
     "events_dow_seasonality": q_events_dow_seasonality,
     "events_hopping": q_events_hopping,
 }
 
 ORACLES = {
+    "interarrival_expfit": """
+        WITH seq AS (
+            SELECT event_type, epoch_us(ts) AS ts_us,
+                   LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type, ts_us - prev_us AS gap_us
+            FROM seq WHERE prev_us IS NOT NULL
+        ),
+        grain AS (
+            SELECT event_type, gap_us, COUNT(*) AS cnt
+            FROM gaps GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, gap_us, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY gap_us) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                   SUM(gap_us * cnt) OVER (PARTITION BY event_type) AS sum_us
+            FROM grain
+        ),
+        scored AS (
+            SELECT event_type, n, sum_us,
+                   GREATEST(
+                     ABS(cum / CAST(n AS DOUBLE)
+                         - (1.0 - EXP(-(n / (sum_us / 1000000.0))
+                                      * (gap_us / 1000000.0)))),
+                     ABS((cum - cnt) / CAST(n AS DOUBLE)
+                         - (1.0 - EXP(-(n / (sum_us / 1000000.0))
+                                      * (gap_us / 1000000.0))))
+                   ) AS d
+            FROM cum
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               ROUND(MAX(n / (sum_us / 1000000.0)) * 3600, 6)
+                 AS lambda_per_hour,
+               ROUND(MAX(sum_us) / MAX(n) / 1000000.0, 6) AS mean_gap_s,
+               ROUND(MAX(d), 5) AS ks_d
+        FROM scored GROUP BY event_type
+    """,
     "events_autocorr": f"""
         WITH {_DAILY_SQL}
         SELECT a.event_type, l.lag,
