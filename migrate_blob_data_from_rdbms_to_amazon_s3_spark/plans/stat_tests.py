@@ -219,6 +219,90 @@ def q_distribution_shape_audit(spark, sf_dir):
     )
 
 
+def _avg_rank2(df, value_col: str, out_col: str):
+    """Per-grain DOUBLED average rank (2·avg_rank is an exact integer
+    even under midpoint tie-averaging) for ``value_col`` over ``df`` —
+    the same sample-sort bucket shape as ``_two_sample_cum``: grain
+    contraction, quantile-cut buckets, per-bucket windows + an offset
+    broadcast. Returns (g, r2) keyed by the integer cent grain."""
+    sel = df.select(
+        F.round(F.col(value_col) * 100).cast("bigint").alias("g"),
+        F.col(value_col).alias("v"),
+    )
+    grain = sel.groupBy("g").agg(F.count("*").alias("cnt"))
+    ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
+    cuts = distribution_quantiles(sel, None, "v", ps, grain_space=True).select(
+        F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts")
+    )
+    bucketed = grain.crossJoin(F.broadcast(cuts)).select(
+        "g",
+        "cnt",
+        F.expr(
+            "aggregate(cuts, 0, (acc, c) -> "
+            "acc + IF(c <= CAST(g AS DOUBLE), 1, 0))"
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(F.sum("cnt").alias("bc"))
+    prev = counts.select(F.col("b").alias("pb"), F.col("bc").alias("pc"))
+    offsets = (
+        counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("off"))
+    )
+    w_cum = W.partitionBy("b").orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            "g",
+            "cnt",
+            (F.col("off") + F.sum("cnt").over(w_cum)).alias("cum"),
+        )
+        # 2·avg_rank of a tie group ending at cum with cnt members:
+        # ranks are cum-cnt+1 .. cum, average (2·cum - cnt + 1)/2
+        .select("g", (2 * F.col("cum") - F.col("cnt") + 1).alias(out_col))
+    )
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Distributed Spearman rank correlation between lineitem extended
+    price and quantity — the monotone-association complement of the
+    Pearson screen in numeric_corr_audit (Spearman is Pearson on
+    midpoint-tie-averaged ranks, robust to the heavy right tail Pearson
+    over-weights).
+
+    Scale + exactness: each column's average ranks come from the
+    sample-sort cumulative (no one-partition window); DOUBLED ranks are
+    exact integers, the two rank joins are grain-keyed equi-joins back
+    to the row set, and all five power sums accumulate as
+    DECIMAL(38,0)/HUGEINT — so the statistic is a ratio of exact
+    integers and hash-matches the naive RANK() oracle bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("gx"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("gy"),
+    )
+    rx = _avg_rank2(li, "l_extendedprice", "r2x").withColumnRenamed("g", "gx")
+    ry = _avg_rank2(li, "l_quantity", "r2y").withColumnRenamed("g", "gy")
+    ranked = rows.join(rx, "gx").join(ry, "gy")
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(d("r2x")).cast("double").alias("sx"),
+        F.sum(d("r2y")).cast("double").alias("sy"),
+        F.sum(d("r2x") * d("r2x")).cast("double").alias("sxx"),
+        F.sum(d("r2y") * d("r2y")).cast("double").alias("syy"),
+        F.sum(d("r2x") * d("r2y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
 # Naive-ranking oracle CTE: global window cumulative over the same grain.
 _CUM_SQL = f"""
     s AS (
@@ -241,12 +325,50 @@ _CUM_SQL = f"""
 """
 
 QUERIES = {
+    "spearman_corr": q_spearman_corr,
     "mann_whitney_u": q_mann_whitney_u,
     "ks_two_sample": q_ks_two_sample,
     "distribution_shape_audit": q_distribution_shape_audit,
 }
 
 ORACLES = {
+    "spearman_corr": """
+        WITH rows_g AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS gx,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS gy
+            FROM lineitem
+        ),
+        gxt AS (SELECT gx AS g, COUNT(*) AS cnt FROM rows_g GROUP BY 1),
+        cx AS (SELECT g, 2 * SUM(cnt) OVER (ORDER BY g) - cnt + 1 AS r2x
+               FROM gxt),
+        gyt AS (SELECT gy AS g, COUNT(*) AS cnt FROM rows_g GROUP BY 1),
+        cy AS (SELECT g, 2 * SUM(cnt) OVER (ORDER BY g) - cnt + 1 AS r2y
+               FROM gyt),
+        ranked AS (
+            SELECT r2x, r2y
+            FROM rows_g r
+            JOIN cx ON r.gx = cx.g
+            JOIN cy ON r.gy = cy.g
+        ),
+        sums AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(r2x AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(r2y AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT))
+                        AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT))
+                        AS DOUBLE) AS sxy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                 AS spearman_rho
+        FROM sums
+    """,
     "mann_whitney_u": f"""
         WITH {_CUM_SQL},
         folded AS (
