@@ -130,6 +130,16 @@ HEADLINE = [
     "token_zipf_fit",
     "decontaminate_embedding",
     "kn_bigram_score",
+    # session-4 families: survival, rank statistics, time-series
+    # diagnostics, graph BFS, token PMI, covariance partials
+    "survival_kaplan_meier",
+    "mann_whitney_u",
+    "spearman_corr",
+    "interarrival_expfit",
+    "events_hopping",
+    "graph_khop_reach",
+    "token_pmi_topk",
+    "embedding_covariance_topk",
 ]
 
 STREAMING = [
