@@ -303,6 +303,78 @@ def q_spearman_corr(spark, sf_dir):
     return sums.select("n", F.round(rho, 6).alias("spearman_rho"))
 
 
+MI_BINS = 20
+
+
+def q_mutual_information_binned(spark, sf_dir):
+    """Equi-width-binned mutual information (plus marginal entropies and
+    the normalized MI) between lineitem extended price and quantity —
+    the nonlinear-dependence screen that catches what Pearson/Spearman
+    (linear/monotone) miss. Completes the dependence family with
+    chisq_independence (categorical).
+
+    Scale shape: ONE contraction of the rows to the MI_BINS² cell grid
+    (bin indices are exact integer arithmetic over the cent grains, with
+    the min/max bounds a 1-row broadcast), then margins and the Σ p·ln
+    folds are constant-size. Every count is an exact integer; only the
+    final ≤B² ln-fold is float."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("gx"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("gy"),
+    )
+    bounds = rows.agg(
+        F.min("gx").alias("x0"),
+        F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"),
+        F.max("gy").alias("y1"),
+    )
+    bx = F.floor(
+        (F.col("gx") - F.col("x0")) * MI_BINS / (F.col("x1") - F.col("x0") + 1)
+    )
+    by = F.floor(
+        (F.col("gy") - F.col("y0")) * MI_BINS / (F.col("y1") - F.col("y0") + 1)
+    )
+    cells = (
+        rows.crossJoin(F.broadcast(bounds))
+        .select(bx.alias("bx"), by.alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count("*").alias("c"))
+    )
+    rx = cells.groupBy("bx").agg(F.sum("c").alias("cx"))
+    ry = cells.groupBy("by").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rx), "bx")
+        .join(F.broadcast(ry), "by")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("c") / nd
+    mi_term = p * F.log(
+        (F.col("c").cast("double") * nd)
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    # marginal entropies folded over the SAME joined cells, weighting
+    # each marginal term by its cell share so the fold stays one pass:
+    # Σ_cells (c/n)·ln(cx/n) = Σ_x (cx/n)·ln(cx/n)
+    hx_term = -p * F.log(F.col("cx").cast("double") / nd)
+    hy_term = -p * F.log(F.col("cy").cast("double") / nd)
+    folded = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(mi_term).alias("mi"),
+        F.sum(hx_term).alias("hx"),
+        F.sum(hy_term).alias("hy"),
+    )
+    return folded.select(
+        "n",
+        F.round(F.col("mi"), 6).alias("mi_nats"),
+        F.round(F.col("hx"), 6).alias("h_price"),
+        F.round(F.col("hy"), 6).alias("h_quantity"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+    )
+
+
 # Naive-ranking oracle CTE: global window cumulative over the same grain.
 _CUM_SQL = f"""
     s AS (
@@ -325,6 +397,7 @@ _CUM_SQL = f"""
 """
 
 QUERIES = {
+    "mutual_information_binned": q_mutual_information_binned,
     "spearman_corr": q_spearman_corr,
     "mann_whitney_u": q_mann_whitney_u,
     "ks_two_sample": q_ks_two_sample,
@@ -332,6 +405,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mutual_information_binned": f"""
+        WITH rows_g AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS gx,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS gy
+            FROM lineitem
+        ),
+        bounds AS (
+            SELECT MIN(gx) AS x0, MAX(gx) AS x1,
+                   MIN(gy) AS y0, MAX(gy) AS y1
+            FROM rows_g
+        ),
+        cells AS (
+            SELECT FLOOR((gx - x0) * {MI_BINS} / (x1 - x0 + 1)) AS bx,
+                   FLOOR((gy - y0) * {MI_BINS} / (y1 - y0 + 1)) AS by,
+                   COUNT(*) AS c
+            FROM rows_g, bounds
+            GROUP BY 1, 2
+        ),
+        rx AS (SELECT bx, SUM(c) AS cx FROM cells GROUP BY 1),
+        ry AS (SELECT by, SUM(c) AS cy FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM cells),
+        folded AS (
+            SELECT MAX(n) AS n,
+                   SUM((c / CAST(n AS DOUBLE))
+                       * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                            / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+                     AS mi,
+                   SUM(-(c / CAST(n AS DOUBLE))
+                       * LN(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))) AS hx,
+                   SUM(-(c / CAST(n AS DOUBLE))
+                       * LN(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))) AS hy
+            FROM cells
+            JOIN rx USING (bx)
+            JOIN ry USING (by)
+            CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(mi, 6) AS mi_nats,
+               ROUND(hx, 6) AS h_price,
+               ROUND(hy, 6) AS h_quantity,
+               ROUND(mi / SQRT(hx * hy), 6) AS nmi
+        FROM folded
+    """,
     "spearman_corr": """
         WITH rows_g AS (
             SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS gx,

@@ -53,9 +53,11 @@ _BOUNDED_GROUP_KEYS = {
     "event_type", "from_type", "to_type", "dow", "lang", "label",
     "cluster", "b", "j", "word", "y", "py", "yr", "mo", "theta",
     "band_bits", "grain", "bucket", "source", "split", "tok", "variant",
-    "r_name", "n_name", "bands", "__pid", "coin_shard",
+    "r_name", "n_name", "bands", "__pid", "coin_shard", "bx", "by",
     # coin_shard = top 8 bits of a 60-bit md5 coin: a 256-value domain
     # by construction (curriculum_order's rank-window shards)
+    # bx/by = equi-width bin indices floor((g-min)·B/(max-min+1)): a
+    # B=20-value domain by arithmetic (mutual_information_binned)
 }
 
 # Unique-key columns: an equality filter `<key> = <literal>` on one of
