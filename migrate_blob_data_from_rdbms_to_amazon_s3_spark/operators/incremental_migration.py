@@ -346,6 +346,77 @@ def compact_pointer_runs(
         return entry
 
 
+def vacuum_pointer_runs(
+    target_path: str, state_path: str, lock_timeout_s: float = 600.0,
+) -> dict:
+    """The cheap sweep compaction's crash-ordering contract defers to:
+    remove superseded pointer-run dirs WITHOUT rewriting any data (pure
+    file-listing + ledger, no Spark job — unlike re-running
+    ``compact_pointer_runs``, which pays a full keep-latest shuffle just
+    to drop duplicates a crash left behind).
+
+    Under the same ledger lease (no live writer can exist while it is
+    held), a run dir is removable iff:
+
+    - its id is BELOW the latest committed compaction's id — that
+      compaction consolidated all earlier history into its own run, so
+      the dir is shadowed whether or not it was committed (this is
+      exactly the byte-identical-duplicate window the compaction
+      docstring leaves "for the next sweep"); or
+    - its id is absent from the committed ledger — a dead pass's
+      leftover (the lease serializes writers, so nobody live owns it;
+      the committed watermark never advanced, so its increment is
+      recomputable; ``read_current`` already ignores it).
+
+    Everything else — the compaction run itself and committed
+    post-compaction increments — stays. Returns
+    ``{"removed_shadowed", "removed_uncommitted", "kept"}`` counts."""
+    import shutil
+
+    os.makedirs(state_path, exist_ok=True)
+    with _writer_lock(f"{state_path}/ledger", timeout_s=lock_timeout_s):
+        pointers_root = f"{target_path}/pointers"
+        if not os.path.isdir(pointers_root):
+            return {"removed_shadowed": 0, "removed_uncommitted": 0, "kept": 0}
+        entries = _ledger_entries(state_path)
+        committed_ids = {e["run_id"] for e in entries}
+        compaction_ids = [
+            e["run_id"] for e in entries if e.get("compaction") and e.get("committed")
+        ]
+        # a committed compaction whose dir a later crash removed is not a
+        # valid shadow anchor; require the dir to exist
+        anchor = max(
+            (
+                i
+                for i in compaction_ids
+                if os.path.isdir(os.path.join(pointers_root, f"run={i}"))
+            ),
+            default=None,
+        )
+        removed_shadowed = removed_uncommitted = kept = 0
+        for d in sorted(os.listdir(pointers_root)):
+            if not d.startswith("run="):
+                continue
+            try:
+                rid = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            path = os.path.join(pointers_root, d)
+            if anchor is not None and rid < anchor:
+                shutil.rmtree(path, ignore_errors=True)
+                removed_shadowed += 1
+            elif rid not in committed_ids:
+                shutil.rmtree(path, ignore_errors=True)
+                removed_uncommitted += 1
+            else:
+                kept += 1
+        return {
+            "removed_shadowed": removed_shadowed,
+            "removed_uncommitted": removed_uncommitted,
+            "kept": kept,
+        }
+
+
 def migrate_increment(
     spark: SparkSession,
     source: DataFrame,

@@ -346,6 +346,89 @@ def test_compaction_commits_before_deleting_history(spark, derby_cdc,
             read_current(spark, target, state_path=state).collect()} == before
 
 
+def test_vacuum_sweeps_crash_leftovers_without_rewrite(spark, derby_cdc,
+                                                       tmp_path, monkeypatch):
+    """The cheap sweep: after a crash between the compaction commit and
+    its history sweep, vacuum removes the shadowed duplicates by file
+    ops alone — no Spark job, no data rewrite — and the view is
+    unchanged. A dead uncommitted dir (crashed pass) goes too; the
+    compaction run and committed post-compaction increments stay."""
+    import os as _os
+    import shutil as _shutil
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        compact_pointer_runs,
+        vacuum_pointer_runs,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    write([(11, "id-005", "desc 5 v2", b"u" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    before = {tuple(r)
+              for r in read_current(spark, target, state_path=state).collect()}
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during history sweep")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_pointer_runs(spark, target, state)
+    monkeypatch.undo()
+
+    # a post-compaction committed increment must survive the vacuum
+    write([(12, "id-006", "desc 6", b"w" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    after_inc = {tuple(r)
+                 for r in read_current(spark, target, state_path=state).collect()}
+    # and a dead uncommitted dir (crashed pass leftover) must go
+    _os.makedirs(f"{target}/pointers/run=99")
+
+    stats = vacuum_pointer_runs(target, state)
+    assert stats["removed_shadowed"] == 2     # the two pre-compaction runs
+    assert stats["removed_uncommitted"] == 1  # run=99
+    assert stats["kept"] == 2                 # compaction + new increment
+    assert {tuple(r) for r in
+            read_current(spark, target, state_path=state).collect()} == after_inc
+
+    # idempotent: a second vacuum is a no-op
+    again = vacuum_pointer_runs(target, state)
+    assert again == {"removed_shadowed": 0, "removed_uncommitted": 0, "kept": 2}
+
+
+def test_vacuum_without_compaction_keeps_committed_history(spark, derby_cdc,
+                                                           tmp_path):
+    """No committed compaction anchor: every committed run IS the live
+    history and must stay; only dead uncommitted dirs are removable."""
+    import os as _os
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.incremental_migration import (
+        vacuum_pointer_runs,
+    )
+
+    url, write = derby_cdc
+    store_url, target, state = _paths(tmp_path)
+    source = _src(url).load(spark)
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    write([(11, "id-005", "desc 5 v2", b"u" * 8)])
+    migrate_increment(spark, source, store_url=store_url, target_path=target,
+                      state_path=state, cursor_col="seq")
+    before = {tuple(r)
+              for r in read_current(spark, target, state_path=state).collect()}
+    _os.makedirs(f"{target}/pointers/run=42")
+
+    stats = vacuum_pointer_runs(target, state)
+    assert stats == {"removed_shadowed": 0, "removed_uncommitted": 1, "kept": 2}
+    assert {tuple(r) for r in
+            read_current(spark, target, state_path=state).collect()} == before
+
+
 def test_current_watermark_skips_none_entries(tmp_path):
     """A compaction entry can commit ``watermark: None`` (nothing
     migrated yet). Later real watermarks must not TypeError against it —
