@@ -567,6 +567,42 @@ def q_token_zipf_fit(spark, sf_dir):
     )
 
 
+def q_lexical_richness_audit(spark, sf_dir):
+    """Per-source lexical-richness profile: type-token ratio, hapax
+    share (vocabulary still growing ⇒ high hapax share, Zipf's tail),
+    and Simpson's repeat-rate diversity Σf(f−1)/(N(N−1)) — the
+    corpus-linguistics fingerprint that separates template-generated
+    sources from natural ones next to token_zipf_fit's slope.
+
+    Scale shape: one corpus-sized aggregation to the (source, token)
+    frequency grain, then a per-source contraction; every statistic is
+    a ratio of exact integer sums (f, f², N are bigints) so the floats
+    are deterministic cross-engine."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+        F.sum(F.col("f") * (F.col("f") - 1)).alias("rep2"),
+    )
+    n = F.col("n_tokens")
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_share"),
+        F.round(F.col("rep2") / (n * (n - 1)), 8).alias("simpson_repeat"),
+    )
+
+
 PMI_VOCAB = 50  # co-occurrence restricted to the top-V df vocabulary
 PMI_MIN_COOC = 5
 PMI_TOPK = 20
@@ -666,6 +702,7 @@ def q_text_readability(spark, sf_dir):
 
 
 QUERIES = {
+    "lexical_richness_audit": q_lexical_richness_audit,
     "token_pmi_topk": q_token_pmi_topk,
     "text_readability": q_text_readability,
     "bm25_topk": q_bm25_topk,
@@ -926,6 +963,33 @@ ORACLES = {
         JOIN supplier na ON na.s_suppkey = sup_a
         JOIN supplier nb ON nb.s_suppkey = sup_b
         WHERE levenshtein(na.s_name, nb.s_name) <= {FUZZY_MAX_EDIT}
+    """,
+    "lexical_richness_audit": r"""
+        WITH tok AS (
+            SELECT source, tok, COUNT(*) AS f
+            FROM (SELECT source,
+                         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY 1, 2
+        ),
+        per_src AS (
+            SELECT source,
+                   SUM(f) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                   SUM(f * (f - 1)) AS rep2
+            FROM tok GROUP BY 1
+        )
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(n_hapax AS BIGINT) AS n_hapax,
+               ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+               ROUND(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_share,
+               ROUND(rep2 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 8)
+                 AS simpson_repeat
+        FROM per_src
     """,
     "token_pmi_topk": rf"""
         WITH presence AS (
