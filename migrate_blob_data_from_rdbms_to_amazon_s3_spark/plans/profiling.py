@@ -261,6 +261,60 @@ def q_ab_test_welch(spark, sf_dir):
     )
 
 
+AB_CONV_MIN_PURCHASES = 14  # ~median purchases/user: a real 50/50 split
+
+
+def q_ab_test_proportions(spark, sf_dir):
+    """A/B conversion readout: the two-proportion pooled z-test on
+    purchase conversion (>= AB_CONV_MIN_PURCHASES purchases, the
+    fixture's median split), the
+    categorical-outcome complement of q_ab_test_welch's means test. Same
+    deterministic md5-parity assignment; every input to the z is an
+    exact integer (user and converter counts), so the statistic is
+    hash-exact cross-engine. One pass to the user grain, a 2-row variant
+    aggregate, then the same self-pivot fold."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= AB_CONV_MIN_PURCHASES
+        ).cast("int").alias("conv")
+    )
+    variant = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+            "AS BIGINT) % 2"
+        )
+    ).alias("variant")
+    stats = (
+        per_user.select(variant, "conv")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(F.try_divide(p_a - p_b, se), 4).alias("z_stat"),
+    )
+
+
 # --- exact rolling distinct users ------------------------------------------------------
 def q_rolling_active_users(spark, sf_dir):
     """Exact rolling 7-day active users per day. Spark windows cannot
@@ -812,6 +866,7 @@ QUERIES = {
     "key_skew_audit": q_key_skew_audit,
     "zorder_pruning_audit": q_zorder_pruning_audit,
     "ab_test_welch": q_ab_test_welch,
+    "ab_test_proportions": q_ab_test_proportions,
     "rolling_active_users": q_rolling_active_users,
     "incremental_agg_merge": q_incremental_agg_merge,
     "pareto_frontier": q_pareto_frontier,
@@ -1150,6 +1205,31 @@ ORACLES = {
         SELECT a.n AS n_a, b.n AS n_b,
                ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
                ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 4) AS t_stat
+        FROM (SELECT * FROM stats WHERE variant = 0) a,
+             (SELECT * FROM stats WHERE variant = 1) b
+    """,
+    "ab_test_proportions": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= {AB_CONV_MIN_PURCHASES}
+                        THEN 1 ELSE 0 END AS conv
+            FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 AS variant,
+                   COUNT(*) AS n, SUM(conv) AS c
+            FROM per_user GROUP BY 1
+        )
+        SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               CAST(a.c AS BIGINT) AS conv_a, CAST(b.c AS BIGINT) AS conv_b,
+               ROUND(a.c / CAST(a.n AS DOUBLE), 6) AS p_a,
+               ROUND(b.c / CAST(b.n AS DOUBLE), 6) AS p_b,
+               ROUND((a.c / CAST(a.n AS DOUBLE) - b.c / CAST(b.n AS DOUBLE))
+                     / NULLIF(SQRT(((a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                            * (1.0 - (a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                            * (1.0 / a.n + 1.0 / b.n)), 0), 4) AS z_stat
         FROM (SELECT * FROM stats WHERE variant = 0) a,
              (SELECT * FROM stats WHERE variant = 1) b
     """,
