@@ -670,12 +670,13 @@ def q_text_readability(spark, sf_dir):
     replace-length trick so the count is an EXACT integer in both
     engines; sentences are [.!?]+ runs clamped to ≥1. Pure narrow
     projection over the documents scan — no shuffle, no UDF."""
-    sylls = F.length(F.regexp_replace(F.lower("text"), "[aeiouy]+", "#")) - F.length(
-        F.regexp_replace(F.lower("text"), "[aeiouy]+", "")
-    )
-    sents = F.length(F.regexp_replace("text", "[.!?]+", "#")) - F.length(
-        F.regexp_replace("text", "[.!?]+", "")
-    )
+    # one regexp_count pass per metric (the replace-length identity the
+    # oracle keeps costs TWO full replace passes + copies per metric —
+    # measured 2x the wall on the sf1 soak's regex-bound profile); the
+    # match COUNTS are identical integers, so the DuckDB twin stays the
+    # independent implementation
+    sylls = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    sents = F.regexp_count("text", F.lit("[.!?]+"))
     words = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )
