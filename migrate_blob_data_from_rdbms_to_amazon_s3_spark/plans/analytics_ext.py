@@ -424,6 +424,53 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_events_entropy_rate(spark, sf_dir):
+    """Entropy rate of the event stream as a first-order Markov chain:
+    H = −Σ_s π(s)·Σ_t p(t|s)·ln p(t|s) with π the empirical source
+    distribution, plus the zeroth-order (iid) entropy H₀ and the
+    predictability gain H₀−H — "how much does knowing the previous event
+    tell you about the next one", the sequence-model ceiling behind
+    markov_prediction_accuracy. Same transition-grain contraction as
+    event_transitions; everything after the (from, to) count table is a
+    ≤|types|²-row fold of exact integer counts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("c").alias("n_from"))
+    grand = trans.agg(F.sum("c").alias("n"))
+    joined = trans.join(F.broadcast(totals), "from_type").crossJoin(
+        F.broadcast(grand)
+    )
+    p_cond = F.col("c") / F.col("n_from")
+    # each (s,t) cell contributes π(s)·p(t|s)·ln p(t|s) = (c/n)·ln p(t|s)
+    h_rate = -F.sum((F.col("c") / F.col("n")) * F.log(p_cond))
+    h0 = -F.sum(
+        (F.col("c") / F.col("n"))
+        * F.log(F.col("n_from") / F.col("n"))
+    )  # Σ_s π(s)·ln π(s) folded over cells, weighting by the cell share
+    folded = joined.agg(
+        F.max("n").alias("n_transitions"),
+        h_rate.alias("h_rate"),
+        h0.alias("h0"),
+    )
+    return folded.select(
+        "n_transitions",
+        F.round(F.col("h_rate"), 6).alias("entropy_rate_nats"),
+        F.round(F.col("h0"), 6).alias("h0_nats"),
+        F.round(F.col("h0") - F.col("h_rate"), 6).alias("predictability_gain"),
+    )
+
+
 def q_basket_part_pairs(spark, sf_dir):
     """Market-basket co-occurrence: the 15 part pairs most often bought in
     the same order. The pair join is keyed on the order (baskets are a few
@@ -747,6 +794,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "part_pagerank": q_part_pagerank,
     "event_transitions": q_event_transitions,
+    "events_entropy_rate": q_events_entropy_rate,
     "basket_part_pairs": q_basket_part_pairs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -872,6 +920,37 @@ ORACLES = {
                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
     """,
     "part_pagerank": _pagerank_oracle(),
+    "events_entropy_rate": """
+        WITH trans AS (
+            SELECT from_type, event_type AS to_type FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS from_type
+                FROM events
+            ) WHERE from_type IS NOT NULL
+        ),
+        counts AS (
+            SELECT from_type, to_type, COUNT(*) AS c
+            FROM trans GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_type, SUM(c) AS n_from FROM counts GROUP BY 1
+        ),
+        grand AS (SELECT SUM(c) AS n FROM counts),
+        folded AS (
+            SELECT MAX(n) AS n,
+                   -SUM((c / CAST(n AS DOUBLE))
+                        * LN(c / CAST(n_from AS DOUBLE))) AS h_rate,
+                   -SUM((c / CAST(n AS DOUBLE))
+                        * LN(n_from / CAST(n AS DOUBLE))) AS h0
+            FROM counts JOIN totals USING (from_type) CROSS JOIN grand
+        )
+        SELECT CAST(n AS BIGINT) AS n_transitions,
+               ROUND(h_rate, 6) AS entropy_rate_nats,
+               ROUND(h0, 6) AS h0_nats,
+               ROUND(h0 - h_rate, 6) AS predictability_gain
+        FROM folded
+    """,
     "event_transitions": """
         WITH trans AS (
             SELECT from_type, event_type AS to_type FROM (
