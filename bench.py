@@ -140,6 +140,10 @@ HEADLINE = [
     "graph_khop_reach",
     "token_pmi_topk",
     "embedding_covariance_topk",
+    # round 11: BPE subword tokenizer (train + apply + packing twin)
+    "bpe_vocab_train",
+    "text_bpe_token_count",
+    "pack_sequences_bpe",
 ]
 
 STREAMING = [
@@ -217,6 +221,72 @@ def _stream_throughput() -> dict[str, dict]:
     return out
 
 
+def _index_split() -> dict[str, dict]:
+    """Worker body: build-vs-probe amortization for the three persisted
+    -index headline queries (VERDICT r10 item 3: their registry walls are
+    ~70-85% one-time build, so the flat number misrepresents production
+    cost). One build + RUNS probes per family, fresh session; mirrors
+    tools/ann_index_bench.py but lands in the committed bench record as
+    build_sec/probe_sec next to the hermetic in-plan timing."""
+    import tempfile
+
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark import get_spark
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        build_ann_index,
+        knn_join_persisted,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_topk_persisted,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.text_index import (
+        build_text_index,
+        neardup_text_persisted,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        IVF_NPROBE,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-index-split")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def t(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    def med(runs) -> float:
+        return sorted(runs)[len(runs) // 2]
+
+    out: dict[str, dict] = {}
+
+    p = tempfile.mkdtemp(prefix="bench_ann_idx_")
+    build = t(lambda: build_ann_index(emb, p))
+    probes = [t(lambda: knn_join_persisted(spark, emb, p).count()) for _ in range(RUNS)]
+    out["ann_index_knn_persisted"] = {"build_sec": build, "probe_sec": med(probes)}
+
+    p = tempfile.mkdtemp(prefix="bench_ivf_idx_")
+    build = t(lambda: build_ivf_index(emb, p))
+    query = emb.filter(F.col("vec_id") == 0)
+    probes = [
+        t(
+            lambda: ivf_topk_persisted(
+                spark, p, query, nprobe=IVF_NPROBE, exclude_vec_id=0
+            ).count()
+        )
+        for _ in range(RUNS)
+    ]
+    out["ann_index_ivf_persisted"] = {"build_sec": build, "probe_sec": med(probes)}
+
+    p = tempfile.mkdtemp(prefix="bench_text_idx_")
+    build = t(lambda: build_text_index(docs, p))
+    probes = [t(lambda: neardup_text_persisted(spark, p).count()) for _ in range(RUNS)]
+    out["text_index_neardup_persisted"] = {"build_sec": build, "probe_sec": med(probes)}
+    return out
+
+
 def _run_worker(args: list[str]) -> dict:
     """Spawn this script in worker mode; parse the last JSON line of
     stdout (Spark chatter goes to stderr, but guard anyway)."""
@@ -236,9 +306,13 @@ def _run_worker(args: list[str]) -> dict:
     raise RuntimeError(f"bench worker {args}: no JSON line in stdout")
 
 
-LOAD_GATE = 2.0      # load1 above this -> wait for quiet before measuring
+LOAD_GATE = 0.5      # load1 above this -> wait for quiet before measuring
+#   (VERDICT r10 item 1: the old 2.0 gate let a load1-1.6 neighbor inflate
+#   the committed record ~5%; the gate now waits for the same quiet bar
+#   the tainted-record warning checks, so a flagged record means the wait
+#   budget ran out, not that the gate never tried)
 LOAD_WARN = 0.5      # load1 above this at start -> tainted-record warning
-LOAD_WAIT_S = 600    # max seconds to wait for the machine to go quiet
+LOAD_WAIT_S = 900    # max seconds to wait for the machine to go quiet
 
 
 def _wait_for_quiet() -> float:
@@ -316,6 +390,7 @@ def main() -> None:
             re_measured.append(name)
 
     streaming = _run_worker(["--stream"])["stream"]
+    index_amortization = _run_worker(["--index-split"])["index_split"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     record = {
@@ -329,6 +404,7 @@ def main() -> None:
         "isolation": f"fresh subprocess per <= {CHUNK} queries",
         "re_measured": re_measured,
         "streaming": streaming,
+        "index_amortization": index_amortization,
         "load1_at_start": round(load1, 2),
         "ncpus": ncpus,
     }
@@ -375,5 +451,7 @@ if __name__ == "__main__":
         print(json.dumps({"timings": _time_queries(sys.argv[2].split(","))}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
         print(json.dumps({"stream": _stream_throughput()}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--index-split":
+        print(json.dumps({"index_split": _index_split()}))
     else:
         main()

@@ -22,6 +22,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
         sql_surface,
         grouped_map,
         text,
+        bpe,
         retrieval,
         dedup,
         text_index_entries,
@@ -45,7 +46,7 @@ def collect_all() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     mods = (
         parity, analytics, analytics_ext, analytics_tpch2, temporal, sql_surface,
-        grouped_map, text, retrieval, dedup, text_index_entries, contamination,
+        grouped_map, text, bpe, retrieval, dedup, text_index_entries, contamination,
         similarity, projection,
         ann_index_entries,
         ivf_index_entries, multimodal, quality, corpus_ops, streaming_entries, profiling,

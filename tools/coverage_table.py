@@ -57,6 +57,7 @@ SECTION_BY_MODULE = {
     "sql_surface": "§7 SQL surface",
     "grouped_map": "§2 I (UDF/pandas-UDF/UDTF)",
     "text": "§7 text analysis",
+    "bpe": "§7 text analysis (BPE subword tokenizer)",
     "retrieval": "§7 hybrid retrieval (RRF / rerank)",
     "dedup": "§7 deduplication",
     "text_index_entries": "§7 deduplication (persisted text index)",
