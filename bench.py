@@ -140,10 +140,12 @@ HEADLINE = [
     "graph_khop_reach",
     "token_pmi_topk",
     "embedding_covariance_topk",
-    # round 11: BPE subword tokenizer (train + apply + packing twin)
+    # round 11: BPE subword tokenizer (train + apply + packing twin),
+    # real PNG pixel decode
     "bpe_vocab_train",
     "text_bpe_token_count",
     "pack_sequences_bpe",
+    "multimodal_pixels",
 ]
 
 STREAMING = [

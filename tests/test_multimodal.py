@@ -403,3 +403,117 @@ def test_video_fixture_roundtrip_properties():
                 assert fmt == "bmp"
                 assert (w, h) == (n % 2048 + 1, (n * 3) % 1024 + 1)
                 assert bpp == (8, 24, 32)[doc_id % 3]
+
+
+# --- real PNG pixel decode (round 11) ---------------------------------------
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Builder encodes filter r % 5 per scanline; bodies sized to cover
+    >= 5 rows exercise None/Sub/Up/Average/Paeth on the decode path and
+    must reproduce the body bytes exactly (zero-padded tail)."""
+    for n in (0, 1, 31, 32, 33, 200, 997):
+        body = bytes((i * 37 + n) % 256 for i in range(n))
+        png = MM.build_png_pixel_fixture(7, body)
+        w, h, ch, pix = MM.decode_png_pixels(png)
+        assert (w, h) == MM.png_fixture_dims(n)
+        assert ch == 1
+        assert len(pix) == w * h
+        assert pix[:n] == body and set(pix[n:]) <= {0}
+
+
+def test_png_decode_known_filtered_image():
+    """Hand-built 2x3 greyscale PNG with explicit Sub and Up filters —
+    pixel reconstruction pinned against the spec recurrences computed
+    by hand (not against the builder)."""
+    import struct
+    import zlib
+
+    # rows: (10, 20), (30, 40), (35, 50)
+    # encode: row0 Sub -> 10, (20-10)=10; row1 Up -> (30-10)=20, (40-20)=20;
+    # row2 filter 0 -> raw
+    stream = bytes([1, 10, 10]) + bytes([2, 20, 20]) + bytes([0, 35, 50])
+    ihdr = struct.pack(">II5B", 2, 3, 8, 0, 0, 0, 0)
+    png = (
+        MM.PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(stream))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    w, h, ch, pix = MM.decode_png_pixels(png)
+    assert (w, h, ch) == (2, 3, 1)
+    assert list(pix) == [10, 20, 30, 40, 35, 50]
+
+
+def test_png_decode_paeth_and_average_by_hand():
+    """4.2 spec recurrences for Average and Paeth verified on a 3x2
+    image with hand-computed filtered bytes."""
+    import struct
+    import zlib
+
+    # raw rows: (100, 110, 120), (130, 90, 200)
+    # row0 Average (prev=0): 100-0//2=100; 110-100//2=60; 120-110//2=65
+    # row1 Paeth: left,up,ul predictors:
+    #   i0: a=0,b=100,c=0 -> p=100, pa=100,pb=0 -> pred=100 -> 130-100=30
+    #   i1: a=130,b=110,c=100 -> p=140: pa=10,pb=30,pc=40 -> pred=a=130 -> 90-130=-40&255=216
+    #   i2: a=90,b=120,c=110 -> p=100: pa=10,pb=20,pc=10 -> pred=a=90 -> 200-90=110
+    stream = bytes([3, 100, 60, 65]) + bytes([4, 30, 216, 110])
+    ihdr = struct.pack(">II5B", 3, 2, 8, 0, 0, 0, 0)
+    png = (
+        MM.PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(stream))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    _w, _h, _ch, pix = MM.decode_png_pixels(png)
+    assert list(pix) == [100, 110, 120, 130, 90, 200]
+
+
+def test_png_decode_rejects_malformed_typed():
+    png = bytearray(MM.build_png_pixel_fixture(1, b"hello world"))
+    # corrupt one IDAT byte -> CRC failure, typed ValueError
+    png[41] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png_pixels(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        MM.decode_png_pixels(b"not a png at all")
+
+
+def test_png_decode_out_of_subset_typed():
+    import struct
+    import zlib
+
+    for depth, ctype, interlace in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+        ihdr = struct.pack(">II5B", 1, 1, depth, ctype, 0, 0, interlace)
+        png = (
+            MM.PNG_SIG
+            + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + MM._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            MM.decode_png_pixels(png)
+
+
+def test_png_decode_rgba_multichannel():
+    """bpp > 1 reconstruction: Sub/Paeth look back one FULL pixel, not
+    one byte — a 2x2 RGBA image with per-row filters pins it."""
+    import struct
+    import zlib
+
+    row0 = bytes([10, 20, 30, 255, 50, 60, 70, 255])
+    row1 = bytes([15, 25, 35, 255, 55, 65, 75, 255])
+    # row0 Sub: first pixel raw, second minus first (bpp=4)
+    f0 = bytes([1]) + row0[:4] + bytes((row0[4 + i] - row0[i]) & 0xFF for i in range(4))
+    # row1 Up: minus row0 bytewise
+    f1 = bytes([2]) + bytes((row1[i] - row0[i]) & 0xFF for i in range(8))
+    ihdr = struct.pack(">II5B", 2, 2, 8, 6, 0, 0, 0)
+    png = (
+        MM.PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(f0 + f1))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    w, h, ch, pix = MM.decode_png_pixels(png)
+    assert (w, h, ch) == (2, 2, 4)
+    assert pix == row0 + row1
