@@ -106,3 +106,190 @@ class OrderStore:
     def count(self) -> int:
         """GET /orders count half (A1)."""
         return self._table().count()
+
+
+class CorpusPipeline:
+    """The north-star flow as ONE facade: RDBMS → S3 objects + pointer
+    ledger → standing MinHash text index → dedup'd corpus.
+
+    Composes, in the order a production deployment runs them:
+
+    1. **Migrate** — ``operators.incremental_migration.migrate_increment``:
+       a watermark-pushed JDBC pass externalizes blobs to the object
+       store, writes a pointer run, and commits the flock-leased ledger
+       LAST (crash-safe; a replayed pass converges).
+    2. **Ingest-gate** — the committed pointer runs feed
+       ``streaming.ingest_gate.text_ingest_gate`` as a FILE STREAM over
+       ``{target}/pointers``: Structured Streaming's source tracking
+       hands the gate exactly the files it has not seen, a stream-static
+       semijoin drops rows of runs the ledger has not committed (an
+       uncommitted run's files are consumed-and-dropped; the replayed
+       pass re-stages them under NEW part filenames, so they re-enter
+       once committed), and the gate probes the standing index for
+       near-dup evidence against the corpus ingested BEFORE each batch,
+       then appends only the doc_ids the index does not hold.
+    3. **Corpus** — ``read_current``'s keep-latest live view anti-joined
+       with the flagged near-dups (first-seen wins, matching the gate's
+       probe-before-append order).
+
+    The index document id is the CURSOR value (monotone, unique per row
+    version), so re-emitted keys register their new text as a new
+    registry doc while the live view keeps only the latest pointer.
+    Batch-INTERNAL near-dups are by design not flagged by the gate (its
+    replay-stability rule excludes the whole batch from the registry
+    side); run `dedup_incremental_lsh`-style in-batch screening upstream
+    if a single increment can contain dups of itself.
+
+    Every data move is a Spark plan; this class is driver-side
+    orchestration only, same as OrderStore.
+    """
+
+    #: admission threshold on the MinHash Jaccard estimate — a batch doc
+    #: at/above it against any earlier registry doc is excluded from the
+    #: dedup'd corpus (kept in the index: it IS the evidence).
+    NEARDUP_THRESHOLD = 0.7
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        *,
+        store_url: str,
+        target_path: str,
+        state_path: str,
+        index_path: str,
+        results_path: str,
+        cursor_col: str,
+        pk: str = "order_id",
+        blob_col: str = "order_blob",
+        op_col: str | None = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.store_url = store_url
+        self.target_path = target_path
+        self.state_path = state_path
+        self.index_path = index_path
+        self.results_path = results_path
+        self.cursor_col = cursor_col
+        self.pk = pk
+        self.blob_col = blob_col
+        self.op_col = op_col
+
+    # -- orchestration --------------------------------------------------------
+    def run_increment(self) -> dict:
+        """One full hop: migrate the next increment, then drain every
+        committed-but-unindexed pointer file through the ingest gate.
+        Returns {"migration": <ledger entry>, "index": <freshness>}."""
+        from .operators.incremental_migration import migrate_increment
+
+        entry = migrate_increment(
+            self.spark,
+            self.source,
+            store_url=self.store_url,
+            target_path=self.target_path,
+            state_path=self.state_path,
+            cursor_col=self.cursor_col,
+            pk=self.pk,
+            blob_col=self.blob_col,
+            op_col=self.op_col,
+        )
+        audit = self.ingest_pending()
+        return {"migration": entry, "index": audit}
+
+    def _ensure_index(self) -> None:
+        import os
+
+        from .operators.text_index import build_text_index
+
+        if not os.path.isdir(f"{self.index_path}/meta"):
+            empty = self.spark.createDataFrame([], "doc_id long, text string")
+            build_text_index(empty, self.index_path)
+
+    def _committed_run_ids(self):
+        from .operators.incremental_migration import _ledger_entries
+
+        return [
+            e["run_id"] for e in _ledger_entries(self.state_path) if e["committed"]
+        ]
+
+    def ingest_pending(self) -> dict:
+        """Drain not-yet-ingested pointer files through the text gate
+        (availableNow) and return the index freshness audit. Idempotent:
+        nothing pending is a no-op, a crashed drain replays its batch
+        idempotently (gate docstring)."""
+        import os
+
+        from .operators.text_index import freshness_audit
+        from .streaming.ingest_gate import text_ingest_gate
+
+        self._ensure_index()
+        if not os.path.isdir(f"{self.target_path}/pointers"):
+            return freshness_audit(self.spark, self.index_path)
+        committed = self._committed_run_ids()
+        runs = self.spark.createDataFrame(
+            [(int(r),) for r in committed] or [], "run_id int"
+        )
+        stream = self.spark.readStream.schema(
+            "order_id string, description string, cursor long, "
+            "run_id int, is_deleted boolean"
+        ).parquet(f"{self.target_path}/pointers")
+        docs = (
+            stream.join(F.broadcast(runs), "run_id")  # stream-static semijoin
+            .filter(~F.col("is_deleted"))
+            .select(F.col("cursor").alias("doc_id"), F.col("description").alias("text"))
+        )
+        q = text_ingest_gate(docs, self.index_path, self.results_path)
+        q.awaitTermination()
+        return freshness_audit(self.spark, self.index_path)
+
+    # -- reads ----------------------------------------------------------------
+    def flagged(self) -> DataFrame:
+        """Distinct (batch_doc, registry_doc, est_jaccard) near-dup
+        evidence at/above the admission threshold (distinct because a
+        crash-replayed run can land the same evidence under two
+        batch_ids)."""
+        try:
+            flags = self.spark.read.parquet(self.results_path)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "batch_doc long, registry_doc long, est_jaccard double"
+            )
+        return (
+            flags.filter(F.col("est_jaccard") >= self.NEARDUP_THRESHOLD)
+            .select("batch_doc", "registry_doc", "est_jaccard")
+            .distinct()
+        )
+
+    def corpus(self) -> DataFrame:
+        """The dedup'd live corpus: keep-latest pointer view minus rows
+        whose text version was flagged against an EARLIER registry doc."""
+        from .operators.incremental_migration import read_current
+
+        live = read_current(
+            self.spark, self.target_path, pk=self.pk, state_path=self.state_path
+        )
+        dupes = self.flagged().select(F.col("batch_doc").alias("cursor"))
+        return live.join(dupes, "cursor", "left_anti")
+
+    def stats(self) -> dict:
+        """One-call scorecard: ledger watermark, live keys, corpus size
+        after dedup, flagged count, index freshness."""
+        from .operators.incremental_migration import (
+            current_watermark,
+            read_current,
+        )
+        from .operators.text_index import freshness_audit
+
+        watermark, _next_run = current_watermark(self.state_path)
+        return {
+            "watermark": watermark,
+            "n_runs_committed": len(self._committed_run_ids()),
+            "n_live": read_current(
+                self.spark, self.target_path, pk=self.pk,
+                state_path=self.state_path,
+            ).count(),
+            "n_corpus": self.corpus().count(),
+            "n_flagged_docs": self.flagged().select("batch_doc").distinct().count(),
+            "index": freshness_audit(self.spark, self.index_path),
+        }
