@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_vocab_train",
     "text_bpe_token_count",
     "pack_sequences_bpe",
+    "data_mix_audit_bpe",
     "multimodal_pixels",
 ]
 

@@ -209,6 +209,31 @@ def q_text_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_data_mix_audit_bpe(spark, sf_dir):
+    """`data_mix_audit` twin priced in BPE tokens: tokens and documents
+    per (source, lang) with each cell's share of the total SUBWORD token
+    mass — the mixing-weight table a pretraining recipe actually wants
+    (whitespace counts misprice CJK/code slices; the bpe_per_ws column
+    of text_bpe_token_count quantifies by how much). Same plan shape as
+    the whitespace twin: one combiner-friendly shuffle to the
+    (source, lang) grain + a 1-row broadcast total."""
+    merges = trained_merges(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    mix = (
+        docs.select("source", "lang", bpe_token_count(merges).alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    total = mix.agg(F.sum("n_tokens").alias("t"))
+    return mix.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+    )
+
+
 def q_pack_sequences_bpe(spark, sf_dir):
     """`pack_sequences` twin priced in BPE tokens: same streaming
     concat-and-chunk packer (per-(lang, shard) cumsum window, shards per
@@ -405,14 +430,37 @@ def _pack_bpe_oracle() -> str:
     """
 
 
+def _mix_bpe_oracle() -> str:
+    return f"""
+        WITH {_train_ctes()},{_enc_ctes("doc_id, source, lang")},
+        per AS (
+            SELECT source, lang,
+                   CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_toks
+            FROM enc_{BPE_MERGES}
+        ),
+        mix AS (
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM per GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(n_tokens) AS t FROM mix)
+        SELECT source, lang, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 AS token_share
+        FROM mix CROSS JOIN tot
+    """
+
+
 QUERIES = {
     "bpe_vocab_train": q_bpe_vocab_train,
     "text_bpe_token_count": q_text_bpe_token_count,
+    "data_mix_audit_bpe": q_data_mix_audit_bpe,
     "pack_sequences_bpe": q_pack_sequences_bpe,
 }
 
 ORACLES = {
     "bpe_vocab_train": _vocab_train_oracle(),
     "text_bpe_token_count": _token_count_oracle(),
+    "data_mix_audit_bpe": _mix_bpe_oracle(),
     "pack_sequences_bpe": _pack_bpe_oracle(),
 }
