@@ -136,12 +136,23 @@ def _word_counts(spark, sf_dir):
     )
 
 
+# Session-lifetime memo keyed by fixture dir: the four registry
+# consumers (vocab table, token count, mix audit, packer) share one
+# training run per corpus, which is the production lifecycle (train
+# once, apply everywhere). Safe because training is a deterministic
+# pure function of the fixture bytes and fixture dirs are immutable
+# (testdata is read-only; test fixtures use unique tmp paths).
+_MERGES_MEMO: dict[str, list] = {}
+
+
 def trained_merges(spark, sf_dir):
     """Collect the bounded word table (≤ BPE_TOP_W rows) and run the
     pure-Python merge loop — the documented iterative-fit pattern
     (cf. `_kmeans_fit`'s per-round centroid collect)."""
-    rows = _word_counts(spark, sf_dir).collect()
-    return train_merges([(r.tok, r.cnt) for r in rows])
+    if sf_dir not in _MERGES_MEMO:
+        rows = _word_counts(spark, sf_dir).collect()
+        _MERGES_MEMO[sf_dir] = train_merges([(r.tok, r.cnt) for r in rows])
+    return _MERGES_MEMO[sf_dir]
 
 
 def _encoded_doc(merges):
