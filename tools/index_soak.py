@@ -103,8 +103,14 @@ def measure(spark, sf_dir: str) -> dict:
     out: dict = {"n_vectors": emb.count(), "n_docs": docs.count()}
 
     # --- ANN-LSH family ------------------------------------------------------
+    # Build at a FIXED narrow width (12 bits) and widen to 14 at both
+    # scales, so the 1->10 step ratio isolates data volume. (The
+    # corpus-derived width is already the ND_MAX_BITS=16 clamp at 20 k
+    # vectors, leaving no headroom to widen; starting narrow and
+    # widening as the corpus grows is also the production lifecycle the
+    # widen audit describes.)
     p = tempfile.mkdtemp(prefix="idx_soak_ann_", dir=ROOT)
-    out["ann_build"] = _t(lambda: build_ann_index(emb, p))
+    out["ann_build"] = _t(lambda: build_ann_index(emb, p, bits=12))
     batch = emb.filter(F.col("vec_id") % 97 == 0)
     out["ann_batch_probe"] = [
         _t(lambda: knn_join_persisted(spark, batch, p).count()) for _ in range(RUNS)
@@ -112,7 +118,7 @@ def measure(spark, sf_dir: str) -> dict:
     meta = read_meta(spark, p)
     p2 = tempfile.mkdtemp(prefix="idx_soak_ann_w_", dir=ROOT)
     out["ann_widen_plus2"] = _t(
-        lambda: widen_ann_index(spark, emb, p, p2, bits=int(meta["nd_bits"]) + 2)
+        lambda: widen_ann_index(spark, emb, p, p2, bits=14)
     )
     out["ann_bits"] = int(meta["nd_bits"])
     shutil.rmtree(p, ignore_errors=True)

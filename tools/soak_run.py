@@ -40,6 +40,9 @@ SOAK_QUERIES = [
     "graph_triangles", "association_rules", "grouped_linreg",
     "distributed_global_rank", "window_running_sum", "q1_pricing_summary",
     "q21_waiting_suppliers", "events_sessionize",
+    # round 11: the spearman fusion + the BPE family + PNG pixel decode
+    "spearman_corr", "bpe_vocab_train", "text_bpe_token_count",
+    "pack_sequences_bpe", "data_mix_audit_bpe", "multimodal_pixels",
 ]
 
 
