@@ -146,6 +146,7 @@ HEADLINE = [
     "text_bpe_token_count",
     "pack_sequences_bpe",
     "data_mix_audit_bpe",
+    "temperature_mix_bpe",
     "multimodal_pixels",
 ]
 

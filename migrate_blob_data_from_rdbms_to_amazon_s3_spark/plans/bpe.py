@@ -245,6 +245,73 @@ def q_data_mix_audit_bpe(spark, sf_dir):
     )
 
 
+def q_temperature_mix_bpe(spark, sf_dir):
+    """`temperature_mix` twin weighted by SUBWORD TOKEN MASS: published
+    multilingual alpha-sampling (p_l ∝ size_l^α) weights languages by
+    corpus size in tokens, not documents — and whitespace token counts
+    misprice exactly the languages the temperature is meant to protect.
+    Per language: doc/token population, the token-mass temperature
+    share, the token-weighted sampling rate (expected token mass
+    preserved), the md5-coin kept-doc count and achieved kept-token
+    fraction. Same plan scale shape as the doc-count twin: lang-grain
+    contraction, 1-row Z broadcast, map-side coin; the only addition is
+    the encode chain inside the contraction's map side."""
+    merges = trained_merges(spark, sf_dir)
+    from .corpus_ops import MIX_ALPHA
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", bpe_token_count(merges).alias("n_toks")
+    )
+    counts = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.sum(F.pow("n_tokens", F.lit(MIX_ALPHA))).alias("z"),
+    )
+    rate = (
+        F.pow("n_tokens", F.lit(MIX_ALPHA))
+        / F.col("z")
+        * F.col("t_total")
+        / F.col("n_tokens")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(MIX_ALPHA)) / F.col("z"), 6).alias(
+            "target_share"
+        ),
+        F.round(rate, 4).alias("sample_rate"),
+        F.round(F.least(F.lit(1.0), rate), 4).alias("keep_rate"),
+    )
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"
+        )
+        / 10000.0
+    )
+    kept = (u < F.col("keep_rate")).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            "lang", "n_docs", "n_tokens", "target_share", "sample_rate",
+            kept.alias("kept"), "n_toks",
+        )
+        .groupBy("lang", "n_docs", "n_tokens", "target_share", "sample_rate")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("kept") * F.col("n_toks")).cast("double"),
+                    F.sum("n_toks").cast("double"),
+                ),
+                4,
+            ).alias("kept_token_frac"),
+        )
+    )
+
+
 def q_pack_sequences_bpe(spark, sf_dir):
     """`pack_sequences` twin priced in BPE tokens: same streaming
     concat-and-chunk packer (per-(lang, shard) cumsum window, shards per
@@ -462,10 +529,58 @@ def _mix_bpe_oracle() -> str:
     """
 
 
+def _temperature_mix_bpe_oracle() -> str:
+    from .corpus_ops import MIX_ALPHA
+
+    return f"""
+        WITH {_train_ctes()},{_enc_ctes("doc_id, lang")},
+        per AS (
+            SELECT doc_id, lang,
+                   CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_toks
+            FROM enc_{BPE_MERGES}
+        ),
+        counts AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM per GROUP BY lang
+        ),
+        tot AS (
+            SELECT SUM(n_tokens) AS t_total,
+                   SUM(pow(n_tokens, {MIX_ALPHA})) AS z
+            FROM counts
+        ),
+        rates AS (
+            SELECT lang, n_docs, n_tokens,
+                   ROUND(pow(n_tokens, {MIX_ALPHA}) / z, 6) AS target_share,
+                   ROUND(pow(n_tokens, {MIX_ALPHA}) / z * t_total / n_tokens, 4)
+                     AS sample_rate,
+                   ROUND(LEAST(1.0, pow(n_tokens, {MIX_ALPHA}) / z
+                                    * t_total / n_tokens), 4) AS keep_rate
+            FROM counts, tot
+        ),
+        coined AS (
+            SELECT r.lang, r.n_docs, r.n_tokens, r.target_share,
+                   r.sample_rate, p.n_toks,
+                   CASE WHEN (CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)
+                                   AS BIGINT) % 10000) / 10000.0 < r.keep_rate
+                        THEN 1 ELSE 0 END AS kept
+            FROM per p JOIN rates r USING (lang)
+        )
+        SELECT lang, n_docs, n_tokens, target_share, sample_rate,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(kept * n_toks) AS DOUBLE)
+                     / NULLIF(CAST(SUM(n_toks) AS DOUBLE), 0), 4)
+                 AS kept_token_frac
+        FROM coined
+        GROUP BY lang, n_docs, n_tokens, target_share, sample_rate
+    """
+
+
 QUERIES = {
     "bpe_vocab_train": q_bpe_vocab_train,
     "text_bpe_token_count": q_text_bpe_token_count,
     "data_mix_audit_bpe": q_data_mix_audit_bpe,
+    "temperature_mix_bpe": q_temperature_mix_bpe,
     "pack_sequences_bpe": q_pack_sequences_bpe,
 }
 
@@ -473,5 +588,6 @@ ORACLES = {
     "bpe_vocab_train": _vocab_train_oracle(),
     "text_bpe_token_count": _token_count_oracle(),
     "data_mix_audit_bpe": _mix_bpe_oracle(),
+    "temperature_mix_bpe": _temperature_mix_bpe_oracle(),
     "pack_sequences_bpe": _pack_bpe_oracle(),
 }
