@@ -1,20 +1,34 @@
-"""BPE tokenizer: the string-replace apply chain must implement exactly
-the symbol-list greedy merge semantics, and training must be
-deterministic under the documented tie-break."""
+"""BPE tokenizer: the Arrow kernel (lowest-rank-first, the production
+apply), the 32-merge string-replace chain twin, and the independent
+symbol-list reference encoder must all agree; training must be
+deterministic under the documented tie-break; the kernel must hold at
+vocabulary scale (cap binding) and on astral-plane input (the r11
+caveat the kernel closes)."""
 
+import random
 import re
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.bpe import (
+    BPE_CHAIN_MERGES,
     BPE_MERGES,
+    bpe_doc_counts,
+    bpe_len_udf,
     bpe_token_count,
     encode_word,
+    encode_word_ranked,
     merge_word,
     train_merges,
     trained_merges,
 )
 from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.text import TOKEN_REGEX
+
+
+def _ranks(merges):
+    return {(lhs, rhs): rank for rank, lhs, rhs, _m, _c in merges}
 
 
 def test_merge_word_greedy_left_to_right():
@@ -38,11 +52,11 @@ def test_train_merges_tie_break_and_early_stop():
 
 
 def test_apply_chain_matches_reference_encoder(spark, sf_dir):
-    """The JVM replace-chain token count must equal the independent
-    pure-Python encoder (greedy rank-order merge over symbol lists) on
-    every fixture document."""
-    merges = trained_merges(spark, sf_dir)
-    assert 0 < len(merges) <= BPE_MERGES
+    """The JVM replace-chain token count (the 32-merge twin) must equal
+    the independent pure-Python encoder (greedy rank-order merge over
+    symbol lists) on every fixture document."""
+    merges = trained_merges(spark, sf_dir)[:BPE_CHAIN_MERGES]
+    assert 0 < len(merges) <= BPE_CHAIN_MERGES
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = {
         r.doc_id: r.n
@@ -56,6 +70,38 @@ def test_apply_chain_matches_reference_encoder(spark, sf_dir):
         assert got[row.doc_id] == want, row.doc_id
 
 
+def test_kernel_doc_counts_match_reference_encoder(spark, sf_dir):
+    """The distinct-word Arrow kernel path at the FULL merge cap must
+    equal the reference encoder summed per document (zero-token docs
+    included at 0)."""
+    merges = trained_merges(spark, sf_dir)
+    got = {
+        r.doc_id: r.n_toks
+        for r in bpe_doc_counts(spark, sf_dir, merges).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for row in docs.select("doc_id", "text").collect():
+        toks = re.findall(TOKEN_REGEX, row.text or "")
+        want = sum(len(encode_word(t, merges)) for t in toks)
+        assert got[row.doc_id] == want, row.doc_id
+
+
+def test_kernel_equals_chain_at_twin_merges(spark, sf_dir):
+    """chain(32) == kernel(32) per document — the pin that lets the
+    32-merge replace chain stand as the kernel's value-oracled twin."""
+    merges = trained_merges(spark, sf_dir)[:BPE_CHAIN_MERGES]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chain = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", bpe_token_count(merges).alias("n")).collect()
+    }
+    kernel = {
+        r.doc_id: r.n_toks
+        for r in bpe_doc_counts(spark, sf_dir, merges).collect()
+    }
+    assert chain == kernel
+
+
 def test_merge_table_ranks_are_contiguous(spark, sf_dir):
     merges = trained_merges(spark, sf_dir)
     assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
@@ -66,11 +112,12 @@ def test_merge_table_ranks_are_contiguous(spark, sf_dir):
 
 def test_bpe_never_exceeds_char_count(spark, sf_dir):
     """Subword tokens are bounded below by pre-token count and above by
-    character count of the pre-tokens."""
+    character count of the pre-tokens — checked on the kernel path at
+    the full merge cap."""
     merges = trained_merges(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    chk = docs.select(
-        bpe_token_count(merges).alias("bpe"),
+    per = bpe_doc_counts(spark, sf_dir, merges, F.col("text"))
+    chk = per.select(
+        F.col("n_toks").alias("bpe"),
         F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("pre"),
         F.length(F.regexp_replace("text", r"\s", "")).alias("chars"),
     ).agg(
@@ -78,3 +125,69 @@ def test_bpe_never_exceeds_char_count(spark, sf_dir):
         F.sum((F.col("bpe") > F.col("chars")).cast("int")).alias("over"),
     ).collect()[0]
     assert chk.under == 0 and chk.over == 0
+
+
+def test_vocabulary_scale_cap_binds():
+    """At a rich vocabulary the 256-round cap BINDS (the fixture corpus
+    exhausts at ~89): train on a generated 1.5k-word corpus, verify the
+    full BPE_MERGES rounds are produced, and pin the lowest-rank-first
+    kernel equal to the sequential reference encoder on every trained
+    word plus unseen words — the vocabulary-scale evidence the fixture
+    corpus cannot provide."""
+    rng = random.Random(12)
+    alphabet = "abcdef"
+    vocab = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 10)))
+        for _ in range(1500)
+    }
+    counts = [(w, rng.randint(1, 500)) for w in sorted(vocab)]
+    merges = train_merges(counts)
+    assert len(merges) == BPE_MERGES  # the cap binds
+    ranks = _ranks(merges)
+    for w, _c in counts[::7]:  # every 7th trained word
+        assert encode_word_ranked(w, ranks) == encode_word(w, merges), w
+    for _ in range(200):  # unseen words over the same alphabet
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        assert encode_word_ranked(w, ranks) == encode_word(w, merges), w
+
+
+def test_kernel_astral_plane_codepoints(spark):
+    """The r11 caveat, closed: the kernel splits symbols at Python code
+    points, so astral-plane input (emoji, surrogate pairs in UTF-16)
+    encodes correctly — and the Spark Arrow round-trip preserves it."""
+    word = "a\U0001f600b\U0001f600"  # a😀b😀
+    merges = train_merges([(word, 3)])
+    ranks = _ranks(merges)
+    # training itself is codepoint-grained: first merge pairs 'a','😀'
+    assert merges[0][1:3] == ("a", "\U0001f600")
+    assert encode_word_ranked(word, ranks) == encode_word(word, merges)
+    # zero merges -> one token per code point, not per UTF-16 unit
+    assert len(encode_word_ranked(word, {})) == 4
+    df = spark.createDataFrame([(word,), ("\U0001f600",)], "tok string")
+    got = {r.tok: r.n for r in df.select("tok", bpe_len_udf(merges)("tok").alias("n")).collect()}
+    assert got[word] == len(encode_word(word, merges))
+    assert got["\U0001f600"] == 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_ranked_equals_sequential_on_trained_tables(data):
+    """Property: for TRAINED merge tables (any compound symbol was
+    created by an earlier-rank merge), the lowest-rank-first kernel is
+    equivalent to sequential rank-order application — on trained AND
+    unseen words."""
+    word_st = st.text(alphabet="abcxy", min_size=1, max_size=8)
+    corpus = data.draw(
+        st.lists(
+            st.tuples(word_st, st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    merges = train_merges(corpus)
+    ranks = _ranks(merges)
+    probes = [w for w, _ in corpus] + data.draw(
+        st.lists(word_st, min_size=0, max_size=10)
+    )
+    for w in probes:
+        assert encode_word_ranked(w, ranks) == encode_word(w, merges), (w, merges)
