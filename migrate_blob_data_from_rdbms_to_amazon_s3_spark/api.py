@@ -163,6 +163,7 @@ class CorpusPipeline:
         pk: str = "order_id",
         blob_col: str = "order_blob",
         op_col: str | None = None,
+        text_col: str = "description",
     ):
         self.spark = spark
         self.source = source
@@ -175,6 +176,7 @@ class CorpusPipeline:
         self.pk = pk
         self.blob_col = blob_col
         self.op_col = op_col
+        self.text_col = text_col
 
     # -- orchestration --------------------------------------------------------
     def run_increment(self) -> dict:
@@ -230,14 +232,33 @@ class CorpusPipeline:
         runs = self.spark.createDataFrame(
             [(int(r),) for r in committed] or [], "run_id int"
         )
-        stream = self.spark.readStream.schema(
-            "order_id string, description string, cursor long, "
-            "run_id int, is_deleted boolean"
-        ).parquet(f"{self.target_path}/pointers")
+        # Stream schema comes from the pointer files themselves (r11
+        # advice: the facade must not hard-code one pipeline's column
+        # layout — the text column is configurable and the `cursor`
+        # lineage column's TYPE follows the source's cursor_col, e.g. a
+        # timestamp watermark). The index doc id must be integral —
+        # fail loudly otherwise instead of a deep gate error.
+        from pyspark.sql.types import IntegerType, LongType
+
+        schema = self.spark.read.parquet(f"{self.target_path}/pointers").schema
+        if not isinstance(schema["cursor"].dataType, (IntegerType, LongType)):
+            raise TypeError(
+                f"CorpusPipeline.ingest_pending needs an integral cursor "
+                f"for index doc ids; the pointer lineage cursor (from "
+                f"{self.cursor_col!r}) is "
+                f"{schema['cursor'].dataType.simpleString()} (map a "
+                f"timestamp cursor to a monotone long upstream)"
+            )
+        stream = self.spark.readStream.schema(schema).parquet(
+            f"{self.target_path}/pointers"
+        )
         docs = (
             stream.join(F.broadcast(runs), "run_id")  # stream-static semijoin
             .filter(~F.col("is_deleted"))
-            .select(F.col("cursor").alias("doc_id"), F.col("description").alias("text"))
+            .select(
+                F.col("cursor").cast("long").alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            )
         )
         q = text_ingest_gate(docs, self.index_path, self.results_path)
         q.awaitTermination()
@@ -248,13 +269,22 @@ class CorpusPipeline:
         """Distinct (batch_doc, registry_doc, est_jaccard) near-dup
         evidence at/above the admission threshold (distinct because a
         crash-replayed run can land the same evidence under two
-        batch_ids)."""
-        try:
-            flags = self.spark.read.parquet(self.results_path)
-        except Exception:
+        batch_ids). Only a MISSING results dir (the gate never ran)
+        reads as empty; any other read error propagates — a corrupt or
+        unreadable evidence store must never silently yield a
+        dup-contaminated corpus (r11 advice). The explicit schema
+        covers the zero-evidence case: a batch with no near-dups writes
+        a partition dir with no part files, which schema inference
+        would reject."""
+        import os
+
+        if not os.path.isdir(self.results_path):
             return self.spark.createDataFrame(
                 [], "batch_doc long, registry_doc long, est_jaccard double"
             )
+        flags = self.spark.read.schema(
+            "batch_doc long, registry_doc long, est_jaccard double, batch_id bigint"
+        ).parquet(self.results_path)
         return (
             flags.filter(F.col("est_jaccard") >= self.NEARDUP_THRESHOLD)
             .select("batch_doc", "registry_doc", "est_jaccard")

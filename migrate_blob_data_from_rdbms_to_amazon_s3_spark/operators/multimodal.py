@@ -444,7 +444,15 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             "non-interlaced (palette/Adam7/16-bit out of subset)"
         )
     ch = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+    # typed-error contract (r11 advice): a CRC-valid chunk walk can still
+    # carry no IDAT at all, or a corrupt deflate stream — both are
+    # malformed INPUT, so surface ValueError, never a bare zlib.error
+    if not idat:
+        raise ValueError("no IDAT chunks")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT stream length mismatch")

@@ -479,6 +479,27 @@ def test_png_decode_rejects_malformed_typed():
         MM.decode_png_pixels(b"not a png at all")
 
 
+def test_png_decode_bad_deflate_and_missing_idat_typed():
+    """r11 advice: a PNG with CRC-valid chunks but no IDAT, or a
+    corrupt-yet-CRC-consistent deflate stream, must surface ValueError,
+    never an undocumented zlib.error."""
+    import struct
+
+    ihdr = struct.pack(">II5B", 1, 1, 8, 0, 0, 0, 0)
+    no_idat = MM.PNG_SIG + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        MM.decode_png_pixels(no_idat)
+    # garbage bytes wrapped in a VALID chunk CRC -> zlib failure path
+    bad = (
+        MM.PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        MM.decode_png_pixels(bad)
+
+
 def test_png_decode_out_of_subset_typed():
     import struct
     import zlib

@@ -36,15 +36,35 @@ SCALES = {"sf1": 10, "sf10": 100}
 ROOT = "/tmp/spark_graft_index_soak"
 
 
+def _synth_fingerprint(copies: int) -> str:
+    """Cache key for a synthesized decade: config + source-fixture
+    identity. A soak re-run after fixture or transform changes must
+    regenerate, not silently measure stale data (r11 advice)."""
+    st = os.stat(f"{SRC}/documents.parquet")
+    se = os.stat(f"{SRC}/embeddings.parquet")
+    return (
+        f"v2|copies={copies}|stride={STRIDE}|src={SRC}"
+        f"|doc={st.st_size}:{int(st.st_mtime)}|emb={se.st_size}:{int(se.st_mtime)}"
+    )
+
+
 def synth(spark, out: str, copies: int) -> None:
     """documents + embeddings only, same construction as make_soak_data
-    (single-file layout)."""
+    (single-file layout). Regenerates whenever the manifest fingerprint
+    (copies/STRIDE/source size+mtime/transform version) mismatches."""
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
+    manifest = f"{out}/MANIFEST.txt"
+    fp = _synth_fingerprint(copies)
+    stale = not (
+        os.path.exists(manifest) and open(manifest).read().strip() == fp
+    )
     for t, keys in (("documents", ["doc_id"]), ("embeddings", ["vec_id"])):
-        if os.path.exists(f"{out}/{t}.parquet"):
+        if not stale and os.path.exists(f"{out}/{t}.parquet"):
             continue
+        if os.path.exists(f"{out}/{t}.parquet"):
+            os.remove(f"{out}/{t}.parquet")
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for k in range(copies):
@@ -74,6 +94,8 @@ def synth(spark, out: str, copies: int) -> None:
         assert len(files) == 1, files
         shutil.move(os.path.join(tmp, files[0]), f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
+    with open(manifest, "w") as fh:
+        fh.write(fp + "\n")
 
 
 def _t(fn) -> float:
