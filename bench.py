@@ -148,6 +148,13 @@ HEADLINE = [
     "data_mix_audit_bpe",
     "temperature_mix_bpe",
     "multimodal_pixels",
+    # round 12: the 32-merge replace-chain twin (the r11 apply path,
+    # kept measured next to the vocabulary-scale kernel), the
+    # width-policy lifecycle audit (build narrow -> stale_width ->
+    # widen -> cleared), and real WAV PCM16 sample decode
+    "text_bpe_token_count_chain",
+    "ann_index_width_policy",
+    "multimodal_wav_samples",
 ]
 
 STREAMING = [
@@ -289,9 +296,10 @@ def _index_split() -> dict[str, dict]:
     probes = [t(lambda: neardup_text_persisted(spark, p).count()) for _ in range(RUNS)]
     out["text_index_neardup_persisted"] = {"build_sec": build, "probe_sec": med(probes)}
 
-    # BPE is the same build-once/apply-many lifecycle: the headline
-    # median measures the memoized apply; the one-time training wall
-    # (corpus contraction + top-W collect + merge loop) lands here.
+    # BPE is the same build-once/apply-many lifecycle: the apply-side
+    # headline queries share the memoized table (bpe_vocab_train's own
+    # headline wall retrains — r11 advice); the isolated training wall
+    # (corpus contraction + top-W collect + merge loop) lands here too.
     from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans import bpe as B
 
     B._MERGES_MEMO.clear()

@@ -134,6 +134,9 @@ def build_ann_index(
         "n_vectors": n,
         "nd_bits": int(head[0]["nd_bits"]) if head else (bits or 0),
         "nd_tables": int(head[0]["nd_tables"]) if head else (tables or 0),
+        # the width POLICY says this corpus should run at (a forced
+        # narrow build is legal but starts life already stale_width)
+        "recommended_bits": S.nd_recommended_bits(n),
         "emb_dim": S.EMB_DIM,
         "has_label": label_col is not None,
     }
@@ -261,18 +264,32 @@ def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
     contract as operators/ivf_index.freshness_audit: ``n_missing`` > 0 →
     the delta needs indexing (signatures for just those rows, bands
     appended — the widen kernel's sibling move); ``n_orphaned`` > 0 →
-    corpus rewritten: rebuild. Id-column-only anti-joins."""
+    corpus rewritten: rebuild. Id-column-only anti-joins.
+
+    r12 (verdict item 3): the audit also closes the WIDTH loop —
+    ``recommended_bits`` is the corpus-count-derived policy width for
+    the LIVE corpus (``S.nd_recommended_bits``, the lsh_width_sweep
+    dial applied), and ``stale_width`` flips when the live corpus has
+    outgrown the stored band width. The fix is ``widen_ann_index`` to
+    ``recommended_bits`` (~2x cheaper than a rebuild, byte-identical —
+    SOAK_r11), which restamps the meta and clears the flag. An empty
+    live corpus never raises the flag (nothing to probe)."""
     meta = read_meta(spark, path)
     indexed = load_signatures(spark, path).select("vec_id")
     live = emb.select("vec_id")
     n_missing = live.join(indexed, "vec_id", "left_anti").count()
     n_orphaned = indexed.join(live, "vec_id", "left_anti").count()
+    n_live = live.count()
+    rec = S.nd_recommended_bits(n_live)
     return {
         "n_indexed": int(meta["n_vectors"]),
-        "n_live": live.count(),
+        "n_live": n_live,
         "n_missing": n_missing,
         "n_orphaned": n_orphaned,
         "stale": bool(n_missing or n_orphaned),
+        "nd_bits": int(meta["nd_bits"]),
+        "recommended_bits": rec,
+        "stale_width": bool(n_live) and rec > int(meta["nd_bits"]),
     }
 
 
@@ -400,13 +417,25 @@ def widen_ann_index(
     ).sortWithinPartitions("tab", "bv").write.mode("overwrite").parquet(
         f"{out_path}/bands"
     )
+    n_back = back.count()
     new_meta = dict(meta)
     new_meta.update(
-        {"nd_bits": bits, "nd_tables": tables, "n_vectors": back.count()}
+        {
+            "nd_bits": bits,
+            "nd_tables": tables,
+            "n_vectors": n_back,
+            # the corpus the index HOLDS is unchanged by a widen; the
+            # policy width is restamped from it so a widen to >= this
+            # value clears the audit's stale_width flag
+            "recommended_bits": S.nd_recommended_bits(n_back),
+        }
     )
     new_meta = {
         k: new_meta[k]
-        for k in ("version", "n_vectors", "nd_bits", "nd_tables", "emb_dim", "has_label")
+        for k in (
+            "version", "n_vectors", "nd_bits", "nd_tables",
+            "recommended_bits", "emb_dim", "has_label",
+        )
     }
     new_meta["version"] = int(new_meta["version"])
     new_meta["emb_dim"] = int(new_meta["emb_dim"])

@@ -55,9 +55,12 @@ def decode_image(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Real audio decode — requires a codec library this container lacks."""
+    """COMPRESSED audio decode — requires a codec library this container
+    lacks. WAV PCM16 decodes for real: see decode_wav_pcm16 (r12)."""
     raise NotImplementedError(
-        "audio codecs unavailable in this environment; use fake_decode_meta"
+        "compressed-audio codecs unavailable in this environment; "
+        "WAV PCM16 has a real stdlib decoder (decode_wav_pcm16); "
+        "use fake_decode_meta for the rest"
     )
 
 
@@ -157,6 +160,172 @@ def audio_window_stats(
             )
 
     return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+
+
+# --- real WAV PCM16 sample decode (round 12, VERDICT r11 item 4) -----------
+# RIFF grammar per the public RIFF/WAVE layout (the same chunk-scan
+# discipline as parse_media_header): 4-byte ckID + LE uint32 cksize +
+# data, padded to even. fmt fields LE per the canonical PCM layout. WAV
+# PCM16 is pure byte arithmetic — no codec, the exact precedent
+# decode_png_pixels set for images. Compressed audio (MP3/AAC/…) remains
+# the documented codec seam in decode_audio.
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL WAV decode with the stdlib only: verify the RIFF/WAVE
+    signature, walk the chunks (LE sizes, even padding — a JUNK chunk
+    between fmt and data must not derail the scan), parse the fmt chunk
+    (PCM only), and decode the data chunk as little-endian signed 16-bit
+    interleaved samples. Returns (channels, sample_rate, samples).
+    Raises ValueError on malformed input (bad signature, truncated
+    chunk, missing fmt/data, sample bytes not a multiple of the block
+    align) and NotImplementedError on the documented out-of-subset
+    cases (non-PCM format tags, bit depths other than 16)."""
+    import struct
+
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file (bad signature)")
+    o, fmt, data = 12, None, None
+    while o + 8 <= len(p):
+        ckid = p[o : o + 4]
+        ln = int.from_bytes(p[o + 4 : o + 8], "little")
+        if o + 8 + ln > len(p):
+            raise ValueError(f"truncated {ckid!r} chunk")
+        body = p[o + 8 : o + 8 + ln]
+        if ckid == b"fmt ":
+            fmt = body
+        elif ckid == b"data":
+            data = body
+        o += 8 + ln + (ln & 1)  # RIFF pads odd chunks to even
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    tag, channels, rate, _brate, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format tag {tag}) needs a codec; "
+            "only PCM decodes here (see decode_audio)"
+        )
+    if bits != 16:
+        raise NotImplementedError(f"only PCM16 is decoded (got {bits}-bit)")
+    if channels < 1:
+        raise ValueError("fmt declares zero channels")
+    if block != channels * 2:
+        raise ValueError(f"block align {block} != channels*2 ({channels * 2})")
+    if len(data) % 2:
+        raise ValueError("data chunk length is not sample-aligned")
+    samples = [
+        int.from_bytes(data[i : i + 2], "little", signed=True)
+        for i in range(0, len(data), 2)
+    ]
+    return channels, rate, samples
+
+
+def wav_window_stats(
+    df: DataFrame, id_col: str, blob_col: str, window_samples: int = 64
+) -> DataFrame:
+    """Windowed amplitude stats over REAL decoded PCM16 samples — the
+    r12 closure of the audio seam (audio_window_stats keeps the fake-u8
+    twin for raw-byte plumbing). Per non-empty window of the
+    interleaved sample stream: exact integer sum / sum-of-squares /
+    peak absolute amplitude, plus the derived mean and RMS rounded with
+    DuckDB's half-AWAY-FROM-ZERO semantics (sign-aware floor mirror —
+    the signed mean can be negative, where half-to-even or plain
+    floor(+0.5) would diverge). fmt fields (channels, sample_rate) ride
+    on every row so the oracle pins the header parse too."""
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_amp", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak_abs", T.IntegerType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def r4(x: float) -> float:
+            # DuckDB ROUND(x, 4) is half away from zero on both signs
+            s = -1.0 if x < 0 else 1.0
+            return s * math.floor(abs(x) * 10_000 + 0.5) / 10_000
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                ch, rate, samples = decode_wav_pcm16(bytes(blob))
+                arr = np.asarray(samples, dtype=np.int64)
+                for idx, off in enumerate(range(0, len(arr), window_samples)):
+                    w = arr[off : off + window_samples]
+                    n = int(len(w))
+                    s = int(np.sum(w))
+                    ss = int(np.sum(w * w))
+                    rows.append(
+                        (
+                            doc_id,
+                            ch,
+                            rate,
+                            idx,
+                            n,
+                            s,
+                            ss,
+                            int(np.max(np.abs(w))),
+                            r4(s / n),
+                            r4(math.sqrt(ss / n)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "channels", "sample_rate", "window_idx",
+                    "n_samples", "sum_amp", "sum_sq", "peak_abs",
+                    "mean_amp", "rms",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, schema)
+
+
+def build_wav_pcm16_fixture(doc_id: int, body: bytes) -> bytes:
+    """Deterministic REAL PCM16 WAV for a document: each body byte b
+    becomes the sample (b - 128) * 256 (exact int16 range, stated
+    independently by the SQL oracle), interleaved as-is. A JUNK chunk of
+    data-dependent even length sits between fmt and data so a decoder
+    that assumes the canonical 44-byte layout — instead of walking the
+    chunks — reads garbage and hash-fails. channels/rate are simple
+    functions of doc_id (channels never divides some sample counts, so
+    ragged final frames exercise the alignment-tolerant path)."""
+    import struct
+
+    n = len(body)
+    channels = doc_id % 2 + 1
+    rate = 8000 + (doc_id % 5) * 1000
+    block = channels * 2
+    junk = bytes((doc_id + j) % 256 for j in range((doc_id % 4) * 2))
+    data = b"".join(struct.pack("<h", (b - 128) * 256) for b in body)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + (8 + 16) + (8 + len(junk)) + (8 + len(data)))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"JUNK"
+        + struct.pack("<I", len(junk))
+        + junk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 def resize_images(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..operators.ann_index import (
     _forced_cfg,
     build_ann_index,
+    freshness_audit,
     knn_join_persisted,
     load_capped_bands,
     load_signatures,
@@ -56,6 +57,11 @@ from .similarity import _emb
 # audit exercises the same widen at any sf)
 _W_OLD_BITS, _W_OLD_TABLES = 8, 8
 _W_NEW_BITS, _W_NEW_TABLES = 12, 12
+
+# forced config for the width-policy audit: 4 bits is below the policy
+# width at every fixture SF (>= 65 vectors), so the stale_width -> widen
+# -> cleared lifecycle is exercised by the gate itself
+_P_BITS, _P_TABLES = 4, 8
 
 
 def q_ann_index_knn_persisted(spark, sf_dir):
@@ -296,8 +302,59 @@ def q_ann_index_decon_persisted(spark, sf_dir):
     return decon_from_scored(scored)
 
 
+def q_ann_index_width_policy(spark, sf_dir):
+    """The width-policy loop, closed (r11 verdict item 3): build the
+    standing index at a FORCED narrow width (4 bits — below the policy
+    width at every fixture SF), read the freshness audit's new
+    ``stale_width`` flag (live corpus count vs stored band bits through
+    the ``nd_recommended_bits`` ladder — the lsh_width_sweep dial,
+    applied), widen to the recommended width when stale, and audit
+    again to show the flag cleared. Output: one row per phase with the
+    audit's width fields. The DuckDB twin re-derives the policy width
+    from the corpus count with the same integer CASE ladder, so the
+    gate pins the policy arithmetic cross-engine; the widen itself is
+    bit-identity-audited by ``ann_index_widen_audit``."""
+    emb = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ann_idx_pol_")
+    p0 = f"{base}/narrow"
+    build_ann_index(emb, p0, bits=_P_BITS, tables=_P_TABLES)
+    a0 = freshness_audit(spark, emb, p0)
+    if a0["stale_width"]:
+        p1 = f"{base}/widened"
+        widen_ann_index(spark, emb, p0, p1, bits=a0["recommended_bits"])
+        a1 = freshness_audit(spark, emb, p1)
+    else:
+        a1 = a0
+    return spark.createDataFrame(
+        [
+            (ph, a["n_live"], a["nd_bits"], a["recommended_bits"], a["stale_width"])
+            for ph, a in (("built", a0), ("after_widen", a1))
+        ],
+        "phase string, n_live long, nd_bits int, recommended_bits int, "
+        "stale_width boolean",
+    )
+
+
+def _width_policy_oracle() -> str:
+    return f"""
+        WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+        pol AS (SELECT c, {S._nd_bits_case('c')} AS rec FROM n)
+        SELECT 'built' AS phase, c AS n_live,
+               {_P_BITS} AS nd_bits, rec AS recommended_bits,
+               (c > 0 AND rec > {_P_BITS}) AS stale_width
+        FROM pol
+        UNION ALL
+        SELECT 'after_widen', c,
+               CASE WHEN c > 0 AND rec > {_P_BITS} THEN rec
+                    ELSE {_P_BITS} END,
+               rec, FALSE
+        FROM pol
+    """
+
+
 QUERIES = {
     "ann_index_knn_persisted": q_ann_index_knn_persisted,
+    "ann_index_width_policy": q_ann_index_width_policy,
     "ann_index_decon_persisted": q_ann_index_decon_persisted,
     "ann_index_neardup_persisted": q_ann_index_neardup_persisted,
     "ann_index_neardup_incremental": q_ann_index_neardup_incremental,
@@ -312,4 +369,5 @@ ORACLES = {
     "ann_index_neardup_persisted": S.ORACLES["neardup_embedding"],
     "ann_index_neardup_incremental": _neardup_incremental_oracle(),
     "ann_index_widen_audit": _widen_audit_oracle(),
+    "ann_index_width_policy": _width_policy_oracle(),
 }

@@ -17,11 +17,13 @@ from ..operators.multimodal import (
     build_media_fixture_payload,
     build_png_pixel_fixture,
     build_video_fixture_payload,
+    build_wav_pcm16_fixture,
     extract_media_header,
     extract_media_meta,
     extract_png_pixel_stats,
     extract_video_header,
     sample_frames,
+    wav_window_stats,
 )
 
 FRAME_BYTES = 64  # small stride so fixture docs produce multiple "frames"
@@ -152,8 +154,43 @@ def q_multimodal_pixels(spark, sf_dir):
     return extract_png_pixel_stats(wrapped)
 
 
+def q_multimodal_wav_samples(spark, sf_dir):
+    """REAL WAV PCM16 sample decode (round 12, VERDICT r11 item 4 — the
+    audio twin of multimodal_pixels): each document's bytes become the
+    SAMPLES of a genuine RIFF/WAVE PCM16 file (per-byte map
+    (b - 128) * 256, exact int16; a data-dependent JUNK chunk between
+    fmt and data forces a real chunk walk; channels/rate vary by
+    doc_id) — then `decode_wav_pcm16` walks the chunks, parses fmt, and
+    decodes the little-endian signed samples; windowed exact-integer
+    stats (sum / sum-of-squares / peak-abs + sign-aware-rounded mean
+    and RMS) come out per 64-sample window. The oracle restates every
+    field from the raw document bytes at the byte grain: a wrong fmt
+    offset, a canonical-44-byte-layout assumption, a sign/endianness
+    bug, or a window-order bug hash-fails. Compressed audio remains the
+    documented codec seam (operators/multimodal.decode_audio)."""
+    import pandas as pd
+
+    docs = _payloads(spark, sf_dir)
+
+    def builder(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_wav_pcm16_fixture(int(i), bytes(b))
+                        for i, b in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    wrapped = docs.mapInPandas(builder, "doc_id bigint, payload binary")
+    return wav_window_stats(wrapped, "doc_id", "payload", FRAME_BYTES)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_wav_samples": q_multimodal_wav_samples,
     "multimodal_pixels": q_multimodal_pixels,
     "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -183,6 +220,46 @@ def _byte_at(off_expr: str) -> str:
 
 
 ORACLES = {
+    # multimodal_wav_samples: sample j IS (byte_j - 128) * 256 of the raw
+    # document bytes (the builder's stated map), channels/rate are the
+    # stated doc_id functions — so the oracle never parses the RIFF
+    # container; if the decoder misreads it, values diverge here. mean
+    # can be negative: ROUND is half-away-from-zero on both engines
+    # (kernel mirrors with a sign-aware floor).
+    "multimodal_wav_samples": f"""
+        WITH d AS ({_HEXED}),
+        w AS (
+            SELECT doc_id, h, n,
+                   UNNEST(generate_series(0, n - 1, {FRAME_BYTES})) AS off
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id, off,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+                   CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+                   CAST(off / {FRAME_BYTES} AS INTEGER) AS window_idx,
+                   LEAST({FRAME_BYTES}, n - off) AS n_samples,
+                   list_transform(generate_series(1, LEAST({FRAME_BYTES}, n - off)),
+                                  i -> ({_byte_at("off + i - 1")} - 128) * 256)
+                       AS samples
+            FROM w
+        )
+        SELECT doc_id, channels, sample_rate, window_idx,
+               CAST(n_samples AS INTEGER) AS n_samples,
+               CAST(list_reduce(samples, (x, y) -> x + y) AS BIGINT) AS sum_amp,
+               CAST(list_reduce(list_transform(samples, v -> v * v),
+                                (x, y) -> x + y) AS BIGINT) AS sum_sq,
+               -- list_max, not a list_reduce CASE fold (DuckDB 1.0.0
+               -- misaligns rows on CASE lambdas; see multimodal_pixels)
+               CAST(list_max(list_transform(samples, v -> abs(v))) AS INTEGER)
+                   AS peak_abs,
+               ROUND(list_reduce(samples, (x, y) -> x + y)
+                     / CAST(n_samples AS DOUBLE), 4) AS mean_amp,
+               ROUND(sqrt(list_reduce(list_transform(samples, v -> v * v),
+                                      (x, y) -> x + y)
+                          / CAST(n_samples AS DOUBLE)), 4) AS rms
+        FROM s
+    """,
     "multimodal_audio_windows": f"""
         WITH d AS ({_HEXED}),
         w AS (

@@ -152,6 +152,20 @@ def _nd_bits_case(n_col: str) -> str:
     return f"(CASE {cases} ELSE {ND_MAX_BITS} END)"
 
 
+def nd_recommended_bits(n: int) -> int:
+    """Python twin of ``_nd_bits_case`` — the corpus-count-derived band
+    width a standing index SHOULD run at: smallest b in
+    [ND_MIN_BITS, ND_MAX_BITS] with n <= ND_FILL_TARGET * 2^b (the
+    ladder's floor for n = 0). Used by operators/ann_index to stamp the
+    policy width into the index meta and to raise the freshness audit's
+    ``stale_width`` flag when the live corpus crosses the next width
+    threshold (r11 verdict item 3: the lsh_width_sweep dial, applied)."""
+    for b in range(ND_MIN_BITS, ND_MAX_BITS):
+        if n <= ND_FILL_TARGET * (1 << b):
+            return b
+    return ND_MAX_BITS
+
+
 # Query-directed multi-probe (Lv et al., "Multi-Probe LSH", VLDB 2007):
 # wider bands cut bucket fill but also cut the chance a near pair agrees
 # on EVERY bit, so the probe set must grow with the width. Blind

@@ -111,6 +111,49 @@ def test_freshness_audit(spark, sf_dir, tmp_path):
     assert freshness_audit(spark, emb, full)["stale"] is False
 
 
+def test_width_policy_flag_flips_across_decade(spark, sf_dir, tmp_path):
+    """r12: the audit's stale_width flag must flip when the live corpus
+    outgrows the stored band width across a synthetic decade, and the
+    widen path must clear it WITHOUT touching membership semantics."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.operators.ann_index import (
+        freshness_audit,
+    )
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans.similarity import (
+        nd_recommended_bits,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    path = str(tmp_path / "idx_pol")
+    meta = build_ann_index(emb, path)  # corpus-derived width: policy-clean
+    assert meta["recommended_bits"] == nd_recommended_bits(n)
+    a0 = freshness_audit(spark, emb, path)
+    assert a0["stale_width"] is False and a0["nd_bits"] == meta["nd_bits"]
+
+    # grow the live corpus ~30x (stride-shifted copies, the soak move):
+    # the policy width rises by ~5 bits and the flag must flip
+    grown = emb
+    for k in range(1, 30):
+        grown = grown.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 1_000_000))
+        )
+    n_grown = 30 * n
+    a1 = freshness_audit(spark, grown, path)
+    assert a1["n_live"] == n_grown and a1["n_missing"] == 29 * n
+    assert a1["recommended_bits"] == nd_recommended_bits(n_grown)
+    assert a1["recommended_bits"] > a1["nd_bits"]
+    assert a1["stale_width"] is True
+
+    # widen to the recommendation: width flag clears; membership
+    # staleness (the 29n unindexed rows) is untouched — separate fix
+    wide = str(tmp_path / "idx_pol_wide")
+    widen_ann_index(spark, emb, path, wide, bits=a1["recommended_bits"])
+    a2 = freshness_audit(spark, grown, wide)
+    assert a2["stale_width"] is False
+    assert a2["nd_bits"] == a1["recommended_bits"]
+    assert a2["stale"] is True and a2["n_missing"] == 29 * n
+
+
 def test_persisted_knn_equals_in_plan_forced_width(spark, sf_dir, tmp_path):
     # the equivalence must hold at a width the corpus would not derive:
     # force the SAME config on both sides and compare

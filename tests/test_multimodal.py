@@ -157,6 +157,81 @@ def test_parse_media_header_golden_png():
     assert parse_media_header(png_1x1) == ("png", 1, 1, 3, None, 8)
 
 
+def test_decode_wav_pcm16_roundtrip_and_chunk_walk():
+    """The r12 sample decoder: fixture bytes round-trip to the exact
+    (b - 128) * 256 sample map through a real chunk walk (JUNK chunk
+    between fmt and data; odd-sized chunks padded)."""
+    import struct
+
+    body = bytes(range(256))
+    wav = MM.build_wav_pcm16_fixture(7, body)
+    ch, rate, samples = MM.decode_wav_pcm16(wav)
+    assert (ch, rate) == (7 % 2 + 1, 8000 + (7 % 5) * 1000)
+    assert samples == [(b - 128) * 256 for b in body]
+    assert min(samples) == -32768 and max(samples) == 32512
+    # an ODD-sized junk chunk with its pad byte must not derail the scan
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    junk_odd = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    data = b"data" + struct.pack("<I", 4) + struct.pack("<hh", -5, 5)
+    riff_body = b"WAVE" + junk_odd + fmt + data
+    wav2 = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    assert MM.decode_wav_pcm16(wav2) == (1, 8000, [-5, 5])
+
+
+def test_decode_wav_pcm16_typed_errors():
+    import struct
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        MM.decode_wav_pcm16(b"RIFX....WAVE")
+    fmt16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+
+    def wav_of(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with _pytest.raises(ValueError, match="missing data"):
+        MM.decode_wav_pcm16(wav_of(fmt16))
+    with _pytest.raises(ValueError, match="missing fmt"):
+        MM.decode_wav_pcm16(wav_of(b"data" + struct.pack("<I", 2) + b"\x00\x00"))
+    with _pytest.raises(ValueError, match="truncated"):
+        MM.decode_wav_pcm16(wav_of(b"data" + struct.pack("<I", 99) + b"\x00"))
+    # compressed / out-of-subset depths are the documented seam
+    fmt_mp3 = b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000, 16000, 2, 16)
+    with _pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_wav_pcm16(
+            wav_of(fmt_mp3, b"data" + struct.pack("<I", 2) + b"\x00\x00")
+        )
+    fmt8 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    with _pytest.raises(NotImplementedError, match="16"):
+        MM.decode_wav_pcm16(
+            wav_of(fmt8, b"data" + struct.pack("<I", 2) + b"\x00\x00")
+        )
+    # sample misalignment is malformed input, not a seam
+    with _pytest.raises(ValueError, match="aligned"):
+        MM.decode_wav_pcm16(
+            wav_of(fmt16, b"data" + struct.pack("<I", 3) + b"\x00\x00\x00")
+        )
+
+
+def test_wav_window_stats_signed_rounding(spark):
+    """Negative means round half AWAY from zero (the DuckDB mirror) and
+    exact integer sums ride next to the floats."""
+    import struct
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    # one window of 2 samples summing to -1 -> mean -0.5 -> r4 -0.5
+    data = b"data" + struct.pack("<I", 4) + struct.pack("<hh", -2, 1)
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = MM.wav_window_stats(df, "doc_id", "payload", 64).collect()[0]
+    assert (row.sum_amp, row.sum_sq, row.peak_abs) == (-1, 5, 2)
+    assert row.mean_amp == -0.5
+    assert row.n_samples == 2 and row.channels == 1 and row.sample_rate == 8000
+
+
 def test_parse_media_header_wav_chunk_scan():
     """A WAV whose fmt chunk sits AFTER a JUNK chunk (and an odd-sized
     chunk exercising the RIFF pad rule) still parses — the parser scans
