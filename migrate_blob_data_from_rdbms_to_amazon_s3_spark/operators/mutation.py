@@ -186,7 +186,119 @@ class _writer_lock:
         return False
 
 
-def rewrite(df: DataFrame, path: str, lock_timeout_s: float = 60.0) -> None:
+class LeaseLost(RuntimeError):
+    """The holder's lease was taken over (TTL expiry) before it renewed
+    or released — the write it guarded must not be trusted as exclusive."""
+
+
+class CasWriterLease:
+    """Object-store writer lease over conditional puts — the S3-class
+    rendition of ``_writer_lock``'s single-writer contract behind the
+    same context-manager seam (r11 verdict item 7; ``_writer_lock``'s
+    scale note made this gap explicit: object stores have no fds).
+
+    Store contract — three primitives, each atomic AT THE STORE
+    (sources/object_store implements them for the local tree via a
+    sidecar flock and for S3 via the public conditional requests
+    If-None-Match:* / If-Match, HTTP 412 on a lost precondition):
+
+    - ``put_if_absent(key, body) -> etag | None``
+    - ``put_if_match(key, body, etag) -> etag | None``
+    - ``get_with_etag(key) -> (body, etag) | None``
+
+    Protocol: the lease object is JSON {owner, expires_at, state}.
+    Acquire = create-only put on a missing key, or CAS-replace of a
+    lease observed released/expired — the etag pins the exact lease
+    GENERATION observed, so the O_EXCL-era triple race (two takeover
+    winners after a stale stat) cannot occur: at most one If-Match can
+    succeed against a given etag. Release = CAS-write a 'released'
+    tombstone with the holder's etag; a holder that already lost its
+    lease to an expiry takeover fails that CAS harmlessly and the new
+    holder is untouched (no conditional DELETE required — stores
+    without one still work, and the tombstone is reused by the next
+    acquire).
+
+    Tradeoff vs flock (documented, inherent): a crashed holder does NOT
+    evaporate — waiters wait out ``ttl_s`` (wall clock; the published
+    lease designs, e.g. the DynamoDB lock client, carry the same clock
+    assumption). A holder outliving the TTL must ``renew()`` or its
+    exclusivity is gone — renewal failure raises LeaseLost LOUD rather
+    than letting two writers interleave silently."""
+
+    def __init__(
+        self,
+        store,
+        key: str,
+        timeout_s: float = 60.0,
+        ttl_s: float = 60.0,
+        poll_s: float = 0.05,
+    ):
+        import uuid
+
+        self._store = store
+        self._key = key
+        self._timeout_s = timeout_s
+        self._ttl_s = ttl_s
+        self._poll_s = poll_s
+        self._owner = uuid.uuid4().hex
+        self._etag: str | None = None
+
+    def _body(self, state: str) -> bytes:
+        import json
+        import time
+
+        exp = time.time() + self._ttl_s if state == "held" else 0.0
+        return json.dumps(
+            {"owner": self._owner, "expires_at": exp, "state": state}
+        ).encode()
+
+    def __enter__(self):
+        import json
+        import time
+
+        deadline = time.monotonic() + self._timeout_s
+        while True:
+            cur = self._store.get_with_etag(self._key)
+            if cur is None:
+                etag = self._store.put_if_absent(self._key, self._body("held"))
+            else:
+                data, seen = cur
+                rec = json.loads(data)
+                etag = None
+                if rec["state"] == "released" or rec["expires_at"] <= time.time():
+                    # takeover: CAS against the generation we OBSERVED
+                    etag = self._store.put_if_match(
+                        self._key, self._body("held"), seen
+                    )
+            if etag is not None:
+                self._etag = etag
+                return self
+            if time.monotonic() > deadline:
+                raise WriterLockTimeout(
+                    f"CAS lease {self._key} held past {self._timeout_s}s; "
+                    f"concurrent writer in flight?"
+                )
+            time.sleep(self._poll_s)
+
+    def renew(self) -> None:
+        """Extend the lease TTL mid-hold; LeaseLost if it was taken."""
+        new = self._store.put_if_match(self._key, self._body("held"), self._etag)
+        if new is None:
+            raise LeaseLost(f"lease {self._key} taken over before renewal")
+        self._etag = new
+
+    def __exit__(self, *exc):
+        if self._etag is not None:
+            # failure = we already lost the lease; the new holder's
+            # generation must not be touched
+            self._store.put_if_match(self._key, self._body("released"), self._etag)
+            self._etag = None
+        return False
+
+
+def rewrite(
+    df: DataFrame, path: str, lock_timeout_s: float = 60.0, lease=None
+) -> None:
     """Materialize a mutation atomically: write to a temp dir, then swap.
     (Plain-Parquet analog of a transactional commit; with a table format
     like Delta/Iceberg this becomes a real MERGE.)
@@ -200,10 +312,13 @@ def rewrite(df: DataFrame, path: str, lock_timeout_s: float = 60.0) -> None:
     atomically without renameat2/table-format metadata; with Delta/
     Iceberg this whole dance is a metadata commit).
 
-    Writers SERIALIZE on a lease file (``_writer_lock``): a concurrent
-    ``rewrite`` of the same path blocks until the first finishes (or
-    raises WriterLockTimeout after ``lock_timeout_s``) instead of deleting
-    the other's temp dirs. The Spark write itself runs OUTSIDE the lease —
+    Writers SERIALIZE on a lease: by default the flock lease file
+    (``_writer_lock``; local/POSIX), or any context manager passed as
+    ``lease`` — on object-store-backed tables a ``CasWriterLease`` over
+    the store's conditional puts. A concurrent ``rewrite`` of the same
+    path blocks until the first finishes (or raises WriterLockTimeout
+    after the lease's timeout) instead of deleting the other's temp
+    dirs. The Spark write itself runs OUTSIDE the lease —
     only the swap window is serialized, so a long job never starves other
     writers of lock time. While the write runs, a daemon heartbeat
     refreshes the temp dir's mtime every 60 s (ADVICE r5): a Spark job
@@ -237,7 +352,9 @@ def rewrite(df: DataFrame, path: str, lock_timeout_s: float = 60.0) -> None:
         stop_beat.set()
         beat.join(timeout=5.0)
     old_aside = f"{local_path.rstrip('/')}.__old_{token}"
-    with _writer_lock(path, timeout_s=lock_timeout_s):
+    # the lease seam: callers on an object-store-backed table pass a
+    # CasWriterLease; the flock lease is the local/POSIX default
+    with (lease if lease is not None else _writer_lock(path, timeout_s=lock_timeout_s)):
         had_old = os.path.exists(local_path)
         if had_old:
             os.rename(local_path, old_aside)

@@ -270,3 +270,200 @@ def test_recover_restores_renamed_aside_table(spark, tmp_path):
     os.rmdir(f"{path}.__tmp_live")
     # idempotent: nothing to do on a healthy table
     assert recover(path) is False
+
+
+# --- CAS writer lease (r12, VERDICT r11 item 7) -----------------------------
+
+
+class _FakeCasStore:
+    """In-memory object store with TRUE CAS semantics: every primitive is
+    atomic under one lock, etag = monotone generation counter — the
+    semantics S3's conditional puts guarantee, minus the network."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs: dict[str, tuple[bytes, str]] = {}
+        self._gen = 0
+
+    def _next(self) -> str:
+        self._gen += 1
+        return f"g{self._gen}"
+
+    def get_with_etag(self, key):
+        with self._lock:
+            return self._objs.get(key)
+
+    def put_if_absent(self, key, payload):
+        with self._lock:
+            if key in self._objs:
+                return None
+            etag = self._next()
+            self._objs[key] = (bytes(payload), etag)
+            return etag
+
+    def put_if_match(self, key, payload, etag):
+        with self._lock:
+            cur = self._objs.get(key)
+            if cur is None or cur[1] != etag:
+                return None
+            new = self._next()
+            self._objs[key] = (bytes(payload), new)
+            return new
+
+
+def test_cas_lease_mutual_exclusion_threads():
+    """Eight threads hammer one lease: the critical section must never
+    overlap and every thread must eventually get through."""
+    import threading
+
+    store = _FakeCasStore()
+    inside, maxin, done = [0], [0], [0]
+    guard = threading.Lock()
+    errs = []
+
+    def worker():
+        try:
+            with M.CasWriterLease(store, "tbl.lease", timeout_s=30.0):
+                with guard:
+                    inside[0] += 1
+                    maxin[0] = max(maxin[0], inside[0])
+                import time
+
+                time.sleep(0.01)
+                with guard:
+                    inside[0] -= 1
+                    done[0] += 1
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert maxin[0] == 1 and done[0] == 8
+
+
+def test_cas_lease_expiry_takeover_single_winner_and_safe_late_release():
+    """A crashed (never-releasing) holder expires; racing waiters produce
+    EXACTLY one takeover winner (the etag pins the generation), the old
+    holder's late release cannot clobber the new holder, and its renew
+    raises LeaseLost."""
+    import threading
+
+    store = _FakeCasStore()
+    crashed = M.CasWriterLease(store, "t.lease", timeout_s=5.0, ttl_s=0.05)
+    crashed.__enter__()  # never exits: simulated crash
+
+    import time
+
+    time.sleep(0.08)  # wait out the TTL
+    wins = []
+
+    def waiter():
+        lease = M.CasWriterLease(store, "t.lease", timeout_s=5.0, ttl_s=30.0)
+        with lease:
+            wins.append(lease._etag)
+            time.sleep(0.05)
+
+    ts = [threading.Thread(target=waiter) for _ in range(4)]
+    for t in ts:
+        t.start()
+    # while a new holder is live: the crashed holder's release must fail
+    # silently (stale etag) and leave the new generation in place
+    time.sleep(0.02)
+    before = store.get_with_etag("t.lease")
+    crashed.__exit__(None, None, None)
+    with pytest.raises(M.LeaseLost):
+        crashed2 = M.CasWriterLease(store, "t.lease", timeout_s=1.0, ttl_s=0.05)
+        crashed2._etag = "g0"  # a stale generation
+        crashed2.renew()
+    for t in ts:
+        t.join()
+    assert len(wins) == 4 and len(set(wins)) == 4  # all eventually held
+    after_crashed_release = store.get_with_etag("t.lease")
+    assert after_crashed_release is not None  # never deleted mid-protocol
+    assert before is not None
+
+
+def test_cas_lease_times_out_loud():
+    store = _FakeCasStore()
+    with M.CasWriterLease(store, "x.lease", ttl_s=60.0):
+        with pytest.raises(M.WriterLockTimeout):
+            with M.CasWriterLease(store, "x.lease", timeout_s=0.3, ttl_s=60.0):
+                pass  # pragma: no cover
+
+
+def test_cas_lease_released_tombstone_reacquired_fast():
+    store = _FakeCasStore()
+    with M.CasWriterLease(store, "y.lease", ttl_s=60.0):
+        pass
+    import json
+
+    data, _ = store.get_with_etag("y.lease")
+    assert json.loads(data)["state"] == "released"
+    # a released lease is immediately acquirable (no TTL wait)
+    import time
+
+    t0 = time.monotonic()
+    with M.CasWriterLease(store, "y.lease", ttl_s=60.0):
+        pass
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_localfs_store_cas_primitives(tmp_path):
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.sources.object_store import (
+        LocalFSObjectStore,
+    )
+
+    s = LocalFSObjectStore(str(tmp_path))
+    assert s.get_with_etag("k") is None
+    e1 = s.put_if_absent("k", b"v1")
+    assert e1 is not None
+    assert s.put_if_absent("k", b"v2") is None  # create-only
+    assert s.get_with_etag("k") == (b"v1", e1)
+    assert s.put_if_match("k", b"v2", "wrong") is None
+    e2 = s.put_if_match("k", b"v2", e1)
+    assert e2 is not None and s.get("k") == b"v2"
+    assert s.put_if_match("missing", b"x", e2) is None
+
+
+def test_concurrent_rewrites_serialize_with_cas_lease(spark, base, tmp_path):
+    """The r11 'done' bar: the rewrite concurrency contract holds with
+    the CAS lease swapped in behind the same seam (fake store with real
+    CAS semantics; flock never involved)."""
+    import threading
+
+    store = _FakeCasStore()
+    path = str(tmp_path / "t.parquet")
+    base.write.parquet(path)
+    upd_b = spark.createDataFrame([("b", "B!")], "order_id string, description string")
+    upd_c = spark.createDataFrame([("c", "C!")], "order_id string, description string")
+    errs = []
+
+    def writer(upd):
+        try:
+            M.rewrite(
+                M.update_rows(base, upd, "order_id"),
+                path,
+                lease=M.CasWriterLease(store, "t.parquet.lease", timeout_s=60.0),
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(u,)) for u in (upd_b, upd_c)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = {r.order_id: r.description for r in spark.read.parquet(path).collect()}
+    assert got in (
+        {"a": "one", "b": "B!", "c": "three"},
+        {"a": "one", "b": "two", "c": "C!"},
+    ), got
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "t.parquet"]
+    assert leftovers == [], leftovers
