@@ -232,7 +232,7 @@ def _tok_lens(spark, sf_dir, merges):
     return dtok.select("tok", bpe_len_udf(merges)("tok").alias("n_sub"))
 
 
-def bpe_doc_counts(spark, sf_dir, merges, *carry):
+def bpe_doc_counts(spark, sf_dir, merges, *carry, barrier: bool = True):
     """Per-document subword token count at the doc grain: explode token
     occurrences, join the distinct-token length table (tiny vs the
     occurrence stream — AQE broadcasts it at runtime; falls back to a
@@ -250,12 +250,26 @@ def bpe_doc_counts(spark, sf_dir, merges, *carry):
         .groupBy("doc_id")
         .agg(F.sum("n_sub").alias("__bpe"))
     )
-    return (
+    out = (
         docs.select("doc_id", *carry)
         .join(per, "doc_id", "left")
         .withColumn("n_toks", F.coalesce("__bpe", F.lit(0)).cast("long"))
         .drop("__bpe")
     )
+    if barrier:
+        # Lazy checkpoint: consumers that read this frame on two plan
+        # branches (mix + its broadcast total; counts + the coin join)
+        # would otherwise re-run the explode/kernel/join subtree per
+        # branch — each bpe_len_udf() call mints fresh expression ids,
+        # so Spark's ReuseExchange can never canonicalize the copies
+        # (observed: 4 ArrowEvalPython stages in data_mix_audit_bpe's
+        # plan). One materialization of the narrow doc-grain table
+        # (ids + n_toks, no text) is the honest single-pass answer —
+        # the stat_tests grain-checkpoint precedent. Single-branch
+        # consumers pass barrier=False so the full subtree stays
+        # visible to the fleet plan linter.
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def _ws_count():
@@ -287,7 +301,7 @@ def q_text_bpe_token_count(spark, sf_dir):
     kernel apply at the full BPE_MERGES cap."""
     merges = trained_merges(spark, sf_dir)
     per = bpe_doc_counts(
-        spark, sf_dir, merges, F.col("lang"), _ws_count().alias("ws")
+        spark, sf_dir, merges, F.col("lang"), _ws_count().alias("ws"), barrier=False
     )
     return per.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -422,7 +436,7 @@ def q_pack_sequences_bpe(spark, sf_dir):
     from .text import PACK_CONTEXT_TOKENS, PACK_SHARDS
 
     merges = trained_merges(spark, sf_dir)
-    sharded = bpe_doc_counts(spark, sf_dir, merges, F.col("lang")).select(
+    sharded = bpe_doc_counts(spark, sf_dir, merges, F.col("lang"), barrier=False).select(
         "lang",
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard_id"),

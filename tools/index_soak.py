@@ -35,6 +35,25 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 SCALES = {"sf1": 10, "sf10": 100}
 ROOT = "/tmp/spark_graft_index_soak"
 
+# The registry's heaviest non-index plans (r12 fleet leg): similarity /
+# dedup / graph / retrieval heavyweights plus the two r11 watch items
+# (graph_triangles excursion band; pack_sequences_bpe step adjudication).
+# All read only documents/embeddings/events — the tables synth() builds.
+FLEET = [
+    "knn_join",
+    "hard_negative_mining",
+    "graph_triangles",
+    "semdedup",
+    "bm25_topk",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "decontaminate_embedding",
+    "embedding_covariance_topk",
+    "coreset_kcenter",
+    "pack_sequences_bpe",
+    "text_bpe_token_count",
+]
+
 
 def _synth_fingerprint(copies: int) -> str:
     """Cache key for a synthesized decade: config + source-fixture
@@ -42,14 +61,17 @@ def _synth_fingerprint(copies: int) -> str:
     regenerate, not silently measure stale data (r11 advice)."""
     st = os.stat(f"{SRC}/documents.parquet")
     se = os.stat(f"{SRC}/embeddings.parquet")
+    sv = os.stat(f"{SRC}/events.parquet")
     return (
-        f"v2|copies={copies}|stride={STRIDE}|src={SRC}"
+        f"v3|copies={copies}|stride={STRIDE}|src={SRC}"
         f"|doc={st.st_size}:{int(st.st_mtime)}|emb={se.st_size}:{int(se.st_mtime)}"
+        f"|ev={sv.st_size}:{int(sv.st_mtime)}"
     )
 
 
 def synth(spark, out: str, copies: int) -> None:
-    """documents + embeddings only, same construction as make_soak_data
+    """documents + embeddings + events (r12: the fleet-heavyweight leg
+    needs the event graph too), same construction as make_soak_data
     (single-file layout). Regenerates whenever the manifest fingerprint
     (copies/STRIDE/source size+mtime/transform version) mismatches."""
     from pyspark.sql import functions as F
@@ -60,7 +82,11 @@ def synth(spark, out: str, copies: int) -> None:
     stale = not (
         os.path.exists(manifest) and open(manifest).read().strip() == fp
     )
-    for t, keys in (("documents", ["doc_id"]), ("embeddings", ["vec_id"])):
+    for t, keys in (
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+        ("events", ["event_id", "user_id"]),
+    ):
         if not stale and os.path.exists(f"{out}/{t}.parquet"):
             continue
         if os.path.exists(f"{out}/{t}.parquet"):
@@ -166,13 +192,35 @@ def measure(spark, sf_dir: str) -> dict:
     )
     out["text_append_slice"] = _t(lambda: append_text_index(spark, fresh, pt))
     shutil.rmtree(pt, ignore_errors=True)
+
+    # --- fleet heavyweights (r12, VERDICT r11 item 5) ------------------------
+    # The registry's top walls, driven through the driver contract so the
+    # measured plan is exactly the gated one. Each runs FLEET_RUNS times;
+    # the sf1->sf10 step ratio per query lands in the main() summary.
+    # (pack_sequences_bpe is here for the r11 item-2 adjudication: its
+    # 15.6x step was measured on the r11 chain plan inside a shared JVM
+    # chunk; this is the kernel plan, solo.)
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    fleet_runs = int(os.environ.get("SPARK_GRAFT_FLEET_RUNS", "1"))
+    out["fleet"] = {}
+    for name in FLEET:
+        try:
+            walls = [
+                _t(lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save())
+                for _ in range(fleet_runs)
+            ]
+            out["fleet"][name] = walls
+        except Exception as e:  # noqa: BLE001 - record, keep soaking
+            out["fleet"][name] = f"ERROR: {type(e).__name__}: {e}"
     return out
 
 
 def main() -> None:
     from migrate_blob_data_from_rdbms_to_amazon_s3_spark import get_spark
 
-    out_json = sys.argv[1] if len(sys.argv) > 1 else "INDEX_SOAK_raw_r11.json"
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "INDEX_SOAK_raw_r12.json"
     os.makedirs(ROOT, exist_ok=True)
     spark = get_spark(app_name="index-soak")
     record: dict = {"runs": RUNS}
@@ -203,7 +251,18 @@ def main() -> None:
             "text_append_slice",
         )
     }
-    print(json.dumps({"step_ratios_1_to_10": ratios, "raw": out_json}))
+    fleet_ratios = {}
+    for k in FLEET:
+        a, b = record["sf1"]["fleet"].get(k), record["sf10"]["fleet"].get(k)
+        if isinstance(a, list) and isinstance(b, list):
+            fleet_ratios[k] = round(med(b) / max(0.001, med(a)), 2)
+        else:
+            fleet_ratios[k] = "ERROR"
+    print(json.dumps({
+        "step_ratios_1_to_10": ratios,
+        "fleet_step_ratios_1_to_10": fleet_ratios,
+        "raw": out_json,
+    }))
 
 
 if __name__ == "__main__":
