@@ -46,9 +46,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_frame import arrow_local_df
 from ..plans import similarity as S
 
 INDEX_VERSION = 1
+
+_META_SCHEMA = (
+    "version long, n_vectors long, nd_bits long, nd_tables long, "
+    "recommended_bits long, emb_dim long, has_label boolean"
+)
 
 
 def _derived_tables(bits: int) -> int:
@@ -140,9 +146,9 @@ def build_ann_index(
         "emb_dim": S.EMB_DIM,
         "has_label": label_col is not None,
     }
-    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
-        f"{path}/meta"
-    )
+    arrow_local_df(spark, [meta], _META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
     return meta
 
 
@@ -439,7 +445,7 @@ def widen_ann_index(
     }
     new_meta["version"] = int(new_meta["version"])
     new_meta["emb_dim"] = int(new_meta["emb_dim"])
-    spark.createDataFrame([new_meta]).coalesce(1).write.mode("overwrite").json(
-        f"{out_path}/meta"
-    )
+    arrow_local_df(spark, [new_meta], _META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{out_path}/meta")
     return new_meta

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.local_frame import arrow_local_df
 from ..plans import similarity as S
 
 INDEX_VERSION = 1
@@ -59,10 +60,14 @@ _CELLS_SCHEMA = T.StructType(
 )
 
 
+_META_SCHEMA = "version long, n_vectors long, k long, emb_dim long, gens long"
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
-        f"{path}/meta"
-    )
+    # one Arrow batch, not a 32-slice pickled RDD (functions/local_frame)
+    arrow_local_df(spark, [meta], _META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
 
 
 def read_meta(spark: SparkSession, path: str) -> dict:
@@ -119,8 +124,8 @@ def build_ivf_index(emb: DataFrame, path: str, k: int | None = None) -> dict:
     # centroids — same as in-plan _ivf_probe). Build-time and append-time
     # rows therefore answer to the same quantizer.
     assigned = S._assign_df(emb, cent_rows)
-    spark.createDataFrame(
-        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    arrow_local_df(
+        spark, [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_cells(assigned, path, gen=0, mode="overwrite")
     n = load_cells(spark, path).count()

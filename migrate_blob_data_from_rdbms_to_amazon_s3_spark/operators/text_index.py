@@ -40,6 +40,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_frame import arrow_local_df
 from ..plans import dedup as D
 
 TEXT_INDEX_VERSION = 1
@@ -94,7 +95,8 @@ def build_text_index(docs: DataFrame, path: str) -> None:
         f"{path}/bands"
     )
     n_docs = sigs.count()
-    spark.createDataFrame(
+    arrow_local_df(
+        spark,
         [
             (
                 TEXT_INDEX_VERSION,
@@ -265,7 +267,8 @@ def append_text_index(spark: SparkSession, new_docs: DataFrame, path: str) -> di
     # count, which freshness_audit detects — append is NOT crash-atomic on
     # plain Parquet (a table format's MERGE would subsume this).
     n_docs = meta["n_docs"] + n_added
-    spark.createDataFrame(
+    arrow_local_df(
+        spark,
         [
             (
                 TEXT_INDEX_VERSION,

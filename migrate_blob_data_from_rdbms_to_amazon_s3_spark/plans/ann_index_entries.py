@@ -49,6 +49,7 @@ from ..operators.ann_index import (
     read_meta,
     widen_ann_index,
 )
+from ..functions.local_frame import arrow_local_df
 from . import contamination as _contam
 from . import similarity as S
 from .similarity import _emb
@@ -325,7 +326,8 @@ def q_ann_index_width_policy(spark, sf_dir):
         a1 = freshness_audit(spark, emb, p1)
     else:
         a1 = a0
-    return spark.createDataFrame(
+    return arrow_local_df(
+        spark,
         [
             (ph, a["n_live"], a["nd_bits"], a["recommended_bits"], a["stale_width"])
             for ph, a in (("built", a0), ("after_widen", a1))

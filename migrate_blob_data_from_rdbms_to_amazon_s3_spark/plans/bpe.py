@@ -76,6 +76,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.local_frame import arrow_local_df
 from .text import TOKEN_REGEX, _docs
 
 BPE_TOP_W = 4096
@@ -288,8 +289,10 @@ def q_bpe_vocab_train(spark, sf_dir):
     end-to-end."""
     _MERGES_MEMO.pop(sf_dir, None)
     rows = trained_merges(spark, sf_dir)
-    return spark.createDataFrame(
-        rows, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return arrow_local_df(
+        spark,
+        rows,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
     )
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.local_frame import arrow_local_df
+
 # MinHash parameters (fixed, shared with oracles).
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
@@ -514,8 +516,8 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     pairs = common.select("doc_a", "doc_b", jac.alias("j")).filter(
         F.col("j") >= min(SWEEP_THRESHOLDS)
     )
-    thetas = spark.createDataFrame(
-        [(t,) for t in SWEEP_THRESHOLDS], "theta double"
+    thetas = arrow_local_df(
+        spark, [(t,) for t in SWEEP_THRESHOLDS], "theta double"
     )
     hits = pairs.crossJoin(F.broadcast(thetas)).filter(F.col("j") >= F.col("theta"))
     aggp = hits.groupBy("theta").agg(F.count("*").alias("n_pairs"))
@@ -586,8 +588,8 @@ def q_lsh_tuning_curve(spark, sf_dir):
         F.try_divide(F.col("c"), F.col("na") + F.col("nb") - F.col("c")), 4
     )
     pairs = common.select(jac.alias("s"))
-    configs = spark.createDataFrame(
-        LSH_CONFIGS, "bands int, rows_per_band int"
+    configs = arrow_local_df(
+        spark, LSH_CONFIGS, "bands int, rows_per_band int"
     )
     t_case, miss_case = _lsh_curve_cases()
     curved = (

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import scalars as S
+from ..functions.local_frame import arrow_local_df
 from ..operators import bridge, lookup, mutation, pagination
 from ..sources.tables import load_events
 from .ref_shapes import (
@@ -131,7 +132,7 @@ def q_keyed_delete(spark, sf_dir):
     the key set deliberately includes ids that do not exist."""
     existing = ref_orders(spark, sf_dir)
     keys = existing.filter(F.col("_num_key") % 10 == 0).select("order_id").unionByName(
-        spark.createDataFrame([("does-not-exist",)], "order_id string")
+        arrow_local_df(spark, [("does-not-exist",)], "order_id string")
     )
     return mutation.delete_rows(existing.select(*REF), keys, "order_id")
 

@@ -32,6 +32,8 @@ import hashlib
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.local_frame import arrow_local_df
+
 NEARDUP_COSINE = 0.45
 N_CENTROIDS = 8  # quantizer size k; k-means seeds from vec_id < k
 
@@ -1153,8 +1155,8 @@ def q_coreset_kcenter(spark, sf_dir):
         (rank, vid, None if dd is None else round(math.sqrt(dd), 6))
         for rank, (vid, _, dd) in enumerate(chosen)
     ]
-    return spark.createDataFrame(
-        out, "selection_rank int, vec_id bigint, coverage_radius double"
+    return arrow_local_df(
+        spark, out, "selection_rank int, vec_id bigint, coverage_radius double"
     )
 
 
@@ -1534,8 +1536,8 @@ def q_kmeans(spark, sf_dir):
     trained-centroid norm. See _kmeans_fit for the Lloyd-round plan."""
     cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir))
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
-    cents = spark.createDataFrame(
-        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    cents = arrow_local_df(
+        spark, [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
     norms = cents.select(
         "cluster",
@@ -1566,8 +1568,8 @@ def q_kmeans_inertia(spark, sf_dir):
     broadcast join (k x dim centroid table) + one cluster-grain
     aggregation on top of the training scan."""
     cent_rows, assigned = _kmeans_fit(_emb(spark, sf_dir))
-    cents = spark.createDataFrame(
-        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    cents = arrow_local_df(
+        spark, [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
     d2m = (
         f"CAST(floor({_sq_dist_spark('embedding', 'cv')} * 1000000D + 0.5D) AS BIGINT)"
@@ -1661,8 +1663,8 @@ def _semdedup_frame(spark, emb):
     bounded — is now automatic; at the shipped fixture SFs the derived
     k never exceeds the floor, so results there are unchanged)."""
     cent_rows, assigned = _kmeans_fit(emb, k=None, k_floor=SEMDEDUP_K)
-    cents = spark.createDataFrame(
-        [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
+    cents = arrow_local_df(
+        spark, [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
     scored = (
         assigned.join(F.broadcast(cents), "cluster")
