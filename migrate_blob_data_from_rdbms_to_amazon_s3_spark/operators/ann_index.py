@@ -43,7 +43,7 @@ a kernel over only the new planes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.local_frame import arrow_local_df
@@ -123,8 +123,27 @@ def build_ann_index(
         tables = _derived_tables(bits)
     cfg = None if bits is None else _forced_cfg(spark, bits, tables)
     sigs = S._nd_sigs(emb, cols, cfg=cfg, emit_dots=True)
-    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    # count + config ride the WRITE as an Observation (r12): the
+    # previous count()/limit(1) jobs re-scanned the just-written table —
+    # at 100 TB a full extra pass. nd_bits/nd_tables are constant across
+    # rows (1-row broadcast cfg), so max == the head value.
+    obs = Observation()
+    sigs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.max("nd_bits").alias("b"),
+        F.max("nd_tables").alias("t"),
+    ).write.mode("overwrite").parquet(f"{path}/signatures")
     sigs_back = spark.read.parquet(f"{path}/signatures")
+    try:
+        got = obs.get
+        n = int(got["n"])
+    except Exception:
+        # a zero-task write (empty corpus) produces no metrics row and
+        # obs.get raises; fall back to the read-back count, trivially
+        # cheap on that degenerate path
+        got = {"b": None, "t": None}
+        n = sigs_back.count()
     bands = _band_rows(sigs_back, label=label_col is not None)
     # (tab, bv) layout: a probe join reads each bucket's rows from one
     # split. Plain Parquet here (no catalog dependency for the driver's
@@ -133,13 +152,11 @@ def build_ann_index(
     bands.repartition(F.col("tab"), F.col("bv")).sortWithinPartitions(
         "tab", "bv"
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    head = sigs_back.select("nd_bits", "nd_tables").limit(1).collect()
-    n = sigs_back.count()
     meta = {
         "version": INDEX_VERSION,
         "n_vectors": n,
-        "nd_bits": int(head[0]["nd_bits"]) if head else (bits or 0),
-        "nd_tables": int(head[0]["nd_tables"]) if head else (tables or 0),
+        "nd_bits": int(got["b"]) if got["b"] is not None else (bits or 0),
+        "nd_tables": int(got["t"]) if got["t"] is not None else (tables or 0),
         # the width POLICY says this corpus should run at (a forced
         # narrow build is legal but starts life already stale_width)
         "recommended_bits": S.nd_recommended_bits(n),
@@ -153,7 +170,9 @@ def build_ann_index(
 
 
 def read_meta(spark: SparkSession, path: str) -> dict:
-    row = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    # explicit schema: an inferred json read is a second full pass over
+    # the file (schema inference job + the collect)
+    row = spark.read.schema(_META_SCHEMA).json(f"{path}/meta").collect()[0].asDict()
     assert int(row["version"]) == INDEX_VERSION, (
         f"index layout v{row['version']} != engine v{INDEX_VERSION}"
     )
@@ -281,11 +300,26 @@ def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
     SOAK_r11), which restamps the meta and clears the flag. An empty
     live corpus never raises the flag (nothing to probe)."""
     meta = read_meta(spark, path)
-    indexed = load_signatures(spark, path).select("vec_id")
-    live = emb.select("vec_id")
-    n_missing = live.join(indexed, "vec_id", "left_anti").count()
-    n_orphaned = indexed.join(live, "vec_id", "left_anti").count()
-    n_live = live.count()
+    # ONE job for all three counts (r12): full-outer join the two
+    # unique-id sets and aggregate membership markers — the previous
+    # shape paid two anti-join jobs plus a count job, i.e. three scans
+    # of each side. vec_id is unique on both sides by contract (the
+    # corpus PK and the index's one-row-per-vector signatures), so the
+    # outer join is row-preserving and the counts are identical.
+    indexed = load_signatures(spark, path).select(
+        "vec_id", F.lit(1).alias("__i")
+    )
+    live = emb.select("vec_id", F.lit(1).alias("__l"))
+    r = (
+        live.join(indexed, "vec_id", "full_outer")
+        .agg(
+            F.count("__l").alias("n_live"),
+            F.count(F.when(F.col("__i").isNull(), 1)).alias("n_missing"),
+            F.count(F.when(F.col("__l").isNull(), 1)).alias("n_orphaned"),
+        )
+        .collect()[0]
+    )
+    n_live, n_missing, n_orphaned = int(r["n_live"]), int(r["n_missing"]), int(r["n_orphaned"])
     rec = S.nd_recommended_bits(n_live)
     return {
         "n_indexed": int(meta["n_vectors"]),
@@ -416,14 +450,22 @@ def widen_ann_index(
     widened = joined.mapInPandas(
         _widen_kernel(old_bits, old_tables, bits, tables), schema
     )
-    widened.write.mode("overwrite").parquet(f"{out_path}/signatures")
+    obs = Observation()
+    widened.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/signatures")
     back = spark.read.parquet(f"{out_path}/signatures")
+    try:
+        n_back = int(obs.get["n"])
+    except Exception:
+        # zero-task write (empty index): no metrics row — read-back
+        # count is trivially cheap on that degenerate path
+        n_back = back.count()
     _band_rows(back, label=label).repartition(
         F.col("tab"), F.col("bv")
     ).sortWithinPartitions("tab", "bv").write.mode("overwrite").parquet(
         f"{out_path}/bands"
     )
-    n_back = back.count()
     new_meta = dict(meta)
     new_meta.update(
         {

@@ -37,7 +37,7 @@ one scan of the new batch + a partitioned append.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
@@ -71,7 +71,9 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
 
 
 def read_meta(spark: SparkSession, path: str) -> dict:
-    row = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    # explicit schema: an inferred json read is a second full pass over
+    # the file (schema inference job + the collect)
+    row = spark.read.schema(_META_SCHEMA).json(f"{path}/meta").collect()[0].asDict()
     assert int(row["version"]) == INDEX_VERSION, (
         f"ivf index layout v{row['version']} != engine v{INDEX_VERSION}"
     )
@@ -98,7 +100,11 @@ def load_cells(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], _CELLS_SCHEMA)
 
 
-def _write_cells(assigned: DataFrame, path: str, gen: int, mode: str) -> None:
+def _write_cells(assigned: DataFrame, path: str, gen: int, mode: str) -> int:
+    """Write the inverted lists; returns the row count written (an
+    Observation on the write — no read-back re-scan, which at 100 TB is
+    a full extra pass over the index)."""
+    obs = Observation()
     (
         assigned.select(
             F.col("vec_id").cast("long"),
@@ -106,11 +112,20 @@ def _write_cells(assigned: DataFrame, path: str, gen: int, mode: str) -> None:
             F.lit(gen).cast("int").alias("gen"),
             F.col("cluster").cast("int"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .repartition(F.col("cluster"))
         .write.mode(mode)
         .partitionBy("cluster")
         .parquet(f"{path}/cells")
     )
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        # a zero-task write (empty corpus — AQE coalesces the empty
+        # shuffle to no partitions) produces no metrics row and obs.get
+        # raises; recompute the count directly, which on that degenerate
+        # path is trivially cheap
+        return assigned.count()
 
 
 def build_ivf_index(emb: DataFrame, path: str, k: int | None = None) -> dict:
@@ -127,8 +142,7 @@ def build_ivf_index(emb: DataFrame, path: str, k: int | None = None) -> dict:
     arrow_local_df(
         spark, [(c, cv) for c, cv in cent_rows], "cluster int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_cells(assigned, path, gen=0, mode="overwrite")
-    n = load_cells(spark, path).count()
+    n = _write_cells(assigned, path, gen=0, mode="overwrite")
     meta = {
         "version": INDEX_VERSION,
         "n_vectors": n,
@@ -149,8 +163,9 @@ def append_ivf_index(spark: SparkSession, new_emb: DataFrame, path: str) -> dict
     cent_rows = load_centroids(spark, path)
     assigned = S._assign_df(new_emb, cent_rows)
     gen = int(meta["gens"])
-    _write_cells(assigned, path, gen=gen, mode="append")
-    n_new = new_emb.count()
+    # the assignment kernel is 1:1, so the written-row observation IS
+    # |new_emb| — no separate count job
+    n_new = _write_cells(assigned, path, gen=gen, mode="append")
     meta = {
         "version": INDEX_VERSION,
         "n_vectors": int(meta["n_vectors"]) + n_new,
@@ -306,13 +321,25 @@ def freshness_audit(spark: SparkSession, emb: DataFrame, path: str) -> dict:
     One scan of each side; at 100 TB both anti-joins are id-column-only
     (the cell scan prunes to vec_id)."""
     meta = read_meta(spark, path)
-    indexed = load_cells(spark, path).select("vec_id")
-    live = emb.select("vec_id")
-    n_missing = live.join(indexed, "vec_id", "left_anti").count()
-    n_orphaned = indexed.join(live, "vec_id", "left_anti").count()
+    # ONE job for all three counts (r12): full-outer join the two
+    # unique-id sets and aggregate membership markers — the previous
+    # shape paid two anti-join jobs plus a count job, i.e. three scans
+    # of each side. vec_id is unique on both sides by contract.
+    indexed = load_cells(spark, path).select("vec_id", F.lit(1).alias("__i"))
+    live = emb.select("vec_id", F.lit(1).alias("__l"))
+    r = (
+        live.join(indexed, "vec_id", "full_outer")
+        .agg(
+            F.count("__l").alias("n_live"),
+            F.count(F.when(F.col("__i").isNull(), 1)).alias("n_missing"),
+            F.count(F.when(F.col("__l").isNull(), 1)).alias("n_orphaned"),
+        )
+        .collect()[0]
+    )
+    n_missing, n_orphaned = int(r["n_missing"]), int(r["n_orphaned"])
     return {
         "n_indexed": int(meta["n_vectors"]),
-        "n_live": live.count(),
+        "n_live": int(r["n_live"]),
         "n_missing": n_missing,
         "n_orphaned": n_orphaned,
         "stale": bool(n_missing or n_orphaned),

@@ -1505,29 +1505,62 @@ def _kmeans_fit(emb, k: int | None = None, k_floor: int = KMEANS_K):
     corpora (semdedup). Returns (trained centroid rows
     [(cluster, [dim]) ...], last-round lazy assignment DataFrame)."""
     if k is None:
-        k = max(k_floor, _derived_k(emb.count()))
-    seed = (
-        emb.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
-        .collect()
-    )
+        # corpus count and seed rows in ONE job (r12): observe the full
+        # count on the scan, over-collect seed candidates to the k CAP
+        # (bounded: KMEANS_K_CAP x dim ≈ 2 MB — the same driver grade as
+        # the seed itself), derive k, then trim on the driver. The
+        # CollectMetrics node is a pushdown barrier, so the observed
+        # count is the PRE-filter corpus count (pinned by
+        # tests/test_optimizer_features.py on a > cap corpus).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        cap = max(k_floor, KMEANS_K_CAP)
+        seed_all = (
+            emb.observe(obs, F.count(F.lit(1)).alias("n"))
+            .filter(F.col("vec_id") < cap)
+            .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
+            .collect()
+        )
+        try:
+            n = int(obs.get["n"])
+        except Exception:
+            # zero-task collect (empty corpus folded to an empty local
+            # relation): no metrics row — the old two-job shape, only
+            # ever paid on that degenerate path
+            n = emb.count()
+        k = max(k_floor, _derived_k(n))
+        seed = [r for r in seed_all if r.cluster < k]
+    else:
+        seed = (
+            emb.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").cast("int").alias("cluster"), "embedding")
+            .collect()
+        )
     cent_rows = sorted((r.cluster, list(r.embedding)) for r in seed)
     assigned = None
     for _ in range(KMEANS_ITERS):
         assigned = _assign_df(emb, cent_rows)
+        # ONE cluster-grain aggregation per round (r12): dim means as EMB_DIM
+        # avg columns — partial map-side aggregation, a single k-row shuffle.
+        # The previous shape posexploded to (cluster, pos) rows and paid a
+        # second shuffle + collect_list sort to re-assemble the arrays;
+        # same per-dim avg-of-doubles (input cast to double either way,
+        # merge order nondeterministic in both shapes — the 4-decimal
+        # round absorbs it, as it already must for the DuckDB twin).
         new_cents = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("v"), 4).alias("m"))
-            .groupBy("cluster")
+            assigned.groupBy("cluster")
             .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
-                ).alias("cv")
+                *[
+                    F.round(F.avg(F.col("embedding").getItem(i)), 4).alias(f"m{i}")
+                    for i in range(EMB_DIM)
+                ]
             )
             .collect()
         )
-        cent_rows = sorted((r.cluster, list(r.cv)) for r in new_cents)
+        cent_rows = sorted(
+            (r["cluster"], [r[f"m{i}"] for i in range(EMB_DIM)]) for r in new_cents
+        )
     return cent_rows, assigned
 
 

@@ -85,3 +85,24 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
         q = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
         plan = _formatted(q)
         assert "might_contain" in plan, plan
+
+
+def test_observe_count_is_pushdown_barrier(spark):
+    """_kmeans_fit derives k from a corpus count OBSERVED on the same job
+    that collects the seed rows (one scan instead of two). That is only
+    correct if the seed filter cannot be pushed below the CollectMetrics
+    node — the observed count must be the PRE-filter corpus count. Pin
+    it on a corpus larger than the seed cap, where a pushed-down filter
+    would silently shrink the count (and hence the derived k)."""
+    from pyspark.sql import Observation
+
+    n = 6000  # > KMEANS_K_CAP = 4096
+    df = spark.range(n).select(F.col("id").alias("vec_id"))
+    obs = Observation()
+    seed = (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter(F.col("vec_id") < 4096)
+        .collect()
+    )
+    assert len(seed) == 4096
+    assert int(obs.get["n"]) == n  # pre-filter count: the barrier held

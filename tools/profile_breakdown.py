@@ -49,9 +49,13 @@ def main():
         print(f"  (k={k})")
         cent = t("kmeans_fit (2 Lloyd rounds)", lambda: S._kmeans_fit(emb))[0]
         assigned = S._assign_df(emb, cent)
+        from migrate_blob_data_from_rdbms_to_amazon_s3_spark.functions.local_frame import (
+            arrow_local_df,
+        )
+
         path = tempfile.mkdtemp(prefix="prof_ivf_")
-        t("write centroids", lambda: spark.createDataFrame(
-            [(c, cv) for c, cv in cent], "cluster int, cv array<double>"
+        t("write centroids", lambda: arrow_local_df(
+            spark, [(c, cv) for c, cv in cent], "cluster int, cv array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
         t("write cells (repartition+partitionBy)", lambda: IVF._write_cells(assigned, path, 0, "overwrite"))
         t("read-back count", lambda: IVF.load_cells(spark, path).count())
@@ -75,10 +79,14 @@ def main():
             "overwrite").parquet(f"{path}/bands"))
         t("head limit(1) collect", lambda: sigs_back.select("nd_bits", "nd_tables").limit(1).collect())
         t("sigs_back.count", lambda: sigs_back.count())
-        t("write meta json", lambda: spark.createDataFrame([{
+        from migrate_blob_data_from_rdbms_to_amazon_s3_spark.functions.local_frame import (
+            arrow_local_df,
+        )
+
+        t("write meta json", lambda: arrow_local_df(spark, [{
             "version": 1, "n_vectors": 2000, "nd_bits": 11, "nd_tables": 10,
             "recommended_bits": 11, "emb_dim": 64, "has_label": False,
-        }]).coalesce(1).write.mode("overwrite").json(f"{path}/meta"))
+        }], ANN._META_SCHEMA).coalesce(1).write.mode("overwrite").json(f"{path}/meta"))
         t("probe knn_join_persisted noop", lambda: ANN.knn_join_persisted(
             spark, emb, path).write.format("noop").mode("overwrite").save())
 
