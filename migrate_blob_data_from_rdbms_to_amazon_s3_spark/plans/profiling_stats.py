@@ -226,6 +226,13 @@ def q_distributed_global_rank(spark, sf_dir):
         counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")
         .groupBy("b")
         .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("offset"))
+        # r12 (guide §2.3 — shuffle fewer bytes): only buckets whose
+        # offset is < 500 can reach the top-500 slice (every row's rank
+        # = offset + row_number >= offset + 1), so the inner offsets
+        # join below drops ~(B-1)/B of the table BEFORE the rank
+        # window's exchange. Provably result-identical: each dropped
+        # row's rank exceeds 500 and the final limit discards it.
+        .filter(F.col("offset") < 500)
     )
     from pyspark.sql import Window as W
 
