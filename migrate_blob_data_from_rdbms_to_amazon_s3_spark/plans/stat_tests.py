@@ -56,14 +56,32 @@ def _two_sample_cum(spark, sf_dir):
     sel = o.select(
         (F.col("o_orderpriority") == PRI_A).cast("long").alias("a"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("g"),
-        "o_totalprice",
     )
-    grain = sel.groupBy("g").agg(
-        F.sum("a").alias("n_a"), F.sum(F.lit(1) - F.col("a")).alias("n_b")
+    # r12 (guide §2.3/§2.4): ONE raw scan + ONE grain contraction for the
+    # whole helper. The grain table is lazily materialized so its three
+    # consumers (cuts, bucketed, totals) share one computation, and the
+    # quantile cuts are computed FROM the grain counts (weight = n_a+n_b)
+    # instead of re-scanning raw orders. Cut values are identical: the
+    # (grain -> weight) distribution equals the raw row distribution by
+    # construction, and round((g/100.0)*100) == g exactly for cent grains
+    # (|g| < 2^52, relative double error ~1e-16 << 0.5), so the helper's
+    # quantize/cumulate/straddle arithmetic sees the same inputs.
+    grain = (
+        sel.groupBy("g")
+        .agg(F.sum("a").alias("n_a"), F.sum(F.lit(1) - F.col("a")).alias("n_b"))
+        .localCheckpoint(eager=False)
     )
     ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
     cuts = distribution_quantiles(
-        sel, None, "o_totalprice", ps, grain_space=True
+        grain.select(
+            (F.col("g") / F.lit(100.0)).alias("v"),
+            (F.col("n_a") + F.col("n_b")).alias("wt"),
+        ),
+        None,
+        "v",
+        ps,
+        weight_col="wt",
+        grain_space=True,
     ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
     bucketed = grain.crossJoin(F.broadcast(cuts)).select(
         "g",
