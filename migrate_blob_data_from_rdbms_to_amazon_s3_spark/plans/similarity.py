@@ -1541,26 +1541,28 @@ def _kmeans_fit(emb, k: int | None = None, k_floor: int = KMEANS_K):
     assigned = None
     for _ in range(KMEANS_ITERS):
         assigned = _assign_df(emb, cent_rows)
-        # ONE cluster-grain aggregation per round (r12): dim means as EMB_DIM
-        # avg columns — partial map-side aggregation, a single k-row shuffle.
-        # The previous shape posexploded to (cluster, pos) rows and paid a
-        # second shuffle + collect_list sort to re-assemble the arrays;
-        # same per-dim avg-of-doubles (input cast to double either way,
-        # merge order nondeterministic in both shapes — the 4-decimal
-        # round absorbs it, as it already must for the DuckDB twin).
+        # (cluster, pos) posexplode shape, kept DELIBERATELY after an A/B
+        # (r12): the "one k-row shuffle" alternative — EMB_DIM avg columns
+        # in a single cluster-grain aggregate — plans 2x EMB_DIM aggregate
+        # buffers in one operator, which measured 2.4x slower warm (0.24
+        # vs 0.10 s/round) and 3.6x slower cold (4.2 vs 1.2 s) than this
+        # shape at sf0.1: the wide aggregate loses whole-stage fusion for
+        # the stage that also evaluates the argmin assignment expression.
+        # The extra shuffle here is k x EMB_DIM partial rows per map task
+        # — noise at any scale next to the assignment scan it follows.
         new_cents = (
-            assigned.groupBy("cluster")
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 4).alias("m"))
+            .groupBy("cluster")
             .agg(
-                *[
-                    F.round(F.avg(F.col("embedding").getItem(i)), 4).alias(f"m{i}")
-                    for i in range(EMB_DIM)
-                ]
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("cv")
             )
             .collect()
         )
-        cent_rows = sorted(
-            (r["cluster"], [r[f"m{i}"] for i in range(EMB_DIM)]) for r in new_cents
-        )
+        cent_rows = sorted((r.cluster, list(r.cv)) for r in new_cents)
     return cent_rows, assigned
 
 
