@@ -179,9 +179,41 @@ def distribution_quantiles(
             "__pid",
             group_col,
             (F.sum("__pw").over(wo) - F.col("__pw")).alias("__offw"),
+            F.col("__pw"),
+            (F.sum("__pc").over(wo) - F.col("__pc")).alias("__offc"),
             F.sum("__pw").over(wg).alias("__N"),
             F.sum("__pc").over(wg).alias("__nrows"),
         )
+        # Straddle-partition pruning (r12, guide §2.3 — the same argument
+        # as distributed_global_rank's offset<500 prune): the final agg
+        # only reads, per (group, p, off), the SMALLEST grain whose
+        # running weight reaches index i — and grains are range-ordered,
+        # so that grain lives in the unique partition whose weight span
+        # covers i (__offw < i <= __offw + __pw). Partitions after it
+        # hold only larger grains (min unchanged); partitions before it
+        # never reach i. Keeping just the <= 2|ps| straddle partitions
+        # per group shrinks the cum join + window exchange below from
+        # the full grain table to a bounded slice — at production
+        # partition counts that is ~all of the machinery's second pass.
+        # Degenerate guard: a zero-total-weight group (N=0) has straddle
+        # indices <= 0, which every cumulative satisfies — the minimal
+        # grain is then the group's FIRST grain, kept via the row-count
+        # offset clause (__offc == 0). Values are identical either way;
+        # tests/test_quantiles_distribution.py pins equality with
+        # Spark's buffering percentile across both cumsum strategies.
+        keep = None
+        for p in ps:
+            i0 = F.floor((F.col("__N") - 1) * F.lit(p)).cast("long")
+            for off in (1, 2):
+                i = i0 + off
+                cond = (
+                    (F.col("__offw") < i)
+                    & ((F.col("__offw") + F.col("__pw")) >= i)
+                ) | ((i <= 0) & (F.col("__offc") == 0))
+                keep = cond if keep is None else (keep | cond)
+        if keep is not None:
+            offs = offs.filter(keep)
+        offs = offs.drop("__pw", "__offc")
         if _global:
             offs = F.broadcast(offs)
         wp = Window.partitionBy("__pid", group_col).orderBy("__c")
