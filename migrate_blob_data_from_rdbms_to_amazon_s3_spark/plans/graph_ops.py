@@ -299,8 +299,15 @@ def q_graph_khop_reach(spark, sf_dir):
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
+        # Materialize a hop only when it feeds MORE than one consumer
+        # (the next hop's expand join AND its anti-join prune AND the
+        # final union). The LAST hop feeds only the final union, so its
+        # checkpoint bought no dedup — just one more eager Catalyst
+        # planning pass at build time (r12: each lazy localCheckpoint
+        # plans its subtree immediately; ~0.9 s/hop at sf0.1).
+        if k < KHOP_MAX:
+            nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionByName(nxt.withColumn("dist", F.lit(k)))
         frontier = nxt
     total = _t(spark, sf_dir, "part").agg(F.count("*").alias("n_catalog"))
