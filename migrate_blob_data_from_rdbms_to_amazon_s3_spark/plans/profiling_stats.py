@@ -209,8 +209,26 @@ def q_distributed_global_rank(spark, sf_dir):
     final ranks — and the naive oracle — are unchanged."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
+    # r12 (guide §2.3/§2.4, the _two_sample_cum discipline): ONE grain
+    # contraction feeds both the cuts and the per-bucket counts, so raw
+    # orders is scanned twice (contraction + the rank-window rows), not
+    # three times. Cut values are identical: the (grain, weight)
+    # distribution equals the raw row distribution, and
+    # round((g/100.0)*100) == g exactly for cent grains. Bucket counts
+    # are identical: rows in a grain share a bucket, so summing grain
+    # weights per bucket == counting rows per bucket.
+    grain = (
+        o.groupBy(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("g"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
+    )
     cuts = distribution_quantiles(
-        o, None, "o_totalprice", ps, grain_space=True
+        grain.select((F.col("g") / F.lit(100.0)).alias("v"), "w"),
+        None,
+        "v",
+        ps,
+        weight_col="w",
+        grain_space=True,
     ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
     bucketed = o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey",
@@ -220,7 +238,13 @@ def q_distributed_global_rank(spark, sf_dir):
             "acc + IF(CAST(round(o_totalprice * 100) AS DOUBLE) < c, 1, 0))"
         ).alias("b"),
     )
-    counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
+    counts = grain.crossJoin(F.broadcast(cuts)).select(
+        "w",
+        F.expr(
+            "aggregate(cuts, 0, (acc, c) -> "
+            "acc + IF(CAST(g AS DOUBLE) < c, 1, 0))"
+        ).alias("b"),
+    ).groupBy("b").agg(F.sum("w").alias("n"))
     prev = counts.select(F.col("b").alias("pb"), F.col("n").alias("pn"))
     offsets = (
         counts.join(F.broadcast(prev), F.col("pb") < F.col("b"), "left")

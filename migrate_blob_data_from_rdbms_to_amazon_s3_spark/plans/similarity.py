@@ -2094,11 +2094,12 @@ def q_lsh_candidate_stats(spark, sf_dir):
         F.max("sz").alias("max_bucket"),
         F.sum((F.col("sz") > ND_MAX_BUCKET).cast("int")).alias("n_buckets_capped"),
     )
-    bucket_w = Window.partitionBy("tab", "bv")
-    exact_capped = (
-        exact.withColumn("bdf", F.count("*").over(bucket_w))
-        .filter(F.col("bdf") <= ND_MAX_BUCKET)
-        .drop("bdf")
+    # r12 (guide §2.4): the cap rides the bucket-size table this audit
+    # ALREADY aggregates for bstats, instead of a second count window
+    # over the exploded rows — one (tab, bv) pass of the exploded table,
+    # not two. Identical capped set: bdf-per-row == sz-per-bucket.
+    exact_capped = exact.join(
+        bsz.filter(F.col("sz") <= ND_MAX_BUCKET).drop("sz"), ["tab", "bv"]
     )
     probes = _nd_probes(sigs, "vec_a")
     npairs = (
