@@ -774,7 +774,7 @@ def _knn_topk(emb, probe_max: int | None = None, sigs=None, exact=None):
 
 
 def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
-                      probe_filter=None):
+                      probe_filter=None, cross_label=None):
     """Directed (vec_a, vec_b, score) over the LSH candidate set — the
     shared half of q_knn_join and q_hard_negative_mining. ``sigs`` /
     ``exact`` inject a PREBUILT index (operators/ann_index's persisted
@@ -786,7 +786,17 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
     general form of ``probe_max``'s prefix panel (round 10: the
     embedding decontamination probes only the eval slice; probing the
     full corpus to then keep train x eval rows cost 11x/decade at the
-    sf1 soak for candidates the filter immediately discarded)."""
+    sf1 soak for candidates the filter immediately discarded).
+
+    ``cross_label`` (a (vec_id, label) frame) keeps only CROSS-label
+    pairs and adds ``label_a``/``label_b`` to the output — the
+    hard-negative-mining constraint, pushed BELOW the embedding
+    re-attach joins and the cosine fold (guide §2.3: the dropped
+    same-label pairs — ~1/|labels| of the candidate set — previously
+    flowed through both 64-dim-array joins, the scoring stage, and the
+    mirror union before the filter saw them). The predicate is
+    symmetric in the pair, so filtering the canonical half before
+    scoring keeps exactly the pairs the post-mirror filter kept."""
     if sigs is None:
         sigs = _nd_sigs(emb, ["vec_id"])
     if exact is None:
@@ -796,6 +806,13 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
                 "tab", "bv"
             ),
         ).filter(F.col("bv").isNotNull())
+        # NOTE (r12, measured): the lsh_candidate_stats aggregate-join cap
+        # does NOT transfer here — that audit already aggregates bucket
+        # sizes for its stats row, so the cap rode a table it had to build
+        # anyway. Rebuilding bsz just for the cap re-explodes the
+        # signature table and costs a second (tab, bv) pass: knn_join solo
+        # 11.4 s vs 2.8 s with the one-shuffle count-window below (whose
+        # (tab, bv) exchange the candidate join then reuses).
         bucket_w = Window.partitionBy("tab", "bv")
         exact = (
             exact.withColumn("bdf", F.count("*").over(bucket_w))
@@ -825,6 +842,24 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
         )
         .distinct()
     )
+    lab_cols = []
+    if cross_label is not None:
+        # labels attach to the id-only candidate grain (narrow rows,
+        # post-dedup) and the symmetric cross-label filter runs HERE —
+        # before the array-carrying joins and the fold below ever see
+        # the same-label pairs they'd otherwise score and discard.
+        la = cross_label.select(
+            F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+        )
+        lb = cross_label.select(
+            F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+        )
+        cand = (
+            cand.join(la, "vec_a")
+            .join(lb, "vec_b")
+            .filter(F.col("label_a") != F.col("label_b"))
+        )
+        lab_cols = ["label_a", "label_b"]
     ea = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -841,19 +876,23 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
         .select(
             "vec_a",
             "vec_b",
+            *lab_cols,
             F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
                 "score"
             ),
         )
         .localCheckpoint(eager=False)
     )
-    scored = scored_half.unionByName(
-        scored_half.select(
-            F.col("vec_b").alias("vec_a"),
-            F.col("vec_a").alias("vec_b"),
-            "score",
-        )
-    )
+    mirror_cols = [
+        F.col("vec_b").alias("vec_a"),
+        F.col("vec_a").alias("vec_b"),
+    ]
+    if cross_label is not None:
+        mirror_cols += [
+            F.col("label_b").alias("label_a"),
+            F.col("label_a").alias("label_b"),
+        ]
+    scored = scored_half.unionByName(scored_half.select(*mirror_cols, "score"))
     if probe_max is not None:
         scored = scored.filter(F.col("vec_a") < probe_max)
     return scored
@@ -1045,17 +1084,17 @@ def q_hard_negative_mining(spark, sf_dir):
     O(n · tables · probes), never label-pair × label-pair). Labels attach
     to the id-only candidate set by two linear equi-joins; the top-1 is a
     per-vector window over candidate-sized groups. Vectors whose capped
-    buckets yield no cross-label candidate emit no row (both engines)."""
+    buckets yield no cross-label candidate emit no row (both engines).
+
+    r12 (guide §2.3): the cross-label constraint is pushed into
+    ``_knn_scored_pairs`` (its ``cross_label`` seam), so same-label
+    pairs drop at the id-grain candidate set — before the embedding
+    re-attach joins, the cosine fold, and the mirror union — instead of
+    after scoring. The predicate is symmetric in the pair, so the
+    surviving (pair, score) rows are exactly the ones the post-scoring
+    filter kept; the window input, and hence the result, is unchanged."""
     emb = _emb(spark, sf_dir)
-    labels = emb.select("vec_id", "label")
-    la = labels.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
-    lb = labels.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
-    scored = (
-        _knn_scored_pairs(emb)
-        .join(la, "vec_a")
-        .join(lb, "vec_b")
-        .filter(F.col("label_a") != F.col("label_b"))
-    )
+    scored = _knn_scored_pairs(emb, cross_label=emb.select("vec_id", "label"))
     w = Window.partitionBy("vec_a").orderBy(F.desc("score"), "vec_b")
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -106,3 +106,32 @@ def test_observe_count_is_pushdown_barrier(spark):
     )
     assert len(seed) == 4096
     assert int(obs.get["n"]) == n  # pre-filter count: the barrier held
+
+
+def test_cross_label_pushdown_matches_post_scoring_filter(spark, sf_dir):
+    """hard_negative_mining's r12 pushdown: _knn_scored_pairs(cross_label=...)
+    must return exactly the rows of the old shape — score every candidate
+    pair, mirror, THEN join labels and keep label_a != label_b. The
+    predicate is symmetric in the pair, so pushing it below the embedding
+    joins / cosine fold cannot change the surviving (pair, score) set."""
+    from migrate_blob_data_from_rdbms_to_amazon_s3_spark.plans import (
+        similarity as S,
+    )
+
+    emb = S._emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+
+    pushed = S._knn_scored_pairs(emb, cross_label=labels)
+    la = labels.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    posthoc = (
+        S._knn_scored_pairs(emb)
+        .join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+    )
+
+    cols = ["vec_a", "vec_b", "label_a", "label_b", "score"]
+    got = sorted(map(tuple, pushed.select(*cols).collect()))
+    want = sorted(map(tuple, posthoc.select(*cols).collect()))
+    assert got == want and len(got) > 0
