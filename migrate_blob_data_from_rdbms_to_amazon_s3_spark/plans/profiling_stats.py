@@ -264,6 +264,13 @@ def q_distributed_global_rank(spark, sf_dir):
     ranked = (
         bucketed.join(F.broadcast(offsets), "b")
         .withColumn("rk", F.col("offset") + F.row_number().over(w))
+        # r12 (guide §1.2): drop rank > 500 rows right at the window's
+        # output instead of carrying them into the final TakeOrdered —
+        # the limit discards them anyway (ranks are a permutation of
+        # 1..N, so exactly min(N, 500) rows survive either way), but the
+        # filter keeps the per-partition top-k heaps from ever seeing
+        # the ~(bucket - 500) deeper rows of the surviving buckets.
+        .filter(F.col("rk") <= 500)
         .select(
             F.col("rk").cast("bigint").alias("global_rank"),
             "o_orderkey",
