@@ -45,7 +45,9 @@ def distribution_quantiles(
     grain_space: bool = False,
     wide_domain: bool = True,
     _global: bool = False,
-) -> DataFrame:
+    extra_aggs: dict | None = None,
+    return_grain: bool = False,
+):
     """Exact grouped ``quantile_cont`` without per-group buffering.
 
     Returns one row per group: ``(group_col, n_rows, total_weight,
@@ -75,7 +77,21 @@ def distribution_quantiles(
     the distinct grains — cheaper by several stages, correct ONLY when
     the value domain is bounded by catalog/config rather than corpus
     size (list prices, token counts vs a max-doc-length cap). Callers
-    own that domain knowledge; say why at the call site."""
+    own that domain knowledge; say why at the call site.
+
+    ``extra_aggs`` ({name: aggregate Column}) rides the SAME (group,
+    grain) contraction that feeds the machinery — the aggregates are
+    evaluated over the caller's raw rows per grain and carried on the
+    materialized grain table. ``return_grain=True`` (wide_domain only)
+    returns ``(result, grain)`` where ``grain`` is that one
+    materialized contraction (``__c`` = integer grain, ``__cnt`` raw
+    rows, ``__wsum`` total weight, plus the extra_aggs columns) — a
+    caller whose OTHER consumers also read the grain distribution
+    (distributed_global_rank's bucket counts, the two-sample cumulative
+    table) shares this barrier instead of checkpointing its own copy of
+    the same contraction: one materialization per query, not one per
+    stage (r13, guide §1.2/§2.4 — each lazy localCheckpoint costs an
+    eager Catalyst planning + subtree stage execution at build time)."""
     if group_col is None:
         # global quantiles: a constant group, dropped on the way out
         df = df.withColumn("__g", F.lit(0))
@@ -89,21 +105,28 @@ def distribution_quantiles(
             grain_space,
             wide_domain,
             _global=True,
+            extra_aggs=extra_aggs,
+            return_grain=return_grain,
         )
+        if return_grain:
+            res, grain = out
+            return res.drop("__g"), grain.drop("__g")
         return out.drop("__g")
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    dist = (
-        df.select(
-            group_col,
-            F.round(F.col(value_col) * scale).cast("long").alias("__c"),
-            w.alias("__w"),
-        )
-        .groupBy(group_col, "__c")
-        .agg(F.count("*").alias("__cnt"), F.sum("__w").alias("__wsum"))
+    # groupBy directly over df (not a pre-projection) so extra_aggs may
+    # reference any caller column; column pruning keeps the scan narrow
+    # either way, and the grouping key/aggregates are unchanged
+    dist = df.groupBy(
+        F.col(group_col),
+        F.round(F.col(value_col) * scale).cast("long").alias("__c"),
+    ).agg(
+        F.count("*").alias("__cnt"),
+        F.sum(w).alias("__wsum"),
+        *[v.alias(k) for k, v in (extra_aggs or {}).items()],
     )
     # Distributed prefix sum (round 7): a Window.partitionBy(group)
     # cumsum puts each group's whole distinct-grain table on ONE task —
@@ -223,6 +246,7 @@ def distribution_quantiles(
             .select(group_col, "__c", "__cum", "__N", "__nrows")
         )
     else:
+        assert not return_grain, "return_grain needs the wide_domain path"
         # domain-bounded grains: one window per group over the distinct
         # grains — the window input is |domain|-bounded whatever the
         # row count, so the single task per group is safe by the
@@ -259,7 +283,10 @@ def distribution_quantiles(
             vhi = vhi / F.lit(float(scale))
         h = (F.col("__N") - 1) * F.lit(p) - F.floor((F.col("__N") - 1) * F.lit(p))
         outs.append((vlo + h * (vhi - vlo)).alias(f"q{idx}"))
-    return agg.select(*outs)
+    result = agg.select(*outs)
+    if return_grain:
+        return result, tagged
+    return result
 
 
 def distribution_quantiles_duck(

@@ -1017,7 +1017,7 @@ def _component_labels(spark, sf_dir):
         edges.select(F.col("doc_a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
     )
-    for _ in range(CC_ITERS):
+    for rnd in range(CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("id"))
@@ -1026,13 +1026,18 @@ def _component_labels(spark, sf_dir):
         labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            # truncate lineage EVERY round (the MLlib iterative-algorithm
-            # discipline): labels(k+1) references labels(k) twice, so the
-            # un-truncated plan doubles per round — 2^CC_ITERS subtrees to
-            # plan (the r2 audit counted 191 planned shuffles here). Each
-            # round's label table is tiny (one row per clustered doc).
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage EVERY round that feeds another round (the
+        # MLlib iterative-algorithm discipline): labels(k+1) references
+        # labels(k) twice, so the un-truncated plan doubles per round —
+        # 2^CC_ITERS subtrees to plan (the r2 audit counted 191 planned
+        # shuffles here). Each round's label table is tiny (one row per
+        # clustered doc). The LAST round's labels feed a single consumer
+        # in every caller (components agg / canonical join / split
+        # join), so its checkpoint bought no dedup — just one more eager
+        # planning-plus-job pass (r13, the khop last-hop precedent).
+        if rnd < CC_ITERS - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -237,15 +237,21 @@ def q_kcore_membership(spark, sf_dir):
         .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint(eager=False)
     )
-    for _ in range(KCORE_ROUNDS):
+    for rnd in range(KCORE_ROUNDS):
         deg = sym.groupBy("u").agg(F.count("*").alias("c"))
         keep = deg.filter(F.col("c") >= KCORE_K).select("u")
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
         )
+        # materialize a round only when it feeds MORE than one consumer
+        # (the next round's degree aggregate AND its semi-joins). The
+        # LAST round feeds only the final groupBy, so its checkpoint
+        # bought no dedup — just one more eager Catalyst planning pass
+        # at build time (r13, the graph_khop_reach last-hop precedent).
+        if rnd < KCORE_ROUNDS - 1:
+            sym = sym.localCheckpoint(eager=False)
     return (
         sym.groupBy(F.col("u").alias("node"))
         .agg(F.count("*").alias("core_degree"))

@@ -185,6 +185,11 @@ def q_chisq_independence(spark, sf_dir):
 
 
 RANK_BUCKETS = 16
+# top-k bound of q_distributed_global_rank: the offsets prune (offset <
+# GLOBAL_RANK_TOP_K), the post-window rank filter (rk <= GLOBAL_RANK_TOP_K)
+# and the final limit are only correct RELATIVE TO EACH OTHER — one
+# constant so an edit can never silently decouple them (ADVICE r12).
+GLOBAL_RANK_TOP_K = 500
 
 
 def q_distributed_global_rank(spark, sf_dir):
@@ -212,24 +217,27 @@ def q_distributed_global_rank(spark, sf_dir):
     # r12 (guide §2.3/§2.4, the _two_sample_cum discipline): ONE grain
     # contraction feeds both the cuts and the per-bucket counts, so raw
     # orders is scanned twice (contraction + the rank-window rows), not
-    # three times. Cut values are identical: the (grain, weight)
-    # distribution equals the raw row distribution, and
-    # round((g/100.0)*100) == g exactly for cent grains. Bucket counts
+    # three times. r13 (guide §1.2/§2.4 — one materialization per query,
+    # not per stage): that contraction IS the quantile machinery's own
+    # grain table now (return_grain), so the caller-side checkpoint —
+    # a second eager-planning barrier plus a duplicate groupBy exchange
+    # over the same rows — is gone. Cut values are identical: the helper
+    # contracts the same raw rows to the same cent grains
+    # (round((g/100.0)*100) == g exactly for cent grains). Bucket counts
     # are identical: rows in a grain share a bucket, so summing grain
     # weights per bucket == counting rows per bucket.
-    grain = (
-        o.groupBy(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("g"))
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=False)
-    )
-    cuts = distribution_quantiles(
-        grain.select((F.col("g") / F.lit(100.0)).alias("v"), "w"),
+    cuts_df, tagged = distribution_quantiles(
+        o.select(F.col("o_totalprice").alias("v")),
         None,
         "v",
         ps,
-        weight_col="w",
         grain_space=True,
-    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
+        return_grain=True,
+    )
+    cuts = cuts_df.select(
+        F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts")
+    )
+    grain = tagged.select(F.col("__c").alias("g"), F.col("__wsum").alias("w"))
     bucketed = o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey",
         "o_totalprice",
@@ -256,7 +264,7 @@ def q_distributed_global_rank(spark, sf_dir):
         # join below drops ~(B-1)/B of the table BEFORE the rank
         # window's exchange. Provably result-identical: each dropped
         # row's rank exceeds 500 and the final limit discards it.
-        .filter(F.col("offset") < 500)
+        .filter(F.col("offset") < GLOBAL_RANK_TOP_K)
     )
     from pyspark.sql import Window as W
 
@@ -270,14 +278,14 @@ def q_distributed_global_rank(spark, sf_dir):
         # 1..N, so exactly min(N, 500) rows survive either way), but the
         # filter keeps the per-partition top-k heaps from ever seeing
         # the ~(bucket - 500) deeper rows of the surviving buckets.
-        .filter(F.col("rk") <= 500)
+        .filter(F.col("rk") <= GLOBAL_RANK_TOP_K)
         .select(
             F.col("rk").cast("bigint").alias("global_rank"),
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
         )
     )
-    return ranked.orderBy("global_rank").limit(500)
+    return ranked.orderBy("global_rank").limit(GLOBAL_RANK_TOP_K)
 
 
 def q_join_cardinality_estimate(spark, sf_dir):
@@ -626,14 +634,14 @@ ORACLES = {
                  AS winsor_std
         FROM orders, cuts
     """,
-    "distributed_global_rank": """
+    "distributed_global_rank": f"""
         SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                  AS global_rank,
                o_orderkey,
                ROUND(o_totalprice, 2) AS totalprice
         FROM orders
         ORDER BY global_rank
-        LIMIT 500
+        LIMIT {GLOBAL_RANK_TOP_K}
     """,
     "join_cardinality_estimate": """
         WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1),

@@ -55,34 +55,35 @@ def _two_sample_cum(spark, sf_dir):
     )
     sel = o.select(
         (F.col("o_orderpriority") == PRI_A).cast("long").alias("a"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("g"),
+        (F.round(F.col("o_totalprice") * 100) / F.lit(100.0)).alias("v"),
     )
     # r12 (guide §2.3/§2.4): ONE raw scan + ONE grain contraction for the
-    # whole helper. The grain table is lazily materialized so its three
-    # consumers (cuts, bucketed, totals) share one computation, and the
-    # quantile cuts are computed FROM the grain counts (weight = n_a+n_b)
-    # instead of re-scanning raw orders. Cut values are identical: the
-    # (grain -> weight) distribution equals the raw row distribution by
-    # construction, and round((g/100.0)*100) == g exactly for cent grains
-    # (|g| < 2^52, relative double error ~1e-16 << 0.5), so the helper's
+    # whole helper. r13 (guide §1.2/§2.4 — one materialization per query,
+    # not per stage): the contraction IS the quantile machinery's own
+    # grain table now — extra_aggs rides (n_a, n_b) on it and
+    # return_grain hands the one materialized copy back, so the helper's
+    # second barrier (and the duplicate groupBy exchange) are gone. Cut
+    # values are identical: the helper contracts the same raw rows to
+    # the same cent grains (round((g/100.0)*100) == g exactly for cent
+    # grains — |g| < 2^52, relative double error ~1e-16 << 0.5), so the
     # quantize/cumulate/straddle arithmetic sees the same inputs.
-    grain = (
-        sel.groupBy("g")
-        .agg(F.sum("a").alias("n_a"), F.sum(F.lit(1) - F.col("a")).alias("n_b"))
-        .localCheckpoint(eager=False)
-    )
     ps = tuple(i / RANK_BUCKETS for i in range(1, RANK_BUCKETS))
-    cuts = distribution_quantiles(
-        grain.select(
-            (F.col("g") / F.lit(100.0)).alias("v"),
-            (F.col("n_a") + F.col("n_b")).alias("wt"),
-        ),
+    cuts_df, tagged = distribution_quantiles(
+        sel,
         None,
         "v",
         ps,
-        weight_col="wt",
         grain_space=True,
-    ).select(F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts"))
+        extra_aggs={
+            "n_a": F.sum("a"),
+            "n_b": F.sum(F.lit(1) - F.col("a")),
+        },
+        return_grain=True,
+    )
+    cuts = cuts_df.select(
+        F.array(*[F.col(f"q{i}") for i in range(len(ps))]).alias("cuts")
+    )
+    grain = tagged.select(F.col("__c").alias("g"), "n_a", "n_b")
     bucketed = grain.crossJoin(F.broadcast(cuts)).select(
         "g",
         "n_a",
