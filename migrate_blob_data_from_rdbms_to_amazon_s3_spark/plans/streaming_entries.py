@@ -27,9 +27,18 @@ from ..streaming import events as SE
 def _bounded_state_partitions(spark, n: int = 16):
     """Streaming state-store partition count is frozen from
     spark.sql.shuffle.partitions at query start; a vanilla session's 200
-    is pure overhead for a fixture-sized drain. Pin, then restore."""
+    is pure overhead for a fixture-sized drain. Pin to min(n, cores),
+    then restore: state-store setup/commit is a per-partition fixed cost
+    every micro-batch, so partitions beyond the available cores only add
+    waves (r12 scaling block: the drains ANTI-scaled 14.3 s at 32 cores
+    -> 24.5 s at 8 with the flat pin of 16). Production tuning raises n
+    to the stateful-key parallelism the job needs; the bound stays
+    cores-derived, never a local constant (r13: RocksDB provider was
+    also measured for these drains — 15-20% SLOWER at fixture state
+    sizes, where native-store setup outweighs any working-set win)."""
+    cores = int(spark.sparkContext.defaultParallelism)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(1, min(n, cores))))
     try:
         yield
     finally:
@@ -41,7 +50,11 @@ def _stage_stream_source(spark, sf_dir: str) -> str:
     fixture file has TIMESTAMP(NANOS), which the streaming reader's fixed
     schema can't take directly)."""
     src = tempfile.mkdtemp(prefix="stream_src_")
-    load_events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(src)
+    # coalesce, not repartition (r13): the drop-file count is cosmetic —
+    # every oracled drain runs files_per_trigger=None (single batch) —
+    # so the staging write doesn't need a round-robin exchange of the
+    # whole fixture, just a narrow fan-in to a handful of files.
+    load_events(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
     return src
 
 
@@ -127,8 +140,8 @@ def q_stream_dedup(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="stream_src_")
     try:
         ev = load_events(spark, sf_dir)
-        ev.repartition(4).write.mode("overwrite").parquet(src)  # copy A
-        ev.repartition(4).write.mode("append").parquet(src)     # copy B (dupes)
+        ev.coalesce(4).write.mode("overwrite").parquet(src)  # copy A
+        ev.coalesce(4).write.mode("append").parquet(src)     # copy B (dupes)
         with _bounded_state_partitions(spark):
             # files_per_trigger=None: the value oracle requires a single-
             # batch drain (a batch boundary would watermark-drop late rows)
