@@ -122,7 +122,11 @@ def build_ann_index(
     if bits is not None and tables is None:
         tables = _derived_tables(bits)
     cfg = None if bits is None else _forced_cfg(spark, bits, tables)
-    sigs = S._nd_sigs(emb, cols, cfg=cfg, emit_dots=True)
+    # barrier=False: the signature frame is consumed exactly once here
+    # (the observe→write below; the band table derives from the parquet
+    # READ-BACK, never from this frame), so the default checkpoint only
+    # added an eager planning + kernel pass per build (r13)
+    sigs = S._nd_sigs(emb, cols, cfg=cfg, emit_dots=True, barrier=False)
     # count + config ride the WRITE as an Observation (r12): the
     # previous count()/limit(1) jobs re-scanned the just-written table —
     # at 100 TB a full extra pass. nd_bits/nd_tables are constant across
@@ -250,7 +254,8 @@ def neardup_incremental(
             [], "label int, vec_new long, vec_reg long, score double"
         )
     cfg = _forced_cfg(spark, int(meta["nd_bits"]), int(meta["nd_tables"]))
-    batch_sigs = S._nd_sigs(new_emb, ["vec_id", "label"], cfg=cfg)
+    # barrier=False: the batch signatures feed ONLY the probe explode
+    batch_sigs = S._nd_sigs(new_emb, ["vec_id", "label"], cfg=cfg, barrier=False)
     probes = S._nd_probes(batch_sigs, "vec_new", extra=("label",))
     exact = load_capped_bands(spark, path, label=True)
     cand = (

@@ -101,7 +101,8 @@ def q_ann_index_widen_audit(spark, sf_dir):
         *[F.col(f"p{t}").alias(f"wp{t}") for t in range(_W_NEW_TABLES)],
     )
     scratch = S._nd_sigs(
-        emb, ["vec_id"], cfg=_forced_cfg(spark, _W_NEW_BITS, _W_NEW_TABLES)
+        emb, ["vec_id"], cfg=_forced_cfg(spark, _W_NEW_BITS, _W_NEW_TABLES),
+        barrier=False,  # consumed once (the per_tab join)
     ).select(
         "vec_id",
         *[F.col(f"t{t}").alias(f"st{t}") for t in range(_W_NEW_TABLES)],

@@ -531,7 +531,8 @@ def _nd_cfg(emb):
     )
 
 
-def _nd_sigs(emb, cols: list[str], cfg=None, emit_dots: bool = False):
+def _nd_sigs(emb, cols: list[str], cfg=None, emit_dots: bool = False,
+             barrier: bool = True):
     """Per-table masked bucket values ``t0..`` and boundary-bit arrays
     ``p0..`` plus the derived ``nd_bits``/``nd_tables``, materialized
     once (localCheckpoint): the plane dots are the most expensive
@@ -540,7 +541,12 @@ def _nd_sigs(emb, cols: list[str], cfg=None, emit_dots: bool = False):
     subtree. Inactive tables (t >= nd_tables) carry NULL buckets/
     boundaries — every consumer filters them after its table explode.
     Materialized it is (n x ~(16 ints + 16 tiny int arrays)) — trivial
-    at any scale.
+    at any scale. ``barrier=False`` skips the checkpoint for callers
+    that consume the signature frame exactly ONCE (a persisted-index
+    build's observe→write, the incremental gate's probe explode, the
+    widen audit's scratch join): there the barrier dedups nothing and
+    only adds an eager Catalyst planning + kernel-stage pass at build
+    time (r13, the khop last-hop precedent).
 
     Round 7: the dot/bucket/boundary block is an Arrow-vectorized numpy
     kernel (`mapInPandas`), not SQL higher-order functions. HOFs never
@@ -565,9 +571,8 @@ def _nd_sigs(emb, cols: list[str], cfg=None, emit_dots: bool = False):
         f"{f.name} {f.dataType.simpleString()}" for f in in_df.schema if f.name in cols
     ]
     schema = ", ".join(passthrough + ["nd_bits int", "nd_tables int", sig_fields])
-    return in_df.mapInPandas(
-        _nd_sig_batches(list(cols), emit_dots=emit_dots), schema
-    ).localCheckpoint(eager=False)
+    out = in_df.mapInPandas(_nd_sig_batches(list(cols), emit_dots=emit_dots), schema)
+    return out.localCheckpoint(eager=False) if barrier else out
 
 
 def _nd_sig_batches(cols: list[str], emit_dots: bool = False):
