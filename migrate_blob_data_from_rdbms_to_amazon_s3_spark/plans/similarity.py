@@ -875,29 +875,34 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
         F.col("embedding").alias("eb"),
         F.expr(_norm_spark("embedding")).alias("norm_b"),
     )
-    scored_half = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            *lab_cols,
-            F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
-                "score"
-            ),
-        )
-        .localCheckpoint(eager=False)
+    scored_half = cand.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a",
+        "vec_b",
+        *lab_cols,
+        F.expr(f"round({_dot_spark('ea', 'eb')} / (norm_a * norm_b), 6)").alias(
+            "score"
+        ),
     )
-    mirror_cols = [
-        F.col("vec_b").alias("vec_a"),
-        F.col("vec_a").alias("vec_b"),
-    ]
-    if cross_label is not None:
-        mirror_cols += [
-            F.col("label_b").alias("label_a"),
-            F.col("label_a").alias("label_b"),
-        ]
-    scored = scored_half.unionByName(scored_half.select(*mirror_cols, "score"))
+    # Mirror by INLINE-exploding each canonical pair into its two
+    # directed rows (r13, guide §1.2): the previous self-UNION referenced
+    # scored_half twice, which forced a localCheckpoint barrier so the
+    # candidate+scoring DAG wouldn't execute per branch — one more eager
+    # Catalyst planning + materialization pass on every consumer
+    # (knn_join, hard_negative_mining, the persisted-index probes, the
+    # recall audit's approx side). inline() emits the identical row set
+    # (each pair once per direction, same columns, same values) in ONE
+    # linear pass with a single downstream consumer — no barrier needed.
+    def _dir_struct(swap: bool):
+        a, b = ("vec_b", "vec_a") if swap else ("vec_a", "vec_b")
+        fields = [F.col(a).alias("vec_a"), F.col(b).alias("vec_b")]
+        if cross_label is not None:
+            la, lb = ("label_b", "label_a") if swap else ("label_a", "label_b")
+            fields += [F.col(la).alias("label_a"), F.col(lb).alias("label_b")]
+        return F.struct(*fields, F.col("score").alias("score"))
+
+    scored = scored_half.select(
+        F.inline(F.array(_dir_struct(False), _dir_struct(True)))
+    )
     if probe_max is not None:
         scored = scored.filter(F.col("vec_a") < probe_max)
     return scored
