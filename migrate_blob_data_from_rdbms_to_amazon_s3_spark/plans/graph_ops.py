@@ -69,9 +69,18 @@ def q_graph_triangles(spark, sf_dir):
     shuffle-joins on the node key past that; same for the adjacency
     table. No pair-grain shuffle exists either way."""
     edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # inline() emits both endpoints in ONE pass over the edge list —
+    # the previous self-union scanned the checkpointed RDD twice (r13;
+    # same multiset of rows, so the degree counts are unchanged)
     deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
+        edges.select(
+            F.inline(
+                F.array(
+                    F.struct(F.col("a").alias("v")),
+                    F.struct(F.col("b").alias("v")),
+                )
+            )
+        )
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
@@ -136,12 +145,23 @@ def q_association_rules(spark, sf_dir):
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= RULE_MIN_SUPPORT)
     )
-    # Both rule directions from the canonical pair grain.
+    # Both rule directions from the canonical pair grain — inline()
+    # emits them in ONE pass (the self-union planned the whole
+    # join+aggregate pair subtree twice — r13; same row multiset).
     rules = pairs.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "sup"
-    ).unionByName(
-        pairs.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "sup"
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("sup").alias("sup"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("sup").alias("sup"),
+                ),
+            )
         )
     )
     ia = item.select(F.col("item").alias("antecedent"), F.col("item_n").alias("n_a"))
@@ -232,11 +252,16 @@ def q_kcore_membership(spark, sf_dir):
     anywhere; localCheckpoint per round truncates the iterative lineage
     (the kmeans/components discipline)."""
     edges = _canonical_edges(spark, sf_dir)
-    sym = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    # inline() symmetrizes in ONE pass — the self-union planned (and,
+    # modulo exchange reuse, executed) the edge-building subtree twice
+    sym = edges.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        )
+    ).localCheckpoint(eager=False)
     for rnd in range(KCORE_ROUNDS):
         deg = sym.groupBy("u").agg(F.count("*").alias("c"))
         keep = deg.filter(F.col("c") >= KCORE_K).select("u")
@@ -285,11 +310,16 @@ def q_graph_khop_reach(spark, sf_dir):
     # measured 77 lineitem scans and zero exchange reuse at depth 3.
     # One materialized edge list + one materialized frontier per hop is
     # the BFS cost model a 1000-executor run needs.
-    sym = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    sym = edges.select(
+        # inline(): both edge directions in ONE pass (the self-union
+        # planned the edge-building subtree twice — r13)
+        F.inline(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        )
+    ).localCheckpoint(eager=False)
     seed = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey") == KHOP_SEED_SUPP)

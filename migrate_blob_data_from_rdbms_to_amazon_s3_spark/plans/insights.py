@@ -523,8 +523,16 @@ def q_order_backlog_peaks(spark, sf_dir):
         F.to_date("o_orderdate").alias("start_d"),
         F.to_date("l_shipdate").alias("end_d"),
     )
-    deltas = spans.select(F.col("start_d").alias("day"), F.lit(1).alias("d")).unionAll(
-        spans.select(F.col("end_d").alias("day"), F.lit(-1).alias("d"))
+    # inline(): both sweep-line deltas in ONE pass over the joined spans
+    # (the self-union planned — and modulo exchange reuse executed — the
+    # lineitem⋈orders subtree twice; same row multiset either way — r13)
+    deltas = spans.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("start_d").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("end_d").alias("day"), F.lit(-1).alias("d")),
+            )
+        )
     )
     net = deltas.groupBy("day").agg(F.sum("d").alias("net"))
     yr = net.withColumn("y", F.year("day"))

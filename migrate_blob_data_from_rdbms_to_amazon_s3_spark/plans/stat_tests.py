@@ -308,9 +308,16 @@ def _avg_rank2_fused(df, col_x: str, col_y: str):
     Returns (__rtag, g, r2)."""
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # inline(): both tagged columns in ONE pass over df (the self-union
+    # scanned the input twice; same row multiset either way — r13)
     tagged = df.select(
-        F.lit(0).alias("__rtag"), F.col(col_x).alias("v")
-    ).unionAll(df.select(F.lit(1).alias("__rtag"), F.col(col_y).alias("v")))
+        F.inline(
+            F.array(
+                F.struct(F.lit(0).alias("__rtag"), F.col(col_x).alias("v")),
+                F.struct(F.lit(1).alias("__rtag"), F.col(col_y).alias("v")),
+            )
+        )
+    )
     # ONE materialization: contraction shuffle -> range exchange -> pid
     # tag. The range exchange samples boundaries nondeterministically and
     # __pid depends on them; the lazy localCheckpoint pins one assignment
