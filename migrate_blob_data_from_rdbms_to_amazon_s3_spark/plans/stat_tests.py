@@ -308,16 +308,15 @@ def _avg_rank2_fused(df, col_x: str, col_y: str):
     Returns (__rtag, g, r2)."""
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # inline(): both tagged columns in ONE pass over df (the self-union
-    # scanned the input twice; same row multiset either way — r13)
+    # NOTE (r13, measured): do NOT inline()-mirror this union — the two
+    # branches are cheap parallel column scans, and generator-doubling
+    # the raw rows measured ~30% SLOWER at the sf1 soak (15.3 vs 11.7 s
+    # warm; per-row struct-array allocation costs more than the saved
+    # scan). inline() pays off only where it removes a barrier or
+    # dedups an expensive subtree — see _knn_scored_pairs.
     tagged = df.select(
-        F.inline(
-            F.array(
-                F.struct(F.lit(0).alias("__rtag"), F.col(col_x).alias("v")),
-                F.struct(F.lit(1).alias("__rtag"), F.col(col_y).alias("v")),
-            )
-        )
-    )
+        F.lit(0).alias("__rtag"), F.col(col_x).alias("v")
+    ).unionAll(df.select(F.lit(1).alias("__rtag"), F.col(col_y).alias("v")))
     # ONE materialization: contraction shuffle -> range exchange -> pid
     # tag. The range exchange samples boundaries nondeterministically and
     # __pid depends on them; the lazy localCheckpoint pins one assignment
