@@ -795,8 +795,13 @@ def _knn_scored_pairs(emb, probe_max: int | None = None, sigs=None, exact=None,
 
     ``cross_label`` (a (vec_id, label) frame) keeps only CROSS-label
     pairs and adds ``label_a``/``label_b`` to the output — the
-    hard-negative-mining constraint, pushed BELOW the embedding
-    re-attach joins and the cosine fold (guide §2.3: the dropped
+    hard-negative-mining constraint. The label frame MUST cover every
+    vec_id that can appear in a candidate pair: the label attach uses
+    INNER joins, so a candidate whose id is missing from the frame is
+    silently dropped, not passed through (safe for the current caller —
+    labels come from the same emb frame — a trap for a future caller
+    passing a partial label table; ADVICE r12). The filter is pushed
+    BELOW the embedding re-attach joins and the cosine fold (guide §2.3: the dropped
     same-label pairs — ~1/|labels| of the candidate set — previously
     flowed through both 64-dim-array joins, the scoring stage, and the
     mirror union before the filter saw them). The predicate is
