@@ -87,14 +87,28 @@ def build_text_index(docs: DataFrame, path: str) -> None:
     computes and persists the signatures; the band table derives from
     the STORED signatures (the md5 kernel never runs twice)."""
     spark = docs.sparkSession
-    _sigs_from_docs(docs).write.mode("overwrite").parquet(f"{path}/signatures")
+    # doc count rides the WRITE as an Observation (r13, the r12
+    # ann/ivf-index discipline applied to the text twin): the previous
+    # sigs.count() re-scanned the just-written signatures — at 100 TB a
+    # full extra pass of the standing table per build.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _sigs_from_docs(docs).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/signatures")
     sigs = spark.read.parquet(f"{path}/signatures")
     w = Window.partitionBy("band_idx", "band_val")
     bands = _band_rows(sigs).withColumn("bdf", F.count("*").over(w))
     bands.repartition("band_idx", "band_val").write.mode("overwrite").parquet(
         f"{path}/bands"
     )
-    n_docs = sigs.count()
+    try:
+        n_docs = int(obs.get["n"])
+    except Exception:
+        # zero-task write (empty corpus): no metrics row — the read-back
+        # count is trivially cheap on that degenerate path
+        n_docs = sigs.count()
     arrow_local_df(
         spark,
         [
